@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-_SO_PATH = pathlib.Path(__file__).with_name("_fastio.so")
+_SO_PATH = pathlib.Path(__file__).with_name("libfastio.so")
 _LIB: Optional[ctypes.CDLL] = None
 _LOAD_TRIED = False
 
