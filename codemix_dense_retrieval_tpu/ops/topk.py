@@ -1,0 +1,269 @@
+"""Exact inner-product top-k over a dense embedding shard.
+
+This is the TPU-native replacement for FAISS ``IndexFlatIP.search``
+(reference `onepass_dense_run.py:305`, `encode_multilingual_corpus.py:367`).
+FAISS does a brute-force GEMM + heap-select on CUDA; the idiomatic TPU
+design is different:
+
+**The bin-max cover algorithm (exact).** ``lax.top_k`` over an (B, N)
+score matrix is sort-dominated for N in the millions (measured ~35x the
+matmul cost on v5e). Instead:
+
+1. *Fused pass* — one kernel computes the score tile ``Q @ D_tile^T``
+   (MXU, f32 accumulation) and reduces it to per-bin maxima (bins of ``G``
+   consecutive rows), writing both the score matrix and the tiny
+   ``(B, N/G)`` bin-max matrix. Implemented both as a Pallas kernel
+   (`_bin_scores_pallas`) and as plain XLA (`_bin_scores_xla`).
+2. *Cover selection* — ``lax.top_k`` over the bin maxima picks ``k`` bins
+   per query. **Exactness**: for any true top-k element x in bin b, every
+   bin ranked above b either has max > score(x) — and so contains one of
+   the at-most-(k-1) elements strictly greater than x — or ties b's max
+   with a lower bin id, contributing an element that also outranks x
+   under the (score desc, id asc) order. Hence at most k-1 bins rank
+   above b, so b is among the selected k bins and x is in the candidate
+   set. (Ties included: ``lax.top_k`` prefers lower indices, matching the
+   id-ascending tie-break.)
+3. *Candidate select* — gather the k*G candidate scores and pick the
+   final top-k by the lexicographic key (score desc, id asc) via a
+   two-key ``lax.sort``. Deterministic tie-break parity with FAISS
+   (lower id wins).
+
+Cost: the sort shrinks from N to N/G + k*G elements per query; HBM
+traffic is one D read + one score write per query block. k-selection is
+no longer the bottleneck — the kernel runs at matmul/HBM speed.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# numpy oracle (tests only)
+# --------------------------------------------------------------------------
+
+def topk_ip_oracle(queries: np.ndarray, docs: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact reference: f32 matmul + (score desc, id asc) argsort."""
+    scores = queries.astype(np.float32) @ docs.astype(np.float32).T
+    n = docs.shape[0]
+    order = np.lexsort((np.arange(n)[None, :].repeat(len(queries), 0), -scores), axis=1)
+    idx = order[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals, idx.astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# full-sort path (small N / oracle on device)
+# --------------------------------------------------------------------------
+
+def topk_ip_full(queries: jnp.ndarray, docs: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via full matmul + lax.top_k. O(N)-sort per query: fine
+    for small shards, the baseline the binned kernel is measured against."""
+    scores = lax.dot_general(
+        queries, docs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return lax.top_k(scores, k)
+
+
+# --------------------------------------------------------------------------
+# phase 1: fused scores + bin maxima
+# --------------------------------------------------------------------------
+
+def _bin_scores_xla(
+    queries: jnp.ndarray, docs: jnp.ndarray, bin_size: int, n_valid
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Plain-XLA phase 1 (docs already padded to a multiple of bin_size).
+
+    ``n_valid`` may be a Python int or a traced scalar (sharded path).
+    Returns (scores (B, Npad) f32 with padding = -inf, bin_max (B, Npad/G)).
+    """
+    scores = lax.dot_general(
+        queries, docs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    n_pad = docs.shape[0]
+    if not (isinstance(n_valid, int) and n_valid >= n_pad):
+        col = lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+    bin_max = scores.reshape(scores.shape[0], n_pad // bin_size, bin_size).max(axis=-1)
+    return scores, bin_max
+
+
+def _bin_scores_pallas_kernel(nv_ref, q_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n):
+    j = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[:], d_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # mask rows beyond the valid count (padded shard tail)
+    n_valid = nv_ref[0]
+    start = j * tile_n
+    col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    scores_ref[:] = s
+    b = s.shape[0]
+    binmax_ref[:] = jnp.max(s.reshape(b, tile_n // bin_size, bin_size), axis=-1)
+
+
+def _bin_scores_pallas(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    bin_size: int,
+    n_valid: int,
+    *,
+    tile_b: int = 256,
+    tile_n: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused Pallas phase 1: one HBM pass over the shard computes the score
+    matrix and its bin maxima (never re-reading the B x N scores)."""
+    b, dim = queries.shape
+    n_pad = docs.shape[0]
+    assert n_pad % tile_n == 0 and tile_n % bin_size == 0
+    tile_b = min(tile_b, b)
+    assert b % tile_b == 0, (b, tile_b)
+    grid = (b // tile_b, n_pad // tile_n)
+    kernel = functools.partial(_bin_scores_pallas_kernel, bin_size=bin_size, tile_n=tile_n)
+    flops = 2 * b * n_pad * dim
+    bytes_accessed = (
+        b * dim * queries.dtype.itemsize
+        + n_pad * dim * docs.dtype.itemsize
+        + b * n_pad * 4
+    )
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_b, tile_n // bin_size), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(nv, queries, docs)
+
+
+# --------------------------------------------------------------------------
+# phase 2: bin cover -> candidate gather -> lexicographic select
+# --------------------------------------------------------------------------
+
+def _topk_from_bins(
+    scores: jnp.ndarray, bin_max: jnp.ndarray, k: int, bin_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, num_bins = bin_max.shape
+    kb = min(k, num_bins)
+    _, bin_ids = lax.top_k(bin_max, kb)  # ties -> lower bin id first
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    cand_scores = jnp.take_along_axis(scores, cand_idx, axis=1)
+    # lexicographic (score desc, id asc): sort ascending on (-score, id)
+    neg, ids = lax.sort((-cand_scores, cand_idx), num_keys=2)
+    return -neg[:, :k], ids[:, :k]
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def topk_ip_bins(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    bin_size: int = 64,
+    use_pallas: bool = True,
+    tile_b: int = 256,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    n_valid=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact IP top-k via the bin-max cover algorithm.
+
+    ``docs`` may have any row count; it is padded (statically) to a tile
+    multiple and padded rows can never be selected (masked to -inf).
+    ``n_valid`` (optional, defaults to ``docs.shape[0]``) may be a traced
+    scalar — the sharded path passes each device's local valid row count.
+    Returns (values f32 (B, k), indices int32 (B, k)); ties broken by
+    lower doc index (FAISS parity).
+    """
+    n_rows = docs.shape[0]  # static
+    if n_valid is None:
+        n_valid = n_rows
+    if isinstance(n_valid, int) and k > n_valid:
+        raise ValueError(f"k={k} > num docs {n_valid}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if use_pallas:
+        n_pad = _ceil_to(n_rows, tile_n)
+        if n_pad != n_rows:
+            docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
+            if isinstance(n_valid, int):
+                n_valid = min(n_valid, n_rows)
+        b = queries.shape[0]
+        eff_tile_b = tile_b if b % tile_b == 0 else math.gcd(b, tile_b)
+        scores, bin_max = _bin_scores_pallas(
+            queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
+            interpret=interpret,
+        )
+    else:
+        n_pad = _ceil_to(n_rows, bin_size)
+        if n_pad != n_rows:
+            docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
+        scores, bin_max = _bin_scores_xla(queries, docs, bin_size, n_valid)
+    return _topk_from_bins(scores, bin_max, k, bin_size)
+
+
+def topk_ip(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    bin_size: int = 64,
+    method: str = "auto",
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact inner-product top-k. ``method``: auto | full | bins_xla | bins_pallas.
+
+    ``auto`` uses the binned kernel above ~16k rows (where full-sort cost
+    overtakes), the plain full-sort below.
+    """
+    n = docs.shape[0]
+    if method == "auto":
+        method = "bins_pallas" if n >= 16384 else "full"
+    if method == "full":
+        k_eff = min(k, n)
+        if k_eff < k:
+            raise ValueError(f"k={k} > num docs {n}")
+        return topk_ip_full(queries, docs, k)
+    if method == "bins_xla":
+        return topk_ip_bins(queries, docs, k, bin_size=bin_size, use_pallas=False, **kwargs)
+    if method == "bins_pallas":
+        return topk_ip_bins(queries, docs, k, bin_size=bin_size, use_pallas=True, **kwargs)
+    raise ValueError(f"unknown method {method!r}")

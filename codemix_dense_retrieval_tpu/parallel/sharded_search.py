@@ -1,0 +1,135 @@
+"""Row-sharded exact search over a device mesh.
+
+This replaces FAISS's single-GPU clone (`faiss.index_cpu_to_gpu`,
+reference `onepass_dense_run.py:306-310`) with the idiomatic TPU design
+(SURVEY §2.3, §5): corpus embeddings are sharded on the row axis across
+the mesh's ``shard`` dimension (HBM-resident, bf16); each device runs the
+fused bin-max-cover top-k on its local rows; the only collective is an
+``all_gather`` of the per-device (k values, k global ids) — a few hundred
+KB riding ICI — followed by a local lexicographic merge-select.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from codemix_dense_retrieval_tpu.ops import topk as topk_ops
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def shard_rows(
+    embeddings: np.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "shard",
+    pad_multiple: int = 1024,
+) -> Tuple[jax.Array, jax.Array, int]:
+    """Place an (N, d) host array row-sharded on the mesh.
+
+    Rows are padded so every device gets an equal ``rows_per_shard``
+    (itself a multiple of ``pad_multiple`` for kernel tiling). Returns
+    (device array (S*rows_per_shard, d) sharded P(axis, None),
+     per-shard valid-row counts (S,) sharded P(axis),
+     rows_per_shard).
+    """
+    n, d = embeddings.shape
+    s = mesh.shape[axis]
+    rows_per_shard = _ceil_to(max(1, -(-n // s)), pad_multiple)
+    n_pad = rows_per_shard * s
+    counts = np.clip(n - rows_per_shard * np.arange(s), 0, rows_per_shard).astype(np.int32)
+
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    def _cb(index):
+        # index is the global slice this device holds; materialize with pad
+        rows = np.zeros((rows_per_shard, d), dtype=embeddings.dtype)
+        start = index[0].start or 0
+        stop = min(index[0].stop or n_pad, n)
+        if start < n:
+            rows[: stop - start] = embeddings[start:stop]
+        return rows
+
+    docs = jax.make_array_from_callback((n_pad, d), sharding, _cb)
+    counts_dev = jax.device_put(counts, NamedSharding(mesh, P(axis)))
+    return docs, counts_dev, rows_per_shard
+
+
+def sharded_topk_ip(
+    queries: jnp.ndarray,
+    docs_sharded: jax.Array,
+    counts: jax.Array,
+    k: int,
+    *,
+    mesh: Mesh,
+    axis: str = "shard",
+    bin_size: int = 64,
+    method: str = "bins_pallas",
+    tile_n: int = 1024,
+    tile_b: int = 256,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact global top-k over a row-sharded index.
+
+    ``queries`` is replicated; ``docs_sharded``/``counts`` as produced by
+    :func:`shard_rows`. Returns replicated (values (B, k), global ids
+    (B, k) int32), ties broken by lower global id (FAISS parity).
+    """
+    s = mesh.shape[axis]
+    rows_per_shard = docs_sharded.shape[0] // s
+    if k > rows_per_shard:
+        raise ValueError(
+            f"k={k} > rows_per_shard={rows_per_shard}; lower k or use fewer shards"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def local_search(q, d, cnt):
+        shard_id = lax.axis_index(axis)
+        n_valid = cnt[0]
+        if method == "full":
+            # full-sort path: mask pad-row scores BEFORE selection
+            scores = lax.dot_general(
+                q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            col = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+            scores = jnp.where(col < n_valid, scores, topk_ops.NEG_INF)
+            vals, idx = lax.top_k(scores, k)
+        else:
+            vals, idx = topk_ops.topk_ip_bins(
+                q,
+                d,
+                k,
+                bin_size=bin_size,
+                use_pallas=(method == "bins_pallas"),
+                tile_b=tile_b,
+                tile_n=tile_n,
+                interpret=interpret,
+                n_valid=n_valid,
+            )
+        gids = idx + shard_id * rows_per_shard
+        # ICI collective: gather every shard's candidates, then local select
+        vals_all = lax.all_gather(vals, axis, axis=1, tiled=True)  # (B, S*k)
+        gids_all = lax.all_gather(gids, axis, axis=1, tiled=True)
+        neg, ids = lax.sort((-vals_all, gids_all), num_keys=2)
+        return -neg[:, :k], ids[:, :k]
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, docs_sharded, counts)

@@ -1,0 +1,120 @@
+"""Oracle tests for the exact bin-max-cover top-k kernel (SURVEY §4: Pallas
+top-k vs jax.lax.top_k vs numpy argsort oracle)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from codemix_dense_retrieval_tpu.ops.topk import (
+    topk_ip,
+    topk_ip_bins,
+    topk_ip_full,
+    topk_ip_oracle,
+)
+
+
+def make_data(rng, n, d, b, normalize=True, dtype=np.float32):
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((b, d)).astype(np.float32)
+    if normalize:
+        docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    return qs.astype(dtype), docs.astype(dtype)
+
+
+@pytest.mark.parametrize("method", ["full", "bins_xla", "bins_pallas"])
+@pytest.mark.parametrize("n,k", [(500, 10), (1000, 100), (4096, 64), (5000, 7)])
+def test_exact_vs_oracle(method, n, k, rng):
+    qs, docs = make_data(rng, n, 64, 8)
+    vals, idx = topk_ip(jnp.asarray(qs), jnp.asarray(docs), k, method=method, bin_size=32)
+    ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    # indices must match exactly where scores are untied (random floats: untied)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_adversarial_clustered_topk(rng):
+    """All true top-k rows inside ONE bin — the case where naive bin-max
+    (approx_max_k-style) is wrong and the cover algorithm must still be exact."""
+    d, n, k = 32, 2048, 16
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    docs = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+    # plant the top-k all in bin 5 (bin_size=64 -> rows 320..335)
+    for j in range(k):
+        docs[320 + j] = q[0] * (2.0 + j * 0.01)
+    vals, idx = topk_ip_bins(jnp.asarray(q), jnp.asarray(docs), k, bin_size=64)
+    ref_vals, ref_idx = topk_ip_oracle(q, docs, k)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-6)
+    assert set(np.asarray(idx)[0].tolist()) == set(range(320, 320 + k))
+
+
+def test_tie_break_lower_id_wins(rng):
+    """Duplicate doc rows -> tied scores -> ids must come back ascending
+    (FAISS-parity deterministic tie-break)."""
+    d, k = 16, 8
+    base = rng.standard_normal((4, d)).astype(np.float32)
+    docs = np.concatenate([base[rng.integers(0, 4, size=100)]], axis=0)
+    q = base[0:1] * 0.5
+    for method in ("full", "bins_xla", "bins_pallas"):
+        vals, idx = topk_ip(jnp.asarray(q), jnp.asarray(docs), k, method=method, bin_size=16)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        for j in range(k - 1):
+            if vals[0, j] == vals[0, j + 1]:
+                assert idx[0, j] < idx[0, j + 1]
+        ref_vals, ref_idx = topk_ip_oracle(q, docs, k)
+        np.testing.assert_array_equal(idx, ref_idx)
+
+
+def test_padding_never_selected(rng):
+    """N not a tile multiple: padded rows (score 0 > negative reals) must
+    be masked out."""
+    d, k = 16, 50
+    qs, docs = make_data(rng, 1000, d, 4)
+    docs = -np.abs(docs)  # all scores negative vs positive query
+    qs = np.abs(qs)
+    vals, idx = topk_ip_bins(jnp.asarray(qs), jnp.asarray(docs), k, bin_size=64, tile_n=256)
+    assert np.asarray(idx).max() < 1000
+    ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_k_equals_n(rng):
+    qs, docs = make_data(rng, 128, 16, 2)
+    vals, idx = topk_ip_bins(jnp.asarray(qs), jnp.asarray(docs), 128, bin_size=32, tile_n=128)
+    ref_vals, ref_idx = topk_ip_oracle(qs, docs, 128)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_k_too_large_raises(rng):
+    qs, docs = make_data(rng, 64, 16, 2)
+    with pytest.raises(ValueError):
+        topk_ip_bins(jnp.asarray(qs), jnp.asarray(docs), 100)
+
+
+def test_bf16_storage_fp32_accum(rng):
+    """bf16 docs/queries with f32 accumulation: recall@k vs the fp32 oracle
+    must be ~1 on normalized vectors (BASELINE recall-parity definition)."""
+    qs, docs = make_data(rng, 5000, 128, 16)
+    k = 100
+    vals, idx = topk_ip_bins(
+        jnp.asarray(qs, jnp.bfloat16), jnp.asarray(docs, jnp.bfloat16), k, bin_size=64
+    )
+    ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+    # set overlap (recall@100) under bf16 quantization
+    recalls = [
+        len(set(np.asarray(idx)[i].tolist()) & set(ref_idx[i].tolist())) / k
+        for i in range(len(qs))
+    ]
+    assert np.mean(recalls) > 0.97
+
+
+def test_query_batch_not_multiple_of_tile(rng):
+    """B=12 (not a multiple of tile_b=8): gcd fallback must still be exact."""
+    qs, docs = make_data(rng, 2048, 32, 12)
+    vals, idx = topk_ip_bins(jnp.asarray(qs), jnp.asarray(docs), 10, bin_size=64, tile_b=8)
+    _, ref_idx = topk_ip_oracle(qs, docs, 10)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
