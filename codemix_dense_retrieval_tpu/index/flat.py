@@ -1,0 +1,160 @@
+"""Dense exact inner-product index — the FAISS ``IndexIDMap(IndexFlatIP)``
+replacement (reference `encode_multilingual_corpus.py:367`,
+`onepass_dense_run.py:305`).
+
+Composition:
+
+- **storage**: :class:`~codemix_dense_retrieval_tpu.io.shards.ShardStore`
+  (bf16 rows + docid sidecars, memory-mappable) instead of ``index.faiss``;
+- **device residency**: rows padded & sharded over the mesh's ``shard``
+  axis (replaces ``faiss.index_cpu_to_gpu``);
+- **search**: the fused bin-max-cover kernel + all-gather merge
+  (:mod:`~codemix_dense_retrieval_tpu.parallel.sharded_search`).
+
+The int-id -> docid remap that FAISS's ``IndexIDMap`` provides is a host
+numpy docid table lookup over the returned global row ids.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from codemix_dense_retrieval_tpu.io.shards import ShardStore, concat_stores
+from codemix_dense_retrieval_tpu.parallel.mesh import make_mesh
+from codemix_dense_retrieval_tpu.parallel.sharded_search import shard_rows, sharded_topk_ip
+
+
+class DenseFlatIndex:
+    """Exact IP index over one or more shard stores.
+
+    Typical lifecycle::
+
+        idx = DenseFlatIndex.from_store(ShardStore.open(path))   # or .build(...)
+        idx.to_device(mesh)                  # HBM-resident, row-sharded
+        vals, docids = idx.search(qvecs, k=100)
+    """
+
+    def __init__(self, store: ShardStore) -> None:
+        self.store = store
+        self._docids = np.asarray(store.derived_ids, dtype=object)
+        self.mesh: Optional[Mesh] = None
+        self._docs_dev = None
+        self._counts_dev = None
+        self._rows_per_shard = 0
+        self.search_kwargs = {}
+
+    # ---------------- constructors ----------------
+
+    @classmethod
+    def from_store(cls, store: ShardStore) -> "DenseFlatIndex":
+        return cls(store)
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,
+        docids: Sequence[str],
+        *,
+        dtype: str = "bfloat16",
+        lang: Optional[str] = None,
+        encoder: Optional[str] = None,
+    ) -> "DenseFlatIndex":
+        return cls(ShardStore.build(vectors, docids, dtype=dtype, lang=lang, encoder=encoder))
+
+    @classmethod
+    def load(cls, directory) -> "DenseFlatIndex":
+        return cls(ShardStore.open(directory))
+
+    @classmethod
+    def merged(
+        cls, indexes: Sequence["DenseFlatIndex"], lang_tags: Optional[Sequence[str]] = None
+    ) -> "DenseFlatIndex":
+        """Bilingual hub index: concat stores with ``base#lang`` derived ids
+        (replaces the reconstruct-merge, `onepass_bilingual_hub.py:292-383`)."""
+        return cls(concat_stores([ix.store for ix in indexes], lang_tags))
+
+    # ---------------- properties ----------------
+
+    @property
+    def count(self) -> int:
+        return self.store.count
+
+    @property
+    def dim(self) -> int:
+        return self.store.dim
+
+    @property
+    def docids(self) -> np.ndarray:
+        """Derived docid per row (``base#lang`` for merged indexes)."""
+        return self._docids
+
+    def save(self, directory) -> None:
+        self.store.save(directory)
+
+    # ---------------- device residency ----------------
+
+    def to_device(
+        self,
+        mesh: Optional[Mesh] = None,
+        *,
+        pad_multiple: int = 1024,
+        **search_kwargs,
+    ) -> "DenseFlatIndex":
+        """Upload rows to HBM, sharded over ``mesh``'s ``shard`` axis."""
+        self.mesh = mesh if mesh is not None else make_mesh()
+        vectors = self.store.vectors
+        self._docs_dev, self._counts_dev, self._rows_per_shard = shard_rows(
+            np.asarray(vectors), self.mesh, pad_multiple=pad_multiple
+        )
+        self.search_kwargs = search_kwargs
+        return self
+
+    # ---------------- search ----------------
+
+    def search(
+        self,
+        queries: Union[np.ndarray, jnp.ndarray],
+        k: int,
+        *,
+        return_docids: bool = True,
+        query_block: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k. Returns (scores (B,k) f32, docids (B,k) object) —
+        or raw global row ids with ``return_docids=False``.
+
+        ``query_block``: process queries in fixed-size jit-friendly blocks
+        (0 = one dispatch). Matches the reference's ``--qblock`` batching
+        (`onepass_dense_mix_run_custom_lang.py:875-886`).
+        """
+        if self._docs_dev is None:
+            self.to_device()
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        blocks = [q] if not query_block else [
+            q[i : i + query_block] for i in range(0, len(q), query_block)
+        ]
+        vals_out, ids_out = [], []
+        dtype = self._docs_dev.dtype
+        for blk in blocks:
+            vals, gids = sharded_topk_ip(
+                jnp.asarray(blk, dtype),
+                self._docs_dev,
+                self._counts_dev,
+                k,
+                mesh=self.mesh,
+                **self.search_kwargs,
+            )
+            vals_out.append(np.asarray(vals))
+            ids_out.append(np.asarray(gids))
+        vals = np.concatenate(vals_out, axis=0)
+        gids = np.concatenate(ids_out, axis=0)
+        if not return_docids:
+            return vals, gids
+        return vals, self._docids[gids]

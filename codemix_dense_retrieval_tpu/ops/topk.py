@@ -115,7 +115,10 @@ def _bin_scores_pallas_kernel(nv_ref, q_ref, d_ref, scores_ref, binmax_ref, *, b
     s = jnp.where(col < n_valid, s, NEG_INF)
     scores_ref[:] = s
     b = s.shape[0]
-    binmax_ref[:] = jnp.max(s.reshape(b, tile_n // bin_size, bin_size), axis=-1)
+    # bin-max written transposed (bins, B): its block keeps the lane dim at
+    # tile_b (>=128), satisfying Mosaic's (8, 128) block-divisibility rule —
+    # a (B, bins-per-tile) layout would put tile_n/bin_size (< 128) on lanes.
+    binmax_ref[:] = jnp.max(s.reshape(b, tile_n // bin_size, bin_size), axis=-1).T
 
 
 def _bin_scores_pallas(
@@ -155,12 +158,12 @@ def _bin_scores_pallas(
         out_specs=[
             pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile_b, tile_n // bin_size), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
@@ -227,11 +230,20 @@ def topk_ip_bins(
             if isinstance(n_valid, int):
                 n_valid = min(n_valid, n_rows)
         b = queries.shape[0]
-        eff_tile_b = tile_b if b % tile_b == 0 else math.gcd(b, tile_b)
-        scores, bin_max = _bin_scores_pallas(
+        if b <= tile_b:
+            eff_tile_b, b_pad = b, b  # single query block == full array dim
+        else:
+            eff_tile_b = tile_b
+            b_pad = _ceil_to(b, tile_b)
+            if b_pad != b:
+                queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+        scores, bin_max_t = _bin_scores_pallas(
             queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
             interpret=interpret,
         )
+        bin_max = bin_max_t.T
+        if b_pad != b:
+            scores, bin_max = scores[:b], bin_max[:b]
     else:
         n_pad = _ceil_to(n_rows, bin_size)
         if n_pad != n_rows:
