@@ -140,9 +140,13 @@ class TestDenseFlatIndex:
         )
         idx = DenseFlatIndex.load(tmp_path / "ix")
         idx.to_device(mesh, pad_multiple=256, method="bins_xla", tile_n=256)
+        import ml_dtypes
+
         q = normed(rng, 4, d)
         vals, gids = idx.search(q, 20, return_docids=False)
-        ref_vals, ref_idx = topk_ip_oracle(q, np.asarray(idx.store.vectors, np.float32), 20)
+        # oracle sees the same bf16-quantized queries the kernel receives
+        q_bf16 = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+        ref_vals, ref_idx = topk_ip_oracle(q_bf16, np.asarray(idx.store.vectors, np.float32), 20)
         # bf16 storage: accumulation-order differences can swap near-ties,
         # so compare values and id SETS rather than exact rank order
         # (BASELINE.md: "recall parity modulo bf16 accumulation").
