@@ -1,0 +1,144 @@
+"""HF PyTorch -> Flax parameter conversion for the XLM-R encoder family.
+
+Converts ``XLMRobertaModel`` state dicts (BGE-M3, multilingual-E5, …) into
+the parameter pytree of
+:class:`~codemix_dense_retrieval_tpu.models.xlmr.XLMREncoder`. Replaces the
+reference's dependence on torch checkpoint loading inside
+sentence-transformers (`onepass_dense_run.py:155-215`): here torch is used
+ONLY host-side at conversion time; the converted arrays are saved as an
+orbax/npz checkpoint and the runtime path is pure JAX.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor -> float32 numpy (host)."""
+    try:
+        return t.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(t, dtype=np.float32)
+
+
+def convert_xlmr_state_dict(
+    state_dict: Mapping[str, "object"],
+    cfg: XLMRConfig,
+    prefix: str = "",
+) -> Dict:
+    """Map an HF ``XLMRobertaModel`` state dict to XLMREncoder params.
+
+    ``prefix`` strips a leading module path (e.g. ``"roberta."`` or the
+    sentence-transformers ``"0.auto_model."``).
+    """
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+
+    def dense(hf_name):
+        return {
+            "kernel": _np(sd[f"{hf_name}.weight"]).T,
+            "bias": _np(sd[f"{hf_name}.bias"]),
+        }
+
+    def layer_norm(hf_name):
+        return {
+            "scale": _np(sd[f"{hf_name}.weight"]),
+            "bias": _np(sd[f"{hf_name}.bias"]),
+        }
+
+    params: Dict = {
+        "embeddings": {
+            "word_embeddings": {"embedding": _np(sd["embeddings.word_embeddings.weight"])},
+            "position_embeddings": {
+                "embedding": _np(sd["embeddings.position_embeddings.weight"])
+            },
+            "token_type_embeddings": {
+                "embedding": _np(sd["embeddings.token_type_embeddings.weight"])
+            },
+            "LayerNorm": layer_norm("embeddings.LayerNorm"),
+        }
+    }
+    for i in range(cfg.num_layers):
+        hf = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "q": dense(f"{hf}.attention.self.query"),
+            "k": dense(f"{hf}.attention.self.key"),
+            "v": dense(f"{hf}.attention.self.value"),
+            "attn_out": dense(f"{hf}.attention.output.dense"),
+            "attn_ln": layer_norm(f"{hf}.attention.output.LayerNorm"),
+            "ffn_in": dense(f"{hf}.intermediate.dense"),
+            "ffn_out": dense(f"{hf}.output.dense"),
+            "ffn_ln": layer_norm(f"{hf}.output.LayerNorm"),
+        }
+    return {"params": params}
+
+
+def detect_prefix(state_dict: Mapping[str, "object"]) -> str:
+    """Find the XLMRobertaModel submodule prefix inside a checkpoint."""
+    for key in state_dict:
+        marker = "embeddings.word_embeddings.weight"
+        if key.endswith(marker):
+            return key[: -len(marker)]
+    raise KeyError("no XLM-R embeddings found in state dict")
+
+
+def load_hf_checkpoint(
+    checkpoint_dir,
+    cfg: Optional[XLMRConfig] = None,
+    **cfg_overrides,
+):
+    """Load (config, params) from an HF-format local directory
+    (config.json + pytorch_model.bin / model.safetensors)."""
+    import json
+
+    d = pathlib.Path(checkpoint_dir)
+    if cfg is None:
+        hf_cfg = json.loads((d / "config.json").read_text())
+        cfg = XLMRConfig.from_hf_config(hf_cfg, **cfg_overrides)
+
+    st_path = d / "model.safetensors"
+    bin_path = d / "pytorch_model.bin"
+    if st_path.exists():
+        from safetensors import safe_open
+
+        sd = {}
+        with safe_open(st_path, framework="np") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    elif bin_path.exists():
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    else:
+        raise FileNotFoundError(f"no model weights under {d}")
+    params = convert_xlmr_state_dict(sd, cfg, prefix=detect_prefix(sd))
+    return cfg, params
+
+
+def save_params_npz(path, params: Dict) -> None:
+    """Flat .npz checkpoint (portable, no orbax dependency at read time)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for keypath, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        arrays[name] = np.asarray(leaf)
+    np.savez(path, **arrays)
+
+
+def load_params_npz(path) -> Dict:
+    data = np.load(path)
+    params: Dict = {}
+    for name in data.files:
+        parts = name.split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[name]
+    return params

@@ -1,0 +1,109 @@
+"""TextEncoder — the user-facing encoding runtime.
+
+Replaces sentence-transformers' ``model.encode`` (reference L2 layer,
+`onepass_dense_mix_run_custom_lang.py:94-143`): tokenize on host (length
+-bucketed static shapes), run the jitted Flax forward (pool + L2-norm
+in-graph), return numpy float32. Family dialects apply the same prompt
+prefixes the reference's ``encode_queries``/``encode_documents`` do.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codemix_dense_retrieval_tpu.models import dialects
+from codemix_dense_retrieval_tpu.models.tokenizer import bucket_length, load_tokenizer
+from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig, XLMREncoder
+
+
+class TextEncoder:
+    """Encoder facade: tokenizer + jitted forward + dialect handling."""
+
+    def __init__(
+        self,
+        name: str,
+        cfg: XLMRConfig,
+        params: Optional[Dict] = None,
+        tokenizer=None,
+        *,
+        seed: int = 0,
+        length_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512),
+    ) -> None:
+        self.name = name
+        self.cfg = cfg
+        self.model = XLMREncoder(cfg)
+        self.tokenizer = tokenizer or load_tokenizer(None, cfg.max_position_embeddings - 2)
+        self.length_buckets = tuple(
+            b for b in length_buckets if b <= cfg.max_position_embeddings - 2
+        ) or (cfg.max_position_embeddings - 2,)
+        if params is None:
+            ids = jnp.zeros((1, 8), jnp.int32)
+            mask = jnp.ones((1, 8), jnp.int32)
+            params = self.model.init(jax.random.key(seed), ids, mask)
+        self.params = params
+        self._fwd = jax.jit(
+            lambda p, ids, mask: self.model.apply(p, ids, mask)
+        )
+
+    @classmethod
+    def from_checkpoint(cls, name: str, checkpoint_dir, **kw) -> "TextEncoder":
+        from codemix_dense_retrieval_tpu.models.convert import load_hf_checkpoint
+
+        cfg, params = load_hf_checkpoint(
+            checkpoint_dir, pooling=dialects.default_pooling(name)
+        )
+        tok = load_tokenizer(checkpoint_dir, cfg.max_position_embeddings - 2)
+        return cls(name, cfg, params, tok, **kw)
+
+    # ------------------------------------------------------------------
+
+    def _encode(
+        self,
+        texts: Sequence[str],
+        batch_size: int,
+        prefix: str,
+        max_length: Optional[int],
+    ) -> np.ndarray:
+        out: List[np.ndarray] = []
+        ml = max_length or (self.cfg.max_position_embeddings - 2)
+        for start in range(0, len(texts), batch_size):
+            chunk = [prefix + t for t in texts[start : start + batch_size]]
+            ids, mask = self.tokenizer.encode_batch(chunk, ml)
+            # pad to (bucketed length, full batch) for stable jit shapes
+            s = bucket_length(ids.shape[1], self.length_buckets)
+            b = batch_size
+            ids_p = np.full((b, s), getattr(self.tokenizer, "pad_id", 1), np.int32)
+            mask_p = np.zeros((b, s), np.int32)
+            ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
+            mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
+            vecs = np.asarray(self._fwd(self.params, ids_p, mask_p))
+            out.append(vecs[: len(chunk)].astype(np.float32))
+        if not out:
+            dim = self.cfg.hidden_size
+            return np.zeros((0, dim), np.float32)
+        return np.concatenate(out, axis=0)
+
+    def encode_queries(
+        self,
+        texts: Sequence[str],
+        batch_size: int = 64,
+        max_length: Optional[int] = None,
+    ) -> np.ndarray:
+        return self._encode(texts, batch_size, dialects.query_prefix(self.name), max_length)
+
+    def encode_documents(
+        self,
+        texts: Sequence[str],
+        batch_size: int = 64,
+        max_length: Optional[int] = None,
+    ) -> np.ndarray:
+        return self._encode(texts, batch_size, dialects.doc_prefix(self.name), max_length)
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden_size

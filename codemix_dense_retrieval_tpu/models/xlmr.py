@@ -1,0 +1,176 @@
+"""Flax XLM-RoBERTa encoder — the architecture behind BGE-M3,
+multilingual-E5, LaBSE-style and Jina-v3 embedding models.
+
+This replaces the reference's PyTorch/sentence-transformers encode path
+(`model.encode`, e.g. `onepass_dense_run.py:351-353`) with a jit/pjit-able
+functional forward: embeddings -> N transformer layers -> pooling
+(cls | mean | last_token) -> L2 norm, all inside one traced graph so XLA
+fuses pooling+norm into the final matmuls (SURVEY §2.2 "TPU-native
+equivalent" table).
+
+Attention runs through :mod:`~codemix_dense_retrieval_tpu.ops.flash_attention`
+(Pallas kernel on TPU, reference XLA softmax path on CPU/tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from codemix_dense_retrieval_tpu.ops.flash_attention import multi_head_attention
+
+
+@dataclass(frozen=True)
+class XLMRConfig:
+    vocab_size: int = 250_002
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    max_position_embeddings: int = 8194
+    type_vocab_size: int = 1
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    pooling: str = "cls"  # cls | mean | last_token
+    normalize: bool = True
+    dtype: Any = jnp.float32  # compute dtype (bfloat16 on TPU)
+    use_flash: bool = True
+
+    @classmethod
+    def bge_m3(cls, **kw) -> "XLMRConfig":
+        """BGE-M3: XLM-R-large backbone, 8192-token window, CLS pooling
+        (dense head == normalized [CLS] hidden state)."""
+        return cls(pooling="cls", **kw)
+
+    @classmethod
+    def me5_large(cls, **kw) -> "XLMRConfig":
+        """multilingual-e5-large: XLM-R-large, 512 window, mean pooling."""
+        return cls(max_position_embeddings=514, pooling="mean", **kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "XLMRConfig":
+        """Small config for tests."""
+        defaults = dict(
+            vocab_size=100, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def from_hf_config(cls, hf: Dict, **kw) -> "XLMRConfig":
+        return cls(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            intermediate_size=hf["intermediate_size"],
+            max_position_embeddings=hf["max_position_embeddings"],
+            type_vocab_size=hf.get("type_vocab_size", 1),
+            layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+            pad_token_id=hf.get("pad_token_id", 1),
+            **kw,
+        )
+
+
+def position_ids_from_input_ids(input_ids: jnp.ndarray, pad_token_id: int) -> jnp.ndarray:
+    """RoBERTa-style position ids: positions count non-pad tokens and start
+    at pad_token_id + 1 (HF ``create_position_ids_from_input_ids``)."""
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + pad_token_id
+
+
+class XLMREmbeddings(nn.Module):
+    cfg: XLMRConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings", dtype=c.dtype)
+        pos = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, name="position_embeddings", dtype=c.dtype
+        )
+        tok_type = nn.Embed(
+            c.type_vocab_size, c.hidden_size, name="token_type_embeddings", dtype=c.dtype
+        )
+        pos_ids = position_ids_from_input_ids(input_ids, c.pad_token_id)
+        x = word(input_ids) + pos(pos_ids) + tok_type(jnp.zeros_like(input_ids))
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=c.dtype)(x)
+        return x
+
+
+class XLMRLayer(nn.Module):
+    cfg: XLMRConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        h = c.hidden_size
+        q = nn.Dense(h, name="q", dtype=c.dtype)(x)
+        k = nn.Dense(h, name="k", dtype=c.dtype)(x)
+        v = nn.Dense(h, name="v", dtype=c.dtype)(x)
+        attn = multi_head_attention(
+            q, k, v, attention_mask, num_heads=c.num_heads, use_flash=c.use_flash
+        )
+        attn = nn.Dense(h, name="attn_out", dtype=c.dtype)(attn)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attn_ln", dtype=c.dtype)(x + attn)
+        y = nn.Dense(c.intermediate_size, name="ffn_in", dtype=c.dtype)(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(h, name="ffn_out", dtype=c.dtype)(y)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="ffn_ln", dtype=c.dtype)(x + y)
+        return x
+
+
+class XLMREncoder(nn.Module):
+    """Full encoder; ``__call__`` returns pooled (and optionally normalized)
+    sentence embeddings; ``hidden_states`` returns the last hidden layer."""
+
+    cfg: XLMRConfig
+
+    def setup(self) -> None:
+        self.embeddings = XLMREmbeddings(self.cfg, name="embeddings")
+        self.layers = [XLMRLayer(self.cfg, name=f"layer_{i}") for i in range(self.cfg.num_layers)]
+
+    def hidden_states(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+        x = self.embeddings(input_ids)
+        for layer in self.layers:
+            x = layer(x, attention_mask)
+        return x
+
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+        x = self.hidden_states(input_ids, attention_mask)
+        return pool_and_normalize(
+            x, attention_mask, self.cfg.pooling, self.cfg.normalize
+        )
+
+
+def pool_and_normalize(
+    hidden: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    pooling: str,
+    normalize: bool,
+) -> jnp.ndarray:
+    """cls | mean | last_token pooling + in-graph L2 norm (fused by XLA
+    into the surrounding program — replaces torch ``normalize_embeddings``,
+    reference `onepass_dense_mix_run_custom_lang.py:363`)."""
+    mask = attention_mask.astype(hidden.dtype)[..., None]  # (B, S, 1)
+    if pooling == "cls":
+        pooled = hidden[:, 0]
+    elif pooling == "mean":
+        pooled = (hidden * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1e-9)
+    elif pooling == "last_token":
+        # last non-pad token (Qwen3-style); lengths from the mask
+        lengths = attention_mask.astype(jnp.int32).sum(axis=1)
+        idx = jnp.maximum(lengths - 1, 0)
+        pooled = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    else:
+        raise ValueError(f"unknown pooling {pooling!r}")
+    pooled = pooled.astype(jnp.float32)
+    if normalize:
+        pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+    return pooled

@@ -104,21 +104,21 @@ def _bin_scores_xla(
 
 
 def _bin_scores_pallas_kernel(nv_ref, q_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n):
+    # The whole tile is computed TRANSPOSED — scores (T, B) with doc rows on
+    # sublanes and queries on lanes — because the bin reduction then splits
+    # the leading (sublane) dim, (T, B) -> (T/G, G, B), which Mosaic
+    # supports; splitting the lane dim of a (B, T) layout is rejected
+    # ("infer-vector-layout: unsupported shape cast").
     j = pl.program_id(1)
     s = jax.lax.dot_general(
-        q_ref[:], d_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        d_ref[:], q_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (tile_n, tile_b)
     # mask rows beyond the valid count (padded shard tail)
     n_valid = nv_ref[0]
-    start = j * tile_n
-    col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * tile_n
+    s = jnp.where(row < n_valid, s, NEG_INF)
     scores_ref[:] = s
-    b = s.shape[0]
-    # bin-max written transposed (bins, B): its block keeps the lane dim at
-    # tile_b (>=128), satisfying Mosaic's (8, 128) block-divisibility rule —
-    # a (B, bins-per-tile) layout would put tile_n/bin_size (< 128) on lanes.
-    binmax_ref[:] = jnp.max(s.reshape(b, tile_n // bin_size, bin_size), axis=-1).T
+    binmax_ref[:] = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
 
 
 def _bin_scores_pallas(
@@ -156,13 +156,13 @@ def _bin_scores_pallas(
             pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, b), jnp.float32),
             jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -177,15 +177,25 @@ def _bin_scores_pallas(
 # --------------------------------------------------------------------------
 
 def _topk_from_bins(
-    scores: jnp.ndarray, bin_max: jnp.ndarray, k: int, bin_size: int
+    scores: jnp.ndarray,
+    bin_max: jnp.ndarray,
+    k: int,
+    bin_size: int,
+    *,
+    scores_transposed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``bin_max`` is (B, num_bins); ``scores`` is (B, N) or — from the
+    Pallas kernel — transposed (N, B)."""
     b, num_bins = bin_max.shape
     kb = min(k, num_bins)
     _, bin_ids = lax.top_k(bin_max, kb)  # ties -> lower bin id first
     cand_idx = (
         bin_ids[:, :, None] * bin_size + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
     ).reshape(b, kb * bin_size)
-    cand_scores = jnp.take_along_axis(scores, cand_idx, axis=1)
+    if scores_transposed:
+        cand_scores = jnp.take_along_axis(scores, cand_idx.T, axis=0).T
+    else:
+        cand_scores = jnp.take_along_axis(scores, cand_idx, axis=1)
     # lexicographic (score desc, id asc): sort ascending on (-score, id)
     neg, ids = lax.sort((-cand_scores, cand_idx), num_keys=2)
     return -neg[:, :k], ids[:, :k]
@@ -237,13 +247,14 @@ def topk_ip_bins(
             b_pad = _ceil_to(b, tile_b)
             if b_pad != b:
                 queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
-        scores, bin_max_t = _bin_scores_pallas(
+        scores_t, bin_max_t = _bin_scores_pallas(
             queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
             interpret=interpret,
         )
-        bin_max = bin_max_t.T
+        bin_max = bin_max_t.T  # (B, num_bins) — small
         if b_pad != b:
-            scores, bin_max = scores[:b], bin_max[:b]
+            scores_t, bin_max = scores_t[:, :b], bin_max[:b]
+        return _topk_from_bins(scores_t, bin_max, k, bin_size, scores_transposed=True)
     else:
         n_pad = _ceil_to(n_rows, bin_size)
         if n_pad != n_rows:

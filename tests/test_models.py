@@ -1,0 +1,265 @@
+"""Encoder-stack tests: flash-attention vs XLA oracle, HF torch conversion
+parity, pooling modes, dialects, tokenizer, TextEncoder facade."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from codemix_dense_retrieval_tpu.models.dialects import (
+    detect_encoder_family,
+    default_pooling,
+    doc_prefix,
+    query_prefix,
+)
+from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer, bucket_length
+from codemix_dense_retrieval_tpu.models.xlmr import (
+    XLMRConfig,
+    XLMREncoder,
+    pool_and_normalize,
+    position_ids_from_input_ids,
+)
+from codemix_dense_retrieval_tpu.ops.flash_attention import (
+    attention_flash,
+    attention_xla,
+    multi_head_attention,
+)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("s,block", [(32, 16), (48, 16), (128, 64)])
+    def test_flash_matches_xla(self, rng, s, block):
+        b, h, dh = 3, 4, 32
+        q = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+        k = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+        v = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+        lengths = np.array([s, s // 2, 5], np.int32)
+        ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths))
+        out = attention_flash(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+            block_q=block, block_k=block,
+        )
+        # only the valid query rows matter (pad rows are dropped by pooling)
+        for i, L in enumerate(lengths):
+            np.testing.assert_allclose(
+                np.asarray(out)[i, :, :L], np.asarray(ref)[i, :, :L], rtol=2e-4, atol=2e-4
+            )
+
+    def test_multi_head_wrapper_flash_vs_xla(self, rng):
+        b, s, d, h = 2, 40, 64, 4
+        q = rng.standard_normal((b, s, d)).astype(np.float32)
+        k = rng.standard_normal((b, s, d)).astype(np.float32)
+        v = rng.standard_normal((b, s, d)).astype(np.float32)
+        mask = np.zeros((b, s), np.int32)
+        mask[0, :s] = 1
+        mask[1, :17] = 1
+        o1 = multi_head_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+            num_heads=h, use_flash=True,
+        )
+        o2 = multi_head_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+            num_heads=h, use_flash=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1)[0], np.asarray(o2)[0], rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1)[1, :17], np.asarray(o2)[1, :17], rtol=2e-4, atol=2e-4
+        )
+
+
+class TestPositionIds:
+    def test_roberta_offsets(self):
+        ids = jnp.asarray([[0, 5, 6, 2, 1, 1]])  # bos tok tok eos pad pad
+        pos = position_ids_from_input_ids(ids, pad_token_id=1)
+        np.testing.assert_array_equal(np.asarray(pos), [[2, 3, 4, 5, 1, 1]])
+
+
+class TestPooling:
+    def test_modes(self, rng):
+        hidden = jnp.asarray(rng.standard_normal((2, 4, 8)).astype(np.float32))
+        mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 0, 0]])
+        cls = pool_and_normalize(hidden, mask, "cls", False)
+        np.testing.assert_allclose(np.asarray(cls), np.asarray(hidden)[:, 0], rtol=1e-6)
+        mean = pool_and_normalize(hidden, mask, "mean", False)
+        exp0 = np.asarray(hidden)[0, :3].mean(axis=0)
+        np.testing.assert_allclose(np.asarray(mean)[0], exp0, rtol=1e-5)
+        last = pool_and_normalize(hidden, mask, "last_token", False)
+        np.testing.assert_allclose(np.asarray(last)[0], np.asarray(hidden)[0, 2], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(last)[1], np.asarray(hidden)[1, 1], rtol=1e-6)
+
+    def test_normalized(self, rng):
+        hidden = jnp.asarray(rng.standard_normal((3, 4, 8)).astype(np.float32))
+        mask = jnp.ones((3, 4), jnp.int32)
+        out = pool_and_normalize(hidden, mask, "mean", True)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, rtol=1e-5)
+
+
+class TestHFConversionParity:
+    """SURVEY §7 hard part: weight conversion + numerics. A tiny
+    XLMRobertaModel built in-process (offline) is the oracle."""
+
+    @pytest.fixture(scope="class")
+    def torch_and_flax(self):
+        import torch
+        from transformers import XLMRobertaConfig, XLMRobertaModel
+
+        from codemix_dense_retrieval_tpu.models.convert import convert_xlmr_state_dict
+
+        torch.manual_seed(0)
+        hf_cfg = XLMRobertaConfig(
+            vocab_size=120, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        tm = XLMRobertaModel(hf_cfg).eval()
+        cfg = XLMRConfig.tiny(
+            vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=66, use_flash=False,
+        )
+        params = convert_xlmr_state_dict(tm.state_dict(), cfg)
+        return tm, cfg, params
+
+    def test_hidden_states_match_torch(self, torch_and_flax, rng):
+        import torch
+
+        tm, cfg, params = torch_and_flax
+        ids = rng.integers(3, 119, size=(2, 10)).astype(np.int64)
+        ids[:, 0] = 0
+        ids[0, -3:] = 1  # pad tail
+        mask = (ids != 1).astype(np.int64)
+        with torch.no_grad():
+            ref = tm(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        model = XLMREncoder(cfg)
+        got = np.asarray(
+            model.apply(params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+                        method=model.hidden_states)
+        )
+        valid = mask.astype(bool)
+        np.testing.assert_allclose(got[valid], ref[valid], rtol=2e-4, atol=2e-4)
+
+    def test_flash_attention_e2e_matches_torch(self, torch_and_flax, rng):
+        """Same conversion but with the flash kernel in the layers."""
+        import dataclasses
+
+        import torch
+
+        tm, cfg, params = torch_and_flax
+        cfg_flash = dataclasses.replace(cfg, use_flash=True)
+        ids = rng.integers(3, 119, size=(2, 12)).astype(np.int64)
+        ids[:, 0] = 0
+        ids[1, -5:] = 1
+        mask = (ids != 1).astype(np.int64)
+        with torch.no_grad():
+            ref = tm(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        model = XLMREncoder(cfg_flash)
+        got = np.asarray(
+            model.apply(params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+                        method=model.hidden_states)
+        )
+        valid = mask.astype(bool)
+        np.testing.assert_allclose(got[valid], ref[valid], rtol=5e-4, atol=5e-4)
+
+    def test_cls_pooled_normalized(self, torch_and_flax, rng):
+        tm, cfg, params = torch_and_flax
+        ids = rng.integers(3, 119, size=(3, 8)).astype(np.int64)
+        ids[:, 0] = 0
+        mask = np.ones_like(ids)
+        model = XLMREncoder(cfg)
+        out = np.asarray(model.apply(params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+class TestNpzRoundtrip:
+    def test_params_npz(self, tmp_path, rng):
+        from codemix_dense_retrieval_tpu.models.convert import load_params_npz, save_params_npz
+
+        cfg = XLMRConfig.tiny()
+        model = XLMREncoder(cfg)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)
+        )
+        save_params_npz(tmp_path / "p.npz", params)
+        loaded = load_params_npz(tmp_path / "p.npz")
+        leaves1 = jax.tree_util.tree_leaves(params)
+        leaves2 = jax.tree_util.tree_leaves(loaded)
+        assert len(leaves1) == len(leaves2)
+        flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat2 = dict(
+            ("/".join(str(getattr(k, "key", k)) for k in kp), v)
+            for kp, v in jax.tree_util.tree_flatten_with_path(loaded)[0]
+        )
+        for kp, v in flat1:
+            name = "/".join(str(getattr(k, "key", k)) for k in kp)
+            np.testing.assert_array_equal(np.asarray(v), flat2[name])
+
+
+class TestDialects:
+    def test_families(self):
+        assert detect_encoder_family("BAAI/bge-m3") == "default"
+        assert detect_encoder_family("intfloat/multilingual-e5-large") == "e5"
+        assert detect_encoder_family("intfloat/multilingual-e5-large-instruct") == "e5-instruct"
+        assert detect_encoder_family("Qwen/Qwen3-Embedding-0.6B") == "qwen3"
+        assert detect_encoder_family("jinaai/jina-embeddings-v3") == "jina-v3"
+
+    def test_prefixes(self):
+        assert query_prefix("BAAI/bge-m3") == ""
+        assert query_prefix("intfloat/multilingual-e5-large") == "query: "
+        assert doc_prefix("intfloat/multilingual-e5-large") == "passage: "
+        assert query_prefix("intfloat/multilingual-e5-large-instruct").startswith("Instruct:")
+        assert doc_prefix("BAAI/bge-m3") == ""
+
+    def test_default_pooling(self):
+        assert default_pooling("BAAI/bge-m3") == "cls"
+        assert default_pooling("intfloat/multilingual-e5-large") == "mean"
+        assert default_pooling("Qwen/Qwen3-Embedding-4B") == "last_token"
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_deterministic(self):
+        tok = HashTokenizer(vocab_size=1000)
+        ids1, m1 = tok.encode_batch(["hello world", "hello"])
+        ids2, m2 = tok.encode_batch(["hello world", "hello"])
+        np.testing.assert_array_equal(ids1, ids2)
+        assert ids1[0, 0] == 0  # bos
+        assert ids1[0, 3] == 2  # eos after 2 tokens
+        assert ids1[1, 3] == 1  # pad
+        np.testing.assert_array_equal(m1[1], [1, 1, 1, 0])
+
+    def test_truncation(self):
+        tok = HashTokenizer(vocab_size=1000)
+        ids, mask = tok.encode_batch(["a " * 100], max_length=16)
+        assert ids.shape[1] == 16
+        assert ids[0, -1] == 2  # eos kept at truncation point
+
+    def test_bucketing(self):
+        assert bucket_length(5) == 16
+        assert bucket_length(100) == 128
+        assert bucket_length(1000) == 512
+
+
+class TestTextEncoder:
+    def test_encode_shapes_and_norms(self):
+        from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+
+        cfg = XLMRConfig.tiny(use_flash=False)
+        enc = TextEncoder("BAAI/bge-m3", cfg, tokenizer=HashTokenizer(vocab_size=100, max_length=32))
+        vecs = enc.encode_queries(["hello world", "你好 世界", "third query"], batch_size=2)
+        assert vecs.shape == (3, cfg.hidden_size)
+        np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-4)
+
+    def test_same_text_same_vector_across_batches(self):
+        from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+
+        cfg = XLMRConfig.tiny(use_flash=False)
+        enc = TextEncoder("BAAI/bge-m3", cfg, tokenizer=HashTokenizer(vocab_size=100, max_length=32))
+        a = enc.encode_queries(["same text", "other"], batch_size=2)
+        b = enc.encode_queries(["same text"], batch_size=1)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-5)
