@@ -1,0 +1,263 @@
+"""Corpus streaming, subset selection, and the encode+index builder.
+
+Replaces the reference's corpus encoder+indexer
+(`encode_multilingual_corpus.py:191-532`) with:
+
+- pluggable streaming sources (TSV file / HF datasets / synthetic);
+- **exact selection-semantics parity** (`:400-421`): in subset mode the
+  first language keeps every relevant docid and samples non-relevant ones
+  with probability ``neg_prob`` until ``subset_neg_cap`` negatives are
+  kept (early-stopping once the cap is hit and all relevants are seen);
+  every later language mirrors the first language's selected docid set;
+- per-language ShardStore output with the reference's artifact layout and
+  resume-if-manifest-exists semantics (`:342-344`);
+- data-parallel encoding through the jitted TextEncoder (the hot loop —
+  SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from codemix_dense_retrieval_tpu.io.shards import ShardStore, ShardWriter
+from codemix_dense_retrieval_tpu.utils.logging import get_logger
+
+log = get_logger("corpus")
+
+Doc = Tuple[str, str]  # (docid, text)
+
+
+class TsvCorpusSource:
+    """``docid \\t text`` file source."""
+
+    def __init__(self, path, lang: Optional[str] = None) -> None:
+        self.path = pathlib.Path(path)
+        self.lang = lang
+
+    def __iter__(self) -> Iterator[Doc]:
+        with open(self.path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                parts = line.split("\t", 1)
+                if len(parts) == 2 and parts[1]:
+                    yield parts[0], parts[1]
+
+
+class HFCorpusSource:
+    """HF datasets streaming source (mMARCO ``collection-<lang>``),
+    mirroring `encode_multilingual_corpus.py:330`."""
+
+    def __init__(
+        self,
+        repo: str,
+        config: str,
+        split: str = "collection",
+        id_field: str = "id",
+        text_field: str = "text",
+    ) -> None:
+        self.repo, self.config, self.split = repo, config, split
+        self.id_field, self.text_field = id_field, text_field
+
+    def __iter__(self) -> Iterator[Doc]:
+        from datasets import load_dataset
+
+        ds = load_dataset(self.repo, self.config, split=self.split, streaming=True)
+        for x in ds:
+            text = x.get(self.text_field, "")
+            if text:
+                yield str(x[self.id_field]), text
+
+
+class SyntheticCorpusSource:
+    """Deterministic synthetic passages (tests/benchmarks)."""
+
+    def __init__(self, n: int, lang: str = "en", seed: int = 0) -> None:
+        self.n, self.lang, self.seed = n, lang, seed
+
+    def __iter__(self) -> Iterator[Doc]:
+        rng = random.Random(self.seed)
+        words = [f"w{i}" for i in range(500)]
+        for i in range(self.n):
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(5, 30)))
+            yield str(i), f"[{self.lang}] {text}"
+
+
+@dataclass
+class SelectionState:
+    """First-language selection state shared across languages (mirror)."""
+
+    rel_ids: Set[str]
+    subset_neg_cap: int = 0
+    neg_prob: float = 1.0
+    seed: int = 42
+    selected: Set[str] = field(default_factory=set)
+    neg_kept: int = 0
+    _rng: random.Random = field(default=None, repr=False)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        self._rng = random.Random(self.seed)
+
+    @property
+    def subset_mode(self) -> bool:
+        return bool(self.subset_neg_cap)
+
+    def select_first_lang(self, docid: str) -> bool:
+        """Relevant docids always kept; negatives sampled up to the cap."""
+        if not self.subset_mode:
+            self.selected.add(docid)
+            return True
+        if docid in self.rel_ids:
+            self.selected.add(docid)
+            return True
+        if self.neg_kept < self.subset_neg_cap and self._rng.random() < self.neg_prob:
+            if docid not in self.selected:
+                self.selected.add(docid)
+                self.neg_kept += 1
+            return True
+        return False
+
+    def first_lang_done(self, seen_rel: Set[str]) -> bool:
+        """Early stop: negative cap reached and all relevants captured."""
+        return (
+            self.subset_mode
+            and self.neg_kept >= self.subset_neg_cap
+            and seen_rel >= self.rel_ids
+        )
+
+    def select_mirror(self, docid: str) -> bool:
+        return docid in self.selected
+
+
+def _batched(it: Iterable, n: int) -> Iterator[List]:
+    buf: List = []
+    for x in it:
+        buf.append(x)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def encode_corpus(
+    encoder,
+    sources: Dict[str, Iterable[Doc]],
+    out_root,
+    *,
+    selection: Optional[SelectionState] = None,
+    batch_size: int = 256,
+    enc_batch: int = 64,
+    max_docs: int = 0,
+    storage_dtype: str = "bfloat16",
+    force: bool = False,
+    progress: Optional[Callable[[str, int], None]] = None,
+) -> Dict[str, pathlib.Path]:
+    """Encode per-language corpora into ShardStore directories.
+
+    ``sources`` maps language code -> doc stream; the FIRST entry drives
+    selection, later ones mirror (reference `:419-421`). Languages whose
+    manifest already exists are skipped (resume, `:342-344`).
+    Returns {lang: shard_dir}.
+    """
+    out_root = pathlib.Path(out_root)
+    out_root.mkdir(parents=True, exist_ok=True)
+    selection = selection or SelectionState(rel_ids=set())
+    results: Dict[str, pathlib.Path] = {}
+    base_ids_global: Set[str] = set()
+    started = time.strftime("%Y-%m-%d %H:%M:%S")
+
+    for lang_idx, (lang, source) in enumerate(sources.items()):
+        lang_dir = out_root / lang
+        results[lang] = lang_dir
+        if not force and ShardStore.exists(lang_dir):
+            log.info("language %s already indexed; skipping (resume)", lang)
+            existing = ShardStore.open(lang_dir)
+            if lang_idx == 0:
+                # rebuild selection state from the checkpoint, like
+                # load_existing_state (`:130-161`)
+                selection.selected.update(existing.docids)
+                selection.neg_kept += sum(
+                    1 for d in existing.docids if d not in selection.rel_ids
+                )
+            base_ids_global.update(existing.docids)
+            continue
+
+        writer = ShardWriter(
+            lang_dir,
+            dim=encoder.dim,
+            dtype=storage_dtype,
+            lang=lang,
+            encoder=getattr(encoder, "name", None),
+        )
+        seen_rel: Set[str] = set()
+        kept = 0
+        for batch in _batched(iter(source), batch_size):
+            if lang_idx == 0 and selection.first_lang_done(seen_rel):
+                break
+            if lang_idx > 0 and selection.subset_mode and kept >= len(selection.selected):
+                break
+            keep_ids: List[str] = []
+            keep_texts: List[str] = []
+            for docid, text in batch:
+                if max_docs and kept + len(keep_ids) >= max_docs:
+                    break
+                if lang_idx == 0:
+                    ok = selection.select_first_lang(docid)
+                    if ok and docid in selection.rel_ids:
+                        seen_rel.add(docid)
+                else:
+                    ok = selection.select_mirror(docid)
+                if ok:
+                    keep_ids.append(docid)
+                    keep_texts.append(text)
+            if not keep_ids:
+                if max_docs and kept >= max_docs:
+                    break
+                continue
+            vecs = encoder.encode_documents(keep_texts, batch_size=enc_batch)
+            writer.append(vecs, keep_ids, [f"{d}#{lang}" for d in keep_ids])
+            kept += len(keep_ids)
+            base_ids_global.update(keep_ids)
+            if progress:
+                progress(lang, kept)
+            if max_docs and kept >= max_docs:
+                break
+        writer.finalize(
+            extra={
+                "subset_mode": selection.subset_mode,
+                "neg_kept": selection.neg_kept,
+                "rel_ids": len(selection.rel_ids),
+            }
+        )
+        log.info("saved %d vectors for language %s -> %s", kept, lang, lang_dir)
+
+    # root-level artifacts (reference `:513-531`)
+    (out_root / "docids.txt").write_text(
+        "\n".join(sorted(base_ids_global)), encoding="utf-8"
+    )
+    meta = {
+        "started_at": started,
+        "encoder": getattr(encoder, "name", None),
+        "dtype": storage_dtype,
+        "normalize_embeddings": True,
+        "langs": list(sources.keys()),
+        "subset_neg_cap": selection.subset_neg_cap,
+        "neg_prob": selection.neg_prob,
+        "rel_ids": len(selection.rel_ids),
+        "saved_dir": str(out_root),
+        "dimension": encoder.dim,
+        "indexes": [
+            {"lang": lang, "path": str(path)} for lang, path in results.items()
+        ],
+    }
+    (out_root / "meta.json").write_text(json.dumps(meta, indent=2), encoding="utf-8")
+    return results
