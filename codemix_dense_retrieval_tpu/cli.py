@@ -1,0 +1,423 @@
+"""Command-line interface.
+
+One ``python -m codemix_dense_retrieval_tpu <command>`` binary replaces
+the reference's flat script collection (SURVEY §1 L3/L4):
+
+========================  ==============================================
+command                   replaces (reference)
+========================  ==============================================
+encode-corpus             encode_multilingual_corpus.py
+run-mono                  onepass_dense_run.py
+run-mix                   onepass_dense_mix_run_custom_lang.py
+run-bilingual             onepass_bilingual_hub.py
+run-bilingual-mix         onepass_bilingual_mix_hub_custom_lang.py
+cache-queries             cache_queries_for_mix.py
+download-queries          download_mmarco_queries.py
+evaluate                  evaluate.py
+sweep                     run_all_vector_pairs.sh / run_ablation.sh
+collect                   collect_results.py / collect_ablation_results.py
+========================  ==============================================
+
+Query TSVs, index directories, TREC runs and eval artifacts keep the
+reference's on-disk contracts, so outputs are directly comparable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from codemix_dense_retrieval_tpu.config import DEFAULT_ALPHAS
+from codemix_dense_retrieval_tpu.utils.logging import get_logger, setup_logging
+
+log = get_logger("cli")
+
+
+def _parse_lang_path(specs: Sequence[str]) -> Dict[str, pathlib.Path]:
+    """Parse repeated ``LANG=PATH`` arguments (reference --query_tsv)."""
+    out: Dict[str, pathlib.Path] = {}
+    for spec in specs:
+        if "=" not in spec:
+            raise SystemExit(f"[ERROR] expected LANG=PATH, got {spec!r}")
+        lang, path = spec.split("=", 1)
+        out[lang] = pathlib.Path(path)
+    return out
+
+
+def _build_encoder(args):
+    """TextEncoder from --encoder/--checkpoint (random-init + hash
+    tokenizer when no checkpoint — synthetic/smoke mode)."""
+    from codemix_dense_retrieval_tpu.models.dialects import default_pooling
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
+
+    if args.checkpoint:
+        return TextEncoder.from_checkpoint(args.encoder, args.checkpoint)
+    log.warning("no --checkpoint: random-init encoder + hash tokenizer (smoke mode)")
+    cfg = XLMRConfig.tiny(
+        vocab_size=30_000,
+        hidden_size=args.smoke_dim,
+        num_heads=4,
+        intermediate_size=args.smoke_dim * 4,
+        pooling=default_pooling(args.encoder),
+        use_flash=False,
+    )
+    return TextEncoder(args.encoder, cfg, seed=args.seed)
+
+
+def _device_index(index, args):
+    from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+    mesh = make_mesh(shard=args.shards, tp=1)
+    return index.to_device(mesh)
+
+
+def _load_query_sets(args) -> Dict[str, List[Tuple[str, str]]]:
+    """Either a directory of band files (queries-cm*.tsv) or single files
+    (reference 3 query modes, `onepass_dense_run.py:382-466`)."""
+    from codemix_dense_retrieval_tpu.io.tsv import read_queries_tsv
+
+    sets: Dict[str, List[Tuple[str, str]]] = {}
+    for spec in args.queries:
+        p = pathlib.Path(spec)
+        if p.is_dir():
+            for f in sorted(p.glob("queries-cm*.tsv")):
+                sets[f.stem.replace("queries-", "")] = read_queries_tsv(f)
+        else:
+            sets[p.stem] = read_queries_tsv(p)
+    if not sets:
+        raise SystemExit("[ERROR] no query sets found")
+    return sets
+
+
+# ---------------------------------------------------------------------------
+# commands
+# ---------------------------------------------------------------------------
+
+def cmd_encode_corpus(args) -> None:
+    from codemix_dense_retrieval_tpu.pipeline.corpus import (
+        HFCorpusSource,
+        SelectionState,
+        TsvCorpusSource,
+        encode_corpus,
+    )
+
+    encoder = _build_encoder(args)
+    sources = {}
+    if args.corpus_tsv:
+        for lang, path in _parse_lang_path(args.corpus_tsv).items():
+            sources[lang] = TsvCorpusSource(path, lang)
+    elif args.repo:
+        for lang in args.langs:
+            sources[lang] = HFCorpusSource(args.repo, f"collection-{lang}")
+    else:
+        raise SystemExit("[ERROR] need --corpus_tsv or --repo")
+
+    rel_ids = set()
+    if args.rel_ids:
+        rel_ids = set(pathlib.Path(args.rel_ids).read_text().split())
+    selection = SelectionState(
+        rel_ids=rel_ids,
+        subset_neg_cap=args.subset_neg_cap,
+        neg_prob=args.neg_prob,
+        seed=args.seed,
+    )
+    dirs = encode_corpus(
+        encoder,
+        sources,
+        args.out,
+        selection=selection,
+        batch_size=args.batch,
+        enc_batch=args.enc_batch,
+        max_docs=args.max_docs,
+        storage_dtype=args.storage_dtype,
+        force=args.force,
+    )
+    print(json.dumps({lang: str(d) for lang, d in dirs.items()}, indent=2))
+
+
+def cmd_run_mono(args) -> None:
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+    from codemix_dense_retrieval_tpu.pipeline.runs import run_word_mix_search
+
+    encoder = _build_encoder(args)
+    index = _device_index(DenseFlatIndex.load(args.index), args)
+    sets = _load_query_sets(args)
+    if args.max_queries:
+        sets = {k: v[: args.max_queries] for k, v in sets.items()}
+    runs = run_word_mix_search(
+        index, encoder, sets, args.outdir, k=args.k, query_block=args.qblock
+    )
+    print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
+
+
+def cmd_run_mix(args) -> None:
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+    from codemix_dense_retrieval_tpu.io.tsv import read_queries_tsv
+    from codemix_dense_retrieval_tpu.pipeline.query_cache import (
+        QueryCacheMismatch,
+        load_query_cache,
+        save_query_cache,
+    )
+    from codemix_dense_retrieval_tpu.pipeline.runs import (
+        intersect_query_sets,
+        run_vector_mix_search,
+    )
+
+    encoder = _build_encoder(args)
+    index = _device_index(DenseFlatIndex.load(args.index), args)
+    tsvs = _parse_lang_path(args.query_tsv)
+    if len(tsvs) != 2:
+        raise SystemExit("[ERROR] run-mix needs exactly two LANG=PATH --query_tsv")
+    (lang_a, path_a), (lang_b, path_b) = tsvs.items()
+    qids, texts_a, texts_b = intersect_query_sets(
+        read_queries_tsv(path_a), read_queries_tsv(path_b)
+    )
+    if not qids:
+        raise SystemExit("[ERROR] empty qid intersection between the two query TSVs")
+
+    def encode_cached(lang, texts):
+        if args.query_cache:
+            cache = pathlib.Path(args.query_cache) / lang / "queries.npz"
+            if cache.exists():
+                try:
+                    _, vecs = load_query_cache(cache, expected_qids=qids)
+                    return vecs
+                except QueryCacheMismatch:
+                    log.warning("stale query cache %s; re-encoding", cache)
+            vecs = encoder.encode_queries(texts, batch_size=args.enc_batch)
+            save_query_cache(cache, qids, vecs)
+            return vecs
+        return encoder.encode_queries(texts, batch_size=args.enc_batch)
+
+    vecs_a = encode_cached(lang_a, texts_a)
+    vecs_b = encode_cached(lang_b, texts_b)
+    alphas = [float(a) for a in args.cm_alphas]
+    runs = run_vector_mix_search(
+        index, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
+        query_block=args.qblock,
+    )
+    print(json.dumps({str(a): str(p) for a, p in runs.items()}, indent=2))
+
+
+def _load_hub(args):
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    indexes = [DenseFlatIndex.load(p) for p in args.index]
+    tags = args.lang_tags or [ix.store.manifest.lang or str(i) for i, ix in enumerate(indexes)]
+    hub = DenseFlatIndex.merged(indexes, lang_tags=tags) if len(indexes) > 1 else indexes[0]
+    return _device_index(hub, args)
+
+
+def cmd_run_bilingual(args) -> None:
+    from codemix_dense_retrieval_tpu.pipeline.bilingual import run_bilingual_word_mix
+
+    encoder = _build_encoder(args)
+    hub = _load_hub(args)
+    sets = _load_query_sets(args)
+    runs = run_bilingual_word_mix(
+        hub, encoder, sets, args.outdir, k=args.k, query_block=args.qblock
+    )
+    print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
+
+
+def cmd_run_bilingual_mix(args) -> None:
+    from codemix_dense_retrieval_tpu.io.tsv import read_queries_tsv
+    from codemix_dense_retrieval_tpu.pipeline.bilingual import run_bilingual_vector_mix
+    from codemix_dense_retrieval_tpu.pipeline.runs import intersect_query_sets
+
+    encoder = _build_encoder(args)
+    hub = _load_hub(args)
+    tsvs = _parse_lang_path(args.query_tsv)
+    if len(tsvs) != 2:
+        raise SystemExit("[ERROR] need exactly two LANG=PATH --query_tsv")
+    (lang_a, path_a), (lang_b, path_b) = tsvs.items()
+    qids, texts_a, texts_b = intersect_query_sets(
+        read_queries_tsv(path_a), read_queries_tsv(path_b)
+    )
+    vecs_a = encoder.encode_queries(texts_a, batch_size=args.enc_batch)
+    vecs_b = encoder.encode_queries(texts_b, batch_size=args.enc_batch)
+    runs = run_bilingual_vector_mix(
+        hub, qids, vecs_a, vecs_b, [float(a) for a in args.cm_alphas],
+        args.outdir, k=args.k, query_block=args.qblock,
+    )
+    print(json.dumps({str(a): str(p) for a, p in runs.items()}, indent=2))
+
+
+def cmd_cache_queries(args) -> None:
+    from codemix_dense_retrieval_tpu.io.tsv import read_queries_tsv
+    from codemix_dense_retrieval_tpu.pipeline.query_cache import save_query_cache
+    from codemix_dense_retrieval_tpu.pipeline.runs import intersect_query_sets
+
+    encoder = _build_encoder(args)
+    tsvs = _parse_lang_path(args.query_tsv)
+    rows_by_lang = {lang: read_queries_tsv(p) for lang, p in tsvs.items()}
+    if len(rows_by_lang) == 2:
+        (la, ra), (lb, rb) = rows_by_lang.items()
+        qids, ta, tb = intersect_query_sets(ra, rb)
+        per_lang = {la: (qids, ta), lb: (qids, tb)}
+    else:
+        per_lang = {
+            lang: ([q for q, _ in rows], [t for _, t in rows])
+            for lang, rows in rows_by_lang.items()
+        }
+    for lang, (qids, texts) in per_lang.items():
+        vecs = encoder.encode_queries(texts, batch_size=args.enc_batch)
+        out = pathlib.Path(args.cache_root) / lang / "queries.npz"
+        save_query_cache(out, qids, vecs)
+        print(f"{lang}: {out} ({len(qids)} queries)")
+
+
+def cmd_download_queries(args) -> None:
+    from codemix_dense_retrieval_tpu.datagen.download import download_mmarco_queries
+
+    download_mmarco_queries(args.langs, args.out, repo=args.repo, split_prefix=args.split_prefix)
+
+
+def cmd_evaluate(args, extra: Sequence[str]) -> None:
+    from codemix_dense_retrieval_tpu.evals.evaluate import main as eval_main
+
+    eval_main(extra)
+
+
+def cmd_sweep(args) -> None:
+    from codemix_dense_retrieval_tpu.orchestrate.scheduler import run_sweep_cli
+
+    run_sweep_cli(args)
+
+
+def cmd_collect(args) -> None:
+    from codemix_dense_retrieval_tpu.analysis.collect import collect_cli
+
+    collect_cli(args)
+
+
+# ---------------------------------------------------------------------------
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--encoder", default="BAAI/bge-m3")
+    p.add_argument("--checkpoint", help="converted HF checkpoint dir (config.json + weights)")
+    p.add_argument("--smoke_dim", type=int, default=64, help="hidden size for random-init smoke mode")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--enc_batch", type=int, default=64)
+    p.add_argument("--shards", type=int, default=-1, help="index shard axis size (-1 = all devices)")
+    p.add_argument("--verbosity", type=int, default=1)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="codemix_dense_retrieval_tpu",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("encode-corpus", help="encode per-language corpora into shard stores")
+    _add_common(p)
+    p.add_argument("--repo", help="HF dataset repo (e.g. unicamp-dl/mmarco)")
+    p.add_argument("--langs", nargs="+", default=["english"])
+    p.add_argument("--corpus_tsv", nargs="+", help="LANG=PATH offline corpus TSVs")
+    p.add_argument("--out", required=True)
+    p.add_argument("--rel_ids", help="file with relevant docids (subset mode)")
+    p.add_argument("--subset_neg_cap", type=int, default=0)
+    p.add_argument("--neg_prob", type=float, default=1.0)
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--max_docs", type=int, default=0)
+    p.add_argument("--storage_dtype", default="bfloat16")
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(fn=cmd_encode_corpus)
+
+    p = sub.add_parser("run-mono", help="word-mix band search over one index")
+    _add_common(p)
+    p.add_argument("--index", required=True)
+    p.add_argument("--queries", nargs="+", required=True, help="band dir or TSV files")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--qblock", type=int, default=256)
+    p.add_argument("--max_queries", type=int, default=0)
+    p.set_defaults(fn=cmd_run_mono)
+
+    p = sub.add_parser("run-mix", help="vector-mix alpha sweep over one index")
+    _add_common(p)
+    p.add_argument("--index", required=True)
+    p.add_argument("--query_tsv", nargs=2, required=True, metavar="LANG=PATH")
+    p.add_argument("--cm_alphas", nargs="+", default=[str(a) for a in DEFAULT_ALPHAS])
+    p.add_argument("--query_cache")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--qblock", type=int, default=1024)
+    p.set_defaults(fn=cmd_run_mix)
+
+    p = sub.add_parser("run-bilingual", help="bilingual hub word-mix search (collapse-max)")
+    _add_common(p)
+    p.add_argument("--index", nargs="+", required=True, help="per-language shard dirs")
+    p.add_argument("--lang_tags", nargs="+")
+    p.add_argument("--queries", nargs="+", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--k", type=int, default=500)
+    p.add_argument("--qblock", type=int, default=256)
+    p.set_defaults(fn=cmd_run_bilingual)
+
+    p = sub.add_parser("run-bilingual-mix", help="bilingual hub vector-mix sweep")
+    _add_common(p)
+    p.add_argument("--index", nargs="+", required=True)
+    p.add_argument("--lang_tags", nargs="+")
+    p.add_argument("--query_tsv", nargs=2, required=True, metavar="LANG=PATH")
+    p.add_argument("--cm_alphas", nargs="+", default=[str(a) for a in DEFAULT_ALPHAS])
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--k", type=int, default=500)
+    p.add_argument("--qblock", type=int, default=1024)
+    p.set_defaults(fn=cmd_run_bilingual_mix)
+
+    p = sub.add_parser("cache-queries", help="pre-encode query TSVs into npz caches")
+    _add_common(p)
+    p.add_argument("--query_tsv", nargs="+", required=True, metavar="LANG=PATH")
+    p.add_argument("--cache_root", required=True)
+    p.set_defaults(fn=cmd_cache_queries)
+
+    p = sub.add_parser("download-queries", help="download mMARCO dev queries to TSVs")
+    p.add_argument("--langs", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--repo", default="unicamp-dl/mmarco")
+    p.add_argument("--split_prefix", default="queries-")
+    p.set_defaults(fn=cmd_download_queries)
+
+    sub.add_parser(
+        "evaluate",
+        help="evaluate a TREC run (all reference evaluate.py flags)",
+        add_help=False,
+    ).set_defaults(fn=cmd_evaluate, passthrough=True)
+
+    p = sub.add_parser("sweep", help="experiment scheduler (replaces the bash schedulers)")
+    p.add_argument("--plan", required=True, help="JSON sweep plan file")
+    p.add_argument("--max_failures", type=int, default=1)
+    p.add_argument("--dry_run", action="store_true")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("collect", help="aggregate result trees into CSV summaries")
+    p.add_argument("--results_root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--ablation", action="store_true")
+    p.set_defaults(fn=cmd_collect)
+
+    return ap
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # passthrough for `evaluate` (keeps the reference CLI intact)
+    if argv and argv[0] == "evaluate":
+        from codemix_dense_retrieval_tpu.evals.evaluate import main as eval_main
+
+        eval_main(argv[1:])
+        return
+    ap = build_parser()
+    args = ap.parse_args(argv)
+    setup_logging(getattr(args, "verbosity", 1))
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,15 @@ class TextEncoder:
         self.name = name
         self.cfg = cfg
         self.model = XLMREncoder(cfg)
-        self.tokenizer = tokenizer or load_tokenizer(None, cfg.max_position_embeddings - 2)
+        if tokenizer is None:
+            from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer
+
+            # the fallback tokenizer must respect the model's vocab —
+            # out-of-range ids silently produce garbage embeddings
+            tokenizer = HashTokenizer(
+                vocab_size=cfg.vocab_size, max_length=cfg.max_position_embeddings - 2
+            )
+        self.tokenizer = tokenizer
         self.length_buckets = tuple(
             b for b in length_buckets if b <= cfg.max_position_embeddings - 2
         ) or (cfg.max_position_embeddings - 2,)

@@ -1,0 +1,233 @@
+"""CLI surface, scheduler (resume/fail-fast), and collector tests."""
+
+import json
+import os
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+from codemix_dense_retrieval_tpu.cli import main as cli_main
+
+
+def write_corpus_tsv(path, lang, n=60):
+    rows = [f"{i}\t{lang} passage number {i} tok{i % 5} tok{i % 9}" for i in range(n)]
+    pathlib.Path(path).write_text("\n".join(rows) + "\n")
+    return {str(i): f"{lang} passage number {i} tok{i % 5} tok{i % 9}" for i in range(n)}
+
+
+class TestCliEndToEnd:
+    def test_encode_run_mix_evaluate(self, tmp_path, capsys):
+        docs_en = write_corpus_tsv(tmp_path / "corpus.en.tsv", "en")
+        docs_zh = write_corpus_tsv(tmp_path / "corpus.zh.tsv", "zh")
+
+        cli_main([
+            "encode-corpus",
+            "--corpus_tsv", f"en={tmp_path/'corpus.en.tsv'}", f"zh={tmp_path/'corpus.zh.tsv'}",
+            "--out", str(tmp_path / "idx"),
+            "--storage_dtype", "float32",
+            "--smoke_dim", "32",
+        ])
+        assert (tmp_path / "idx" / "en" / "manifest.json").exists()
+        assert (tmp_path / "idx" / "zh" / "manifest.json").exists()
+        assert (tmp_path / "idx" / "meta.json").exists()
+
+        # queries: copies of en passages -> perfect retrieval provable
+        qids = [f"q{i}" for i in range(8)]
+        rel = [str(6 * i) for i in range(8)]
+        (tmp_path / "queries.en.tsv").write_text(
+            "\n".join(f"{q}\t{docs_en[d]}" for q, d in zip(qids, rel)) + "\n"
+        )
+        (tmp_path / "queries.zh.tsv").write_text(
+            "\n".join(f"{q}\t{docs_zh[d]}" for q, d in zip(qids, rel)) + "\n"
+        )
+
+        cli_main([
+            "run-mono",
+            "--index", str(tmp_path / "idx" / "en"),
+            "--queries", str(tmp_path / "queries.en.tsv"),
+            "--outdir", str(tmp_path / "runs"),
+            "--k", "10",
+            "--smoke_dim", "32",
+        ])
+        run_path = tmp_path / "runs" / "queries.en.trec"
+        assert run_path.exists()
+
+        cli_main([
+            "run-mix",
+            "--index", str(tmp_path / "idx" / "zh"),
+            "--query_tsv", f"en={tmp_path/'queries.en.tsv'}", f"zh={tmp_path/'queries.zh.tsv'}",
+            "--cm_alphas", "0", "0.5", "1",
+            "--query_cache", str(tmp_path / "qcache"),
+            "--outdir", str(tmp_path / "mixruns"),
+            "--k", "10",
+            "--smoke_dim", "32",
+        ])
+        assert (tmp_path / "mixruns" / "cm-alpha-0.5.trec").exists()
+        assert (tmp_path / "qcache" / "en" / "queries.npz").exists()
+
+        cli_main([
+            "run-bilingual",
+            "--index", str(tmp_path / "idx" / "en"), str(tmp_path / "idx" / "zh"),
+            "--queries", str(tmp_path / "queries.en.tsv"),
+            "--outdir", str(tmp_path / "hubrubs"),
+            "--k", "20",
+            "--smoke_dim", "32",
+        ])
+        assert (tmp_path / "hubrubs" / "queries.en_base.trec").exists()
+
+        # evaluate via the passthrough command
+        qrels = tmp_path / "qrels.tsv"
+        qrels.write_text("\n".join(f"{q}\t{d}#en\t1" for q, d in zip(qids, rel)) + "\n")
+        cli_main([
+            "evaluate",
+            "--dataset", "synthetic",
+            "--run", str(run_path),
+            "--qrels", str(qrels),
+            "--outdir", str(tmp_path / "results"),
+        ])
+        aggs = list((tmp_path / "results").glob("*-agg.json"))
+        assert aggs
+        agg = json.loads(aggs[0].read_text())
+        assert agg["RR@10"] == pytest.approx(100.0)
+
+    def test_query_cache_reused_and_validated(self, tmp_path):
+        # identical smoke encoder across runs -> second run hits the cache
+        docs_zh = write_corpus_tsv(tmp_path / "c.zh.tsv", "zh", 40)
+        cli_main([
+            "encode-corpus", "--corpus_tsv", f"zh={tmp_path/'c.zh.tsv'}",
+            "--out", str(tmp_path / "idx"), "--storage_dtype", "float32",
+            "--smoke_dim", "32",
+        ])
+        qids = ["a", "b", "c"]
+        for lang in ("en", "zh"):
+            (tmp_path / f"q.{lang}.tsv").write_text(
+                "\n".join(f"{q}\t{lang} text {q}" for q in qids) + "\n"
+            )
+        for _ in range(2):
+            cli_main([
+                "run-mix",
+                "--index", str(tmp_path / "idx" / "zh"),
+                "--query_tsv", f"en={tmp_path/'q.en.tsv'}", f"zh={tmp_path/'q.zh.tsv'}",
+                "--cm_alphas", "0.5",
+                "--query_cache", str(tmp_path / "qc"),
+                "--outdir", str(tmp_path / "r"),
+                "--k", "5",
+                "--smoke_dim", "32",
+            ])
+        assert (tmp_path / "qc" / "en" / "queries.npz").exists()
+
+
+class TestScheduler:
+    def _eval_job(self, tmp_path, name, bad_run=False):
+        from codemix_dense_retrieval_tpu.orchestrate.scheduler import Job
+
+        run = tmp_path / f"{name}.trec"
+        if not bad_run:
+            run.write_text("q1 Q0 d1 1 0.9 t\n")
+        qrels = tmp_path / "qrels.tsv"
+        qrels.write_text("q1\td1\t1\n")
+        outdir = tmp_path / f"results_{name}"
+        return Job(
+            name=name,
+            argv=[
+                "evaluate", "--dataset", "x", "--run", str(run),
+                "--qrels", str(qrels), "--outdir", str(outdir),
+            ],
+            outdir=str(outdir),
+            expected=[f"{name}_dev_*-agg.json"],
+            env={"PYTHONPATH": str(pathlib.Path(__file__).resolve().parents[1])},
+        )
+
+    def test_run_and_resume(self, tmp_path):
+        from codemix_dense_retrieval_tpu.orchestrate.scheduler import Scheduler
+
+        jobs = [self._eval_job(tmp_path, "jobA"), self._eval_job(tmp_path, "jobB")]
+        res = Scheduler(jobs, slots=2).run()
+        assert sorted(res.ran) == ["jobA", "jobB"]
+        assert not res.failed
+        # resume: both complete now -> skipped
+        res2 = Scheduler(jobs, slots=2).run()
+        assert sorted(res2.skipped) == ["jobA", "jobB"]
+        assert not res2.ran
+
+    def test_fail_fast(self, tmp_path):
+        from codemix_dense_retrieval_tpu.orchestrate.scheduler import Scheduler
+
+        jobs = [self._eval_job(tmp_path, "bad", bad_run=True)]
+        res = Scheduler(jobs, max_failures=1).run()
+        assert res.failed == ["bad"]
+
+    def test_plan_roundtrip(self, tmp_path):
+        from codemix_dense_retrieval_tpu.orchestrate.scheduler import Job, load_plan
+
+        plan = {
+            "jobs": [
+                {
+                    "name": "j1",
+                    "argv": ["evaluate", "--run", "x"],
+                    "outdir": "/tmp/o",
+                    "expected": ["*.json"],
+                }
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        jobs = load_plan(p)
+        assert jobs[0].name == "j1" and jobs[0].expected == ["*.json"]
+
+
+class TestCollector:
+    def _make_tree(self, root):
+        exp = root / "mmarco-100000-chinese-en-zh-5bands-bge-m3" / "vector_mix"
+        exp.mkdir(parents=True)
+        for alpha, ndcg in [("0", 30.0), ("0.5", 35.0), ("1", 28.0)]:
+            (exp / f"cm-alpha-{alpha}_dev_20260101-000000-agg.json").write_text(
+                json.dumps({"nDCG@10": ndcg, "RR@10": ndcg - 5, "R@10": 50.0})
+            )
+        # an OLDER duplicate for alpha=0.5 that must be ignored
+        (exp / "cm-alpha-0.5_dev_20250101-000000-agg.json").write_text(
+            json.dumps({"nDCG@10": 1.0})
+        )
+        word = root / "mmarco-100000-bilingual-en-zh-5bands-bge-m3"
+        word.mkdir(parents=True)
+        for band, ndcg in [("cm0_base", 40.0), ("cm40-60_base", 42.0), ("cm100_base", 39.0)]:
+            (word / f"{band}_dev_20260101-000000-agg.json").write_text(
+                json.dumps({"nDCG@10": ndcg})
+            )
+
+    def test_collect_and_summary(self, tmp_path):
+        from codemix_dense_retrieval_tpu.analysis.collect import (
+            collect_results,
+            compute_summary,
+            mix_ratio_from_runstem,
+        )
+
+        self._make_tree(tmp_path)
+        rows = collect_results(tmp_path)
+        assert len(rows) == 6  # 3 alphas + 3 bands (old dup dropped)
+        embed = [r for r in rows if r["mix_mode"] == "embed"]
+        assert {r["mix_ratio"] for r in embed} == {0.0, 50.0, 100.0}
+        mid = next(r for r in embed if r["mix_ratio"] == 50.0)
+        assert mid["ndcg10"] == 35.0  # latest timestamp won
+        assert mid["pair"] == "EN-ZH" and mid["doc_side"] == "chinese"
+
+        summary = compute_summary(rows)
+        emb = next(s for s in summary if s["mix_mode"] == "embed")
+        assert emb["best_endpoint_ndcg"] == 30.0
+        assert emb["best_mixed_ndcg"] == 35.0
+        assert emb["delta_ndcg"] == pytest.approx(5.0)
+        assert emb["lambda_star_mid"] == 50.0
+        word = next(s for s in summary if s["mix_mode"] == "word")
+        assert word["delta_ndcg"] == pytest.approx(2.0)
+
+    def test_mix_ratio_parsing(self):
+        from codemix_dense_retrieval_tpu.analysis.collect import mix_ratio_from_runstem
+
+        assert mix_ratio_from_runstem("cm-alpha-0.5") == ("embed", 50.0)
+        assert mix_ratio_from_runstem("cm-alpha-0.5_base") == ("embed", 50.0)
+        assert mix_ratio_from_runstem("cm40-60_base") == ("word", 50.0)
+        assert mix_ratio_from_runstem("cm0") == ("word", 0.0)
+        assert mix_ratio_from_runstem("cm100_base") == ("word", 100.0)
+        assert mix_ratio_from_runstem("notarun") is None
