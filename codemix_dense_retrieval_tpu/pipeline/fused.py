@@ -1,0 +1,75 @@
+"""Fused alpha-sweep: mix -> sharded search -> on-device metrics, ONE jit.
+
+The reference pays index residency, host mixing, and host eval per alpha
+(`onepass_dense_mix_run_custom_lang.py:846-891` + per-band evaluate.py
+subprocesses in `run_all_vector_pairs.sh:694-706`). Here the whole sweep
+is a single traced program: the row-sharded index stays in HBM, each
+alpha's mixed queries are built on-device, searched, and scored on-device
+— the host only receives (A, k) ids and a small metric dict per alpha.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from codemix_dense_retrieval_tpu.evals.device_metrics import topk_metrics
+from codemix_dense_retrieval_tpu.ops.mix import mix_and_renorm
+from codemix_dense_retrieval_tpu.parallel.sharded_search import sharded_topk_ip
+
+
+def fused_alpha_sweep(
+    primary: jnp.ndarray,  # (B, d) query embeddings lang A
+    secondary: jnp.ndarray,  # (B, d) lang B (same qid order)
+    alphas: Sequence[float],
+    docs_sharded: jax.Array,
+    counts: jax.Array,
+    k: int,
+    *,
+    mesh: Mesh,
+    rel_ids: Optional[jnp.ndarray] = None,  # (B, R) int32 -1-padded
+    metric_cutoffs: Sequence[int] = (1, 3, 5, 10, 100),
+    search_kwargs: Optional[Dict] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Returns (values (A, B, k), ids (A, B, k), metrics {name: (A,)}).
+
+    The alpha loop is traced sequentially (static ``len(alphas)``) so the
+    per-alpha score buffer is reused and the index is read once per alpha
+    without host round-trips.
+    """
+    search_kwargs = search_kwargs or {}
+    alphas_arr = jnp.asarray(list(alphas), jnp.float32)
+
+    @jax.jit
+    def sweep(p, s, d, cnt, rel):
+        vals_all, ids_all, metrics_all = [], [], []
+        for i in range(len(alphas)):
+            q = mix_and_renorm(p, s, alphas_arr[i])
+            q = q.astype(d.dtype)
+            vals, gids = sharded_topk_ip(q, d, cnt, k, mesh=mesh, **search_kwargs)
+            vals_all.append(vals)
+            ids_all.append(gids)
+            if rel is not None:
+                metrics_all.append(topk_metrics(gids, rel, metric_cutoffs))
+        vals_st = jnp.stack(vals_all)
+        ids_st = jnp.stack(ids_all)
+        metrics = None
+        if rel is not None:
+            metrics = {
+                name: jnp.stack([m[name] for m in metrics_all])
+                for name in metrics_all[0]
+            }
+        return vals_st, ids_st, metrics
+
+    return sweep(
+        jnp.asarray(primary, jnp.float32),
+        jnp.asarray(secondary, jnp.float32),
+        docs_sharded,
+        counts,
+        None if rel_ids is None else jnp.asarray(rel_ids, jnp.int32),
+    )

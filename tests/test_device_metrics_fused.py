@@ -1,0 +1,99 @@
+"""On-device metrics vs host evaluator oracle, and the fused alpha sweep."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from codemix_dense_retrieval_tpu.evals import metrics as host_metrics
+from codemix_dense_retrieval_tpu.evals.device_metrics import build_rel_matrix, topk_metrics
+from codemix_dense_retrieval_tpu.ops.topk import topk_ip_oracle
+from codemix_dense_retrieval_tpu.parallel import make_mesh, shard_rows
+from codemix_dense_retrieval_tpu.pipeline.fused import fused_alpha_sweep
+
+
+class TestDeviceMetricsOracle:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_host_evaluator_binary(self, seed):
+        """Device metrics over a top-k ranking must equal the host
+        trec_eval-compatible evaluator on binary qrels."""
+        rng = np.random.default_rng(seed)
+        b, n, k = 12, 300, 50
+        scores = rng.standard_normal((b, n))
+        topk = np.argsort(-scores, axis=1)[:, :k].astype(np.int32)
+        rel_rows = []
+        qrels = {}
+        run = {}
+        for i in range(b):
+            rels = rng.choice(n, size=rng.integers(1, 6), replace=False)
+            rel_rows.append(rels.tolist())
+            qrels[f"q{i}"] = {f"d{j}": 1 for j in rels}
+            run[f"q{i}"] = [(f"d{j}", float(scores[i, j])) for j in topk[i]]
+        rel_mat = build_rel_matrix(rel_rows)
+        got = {k2: float(v) for k2, v in topk_metrics(
+            jnp.asarray(topk), jnp.asarray(rel_mat)).items()}
+
+        measures = host_metrics.parse_measures(
+            ["MRR@1", "MRR@5", "MRR@10", "MRR@100", "P@5", "P@10",
+             "Recall@5", "Recall@10", "Recall@100", "nDCG@5", "nDCG@10", "nDCG@100"]
+        )
+        agg = host_metrics.aggregate(measures, qrels, run)
+        for name, val in agg.items():
+            if name in got:
+                assert got[name] == pytest.approx(val, abs=1e-6), name
+
+    def test_ap_matches_host_when_k_covers_run(self):
+        rng = np.random.default_rng(3)
+        b, n = 6, 100
+        scores = rng.standard_normal((b, n))
+        order = np.argsort(-scores, axis=1).astype(np.int32)  # full ranking
+        rel_rows, qrels, run = [], {}, {}
+        for i in range(b):
+            rels = rng.choice(n, size=4, replace=False)
+            rel_rows.append(rels.tolist())
+            qrels[f"q{i}"] = {f"d{j}": 1 for j in rels}
+            run[f"q{i}"] = [(f"d{j}", float(scores[i, j])) for j in range(n)]
+        got = topk_metrics(jnp.asarray(order), jnp.asarray(build_rel_matrix(rel_rows)))
+        agg = host_metrics.aggregate(host_metrics.parse_measures(["AP"]), qrels, run)
+        assert float(got["AP"]) == pytest.approx(agg["AP"], abs=1e-6)
+
+    def test_no_relevant_query_scores_zero(self):
+        topk = jnp.asarray([[0, 1, 2]], jnp.int32)
+        rel = jnp.asarray([[-1, -1]], jnp.int32)
+        m = topk_metrics(topk, rel, cutoffs=(3,))
+        assert float(m["RR@3"]) == 0.0
+        assert float(m["nDCG@3"]) == 0.0
+        assert float(m["AP"]) == 0.0
+
+
+class TestFusedSweep:
+    def test_fused_sweep_end_to_end(self, rng, eight_cpu_devices):
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n, d, b, k = 2000, 32, 16, 20
+        docs = rng.standard_normal((n, d)).astype(np.float32)
+        docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+        # secondary queries = their relevant docs; primary = random noise
+        rel = rng.choice(n, size=b, replace=False)
+        secondary = docs[rel]
+        primary = rng.standard_normal((b, d)).astype(np.float32)
+        primary /= np.linalg.norm(primary, axis=1, keepdims=True)
+        docs_dev, counts, _ = shard_rows(docs, mesh, pad_multiple=256)
+        rel_mat = build_rel_matrix([[int(r)] for r in rel])
+
+        alphas = [0.0, 0.5, 1.0]
+        vals, ids, metrics = fused_alpha_sweep(
+            primary, secondary, alphas, docs_dev, counts, k, mesh=mesh,
+            rel_ids=rel_mat,
+            search_kwargs=dict(method="bins_xla", bin_size=64, tile_n=256),
+        )
+        assert vals.shape == (3, b, k) and ids.shape == (3, b, k)
+        mrr = np.asarray(metrics["RR@10"])
+        assert mrr[2] == pytest.approx(1.0)  # alpha=1: query == rel doc
+        assert mrr[1] >= mrr[0]  # interior at least as good as noise endpoint
+
+        # per-alpha ids must equal the oracle on the same mixed queries
+        from codemix_dense_retrieval_tpu.ops.mix import mix_and_renorm
+
+        q05 = np.asarray(mix_and_renorm(jnp.asarray(primary), jnp.asarray(secondary), 0.5))
+        _, ref_idx = topk_ip_oracle(q05, docs, k)
+        np.testing.assert_array_equal(np.asarray(ids)[1], ref_idx)
