@@ -103,12 +103,17 @@ def _bin_scores_xla(
     return scores, bin_max
 
 
-def _bin_scores_pallas_kernel(nv_ref, q_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n):
-    # The whole tile is computed TRANSPOSED — scores (T, B) with doc rows on
+def _bin_scores_pallas_kernel(
+    nv_ref, q_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n, transpose_scores
+):
+    # The tile is computed TRANSPOSED — scores (T, B) with doc rows on
     # sublanes and queries on lanes — because the bin reduction then splits
     # the leading (sublane) dim, (T, B) -> (T/G, G, B), which Mosaic
     # supports; splitting the lane dim of a (B, T) layout is rejected
     # ("infer-vector-layout: unsupported shape cast").
+    # With ``transpose_scores`` the score tile is transposed back to (B, T)
+    # before the HBM write so phase 2's candidate gather walks contiguous
+    # rows (axis-1 gather) instead of a per-column axis-0 gather.
     j = pl.program_id(1)
     s = jax.lax.dot_general(
         d_ref[:], q_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -117,7 +122,10 @@ def _bin_scores_pallas_kernel(nv_ref, q_ref, d_ref, scores_ref, binmax_ref, *, b
     n_valid = nv_ref[0]
     row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * tile_n
     s = jnp.where(row < n_valid, s, NEG_INF)
-    scores_ref[:] = s
+    if transpose_scores:
+        scores_ref[:] = s.T
+    else:
+        scores_ref[:] = s
     binmax_ref[:] = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
 
 
@@ -130,16 +138,26 @@ def _bin_scores_pallas(
     tile_b: int = 256,
     tile_n: int = 1024,
     interpret: bool = False,
+    transpose_scores: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused Pallas phase 1: one HBM pass over the shard computes the score
-    matrix and its bin maxima (never re-reading the B x N scores)."""
+    matrix and its bin maxima (never re-reading the B x N scores).
+
+    Returns (scores, bin_max_t (num_bins, B)); scores is (B, N_pad) when
+    ``transpose_scores`` (default — gather-friendly) else (N_pad, B).
+    """
     b, dim = queries.shape
     n_pad = docs.shape[0]
     assert n_pad % tile_n == 0 and tile_n % bin_size == 0
     tile_b = min(tile_b, b)
     assert b % tile_b == 0, (b, tile_b)
     grid = (b // tile_b, n_pad // tile_n)
-    kernel = functools.partial(_bin_scores_pallas_kernel, bin_size=bin_size, tile_n=tile_n)
+    kernel = functools.partial(
+        _bin_scores_pallas_kernel,
+        bin_size=bin_size,
+        tile_n=tile_n,
+        transpose_scores=transpose_scores,
+    )
     flops = 2 * b * n_pad * dim
     bytes_accessed = (
         b * dim * queries.dtype.itemsize
@@ -147,6 +165,12 @@ def _bin_scores_pallas(
         + b * n_pad * 4
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    if transpose_scores:
+        scores_spec = pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        scores_shape = jax.ShapeDtypeStruct((b, n_pad), jnp.float32)
+    else:
+        scores_spec = pl.BlockSpec((tile_n, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+        scores_shape = jax.ShapeDtypeStruct((n_pad, b), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -156,13 +180,13 @@ def _bin_scores_pallas(
             pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_n, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            scores_spec,
             pl.BlockSpec(
                 (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, b), jnp.float32),
+            scores_shape,
             jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -247,14 +271,14 @@ def topk_ip_bins(
             b_pad = _ceil_to(b, tile_b)
             if b_pad != b:
                 queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
-        scores_t, bin_max_t = _bin_scores_pallas(
+        scores, bin_max_t = _bin_scores_pallas(
             queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
-            interpret=interpret,
+            interpret=interpret, transpose_scores=True,
         )
         bin_max = bin_max_t.T  # (B, num_bins) — small
         if b_pad != b:
-            scores_t, bin_max = scores_t[:, :b], bin_max[:b]
-        return _topk_from_bins(scores_t, bin_max, k, bin_size, scores_transposed=True)
+            scores, bin_max = scores[:b], bin_max[:b]
+        return _topk_from_bins(scores, bin_max, k, bin_size, scores_transposed=False)
     else:
         n_pad = _ceil_to(n_rows, bin_size)
         if n_pad != n_rows:
