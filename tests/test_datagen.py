@@ -1,0 +1,127 @@
+"""Mix counter and band generator tests (offline, injectable generator)."""
+
+import numpy as np
+import pytest
+
+from codemix_dense_retrieval_tpu.datagen.bands import (
+    BandState,
+    DEFAULT_BANDS,
+    adaptive_k,
+    band_of,
+    generate_band_dataset,
+    generate_bands_for_pair,
+)
+from codemix_dense_retrieval_tpu.datagen.mix_count import (
+    count_two_langs,
+    mix_ratio,
+    split_script_runs,
+    tokenize,
+)
+
+
+class TestMixCount:
+    def test_pure_english(self):
+        a, b = count_two_langs("where do black widow spiders live")
+        assert a == 6 and b == 0
+
+    def test_pure_chinese_char_weighted(self):
+        a, b = count_two_langs("黑寡妇蜘蛛住在哪里")
+        assert a == 0 and b == 9
+
+    def test_mixed_reference_style(self):
+        # the shipped band file example: "Where do black widow 蜘蛛 live in the US?"
+        a, b = count_two_langs("Where do black widow 蜘蛛 live in the US")
+        assert b == 2  # two Han chars
+        assert a == 8
+
+    def test_script_run_splitting(self):
+        assert split_script_runs("widow蜘蛛live") == ["widow", "蜘蛛", "live"]
+
+    def test_urls_and_numbers_filtered(self):
+        toks = tokenize("see https://example.com/page 42 100% items")
+        assert "42" not in toks and not any("http" in t for t in toks)
+        assert "items" in toks and "see" in toks
+
+    def test_mix_ratio(self):
+        assert mix_ratio("hello world") == 0.0
+        assert mix_ratio("你好") == 100.0
+        r = mix_ratio("hello 你好")  # 1 latin word, 2 han chars
+        assert r == pytest.approx(100 * 2 / 3)
+        assert mix_ratio("42 100%") is None
+
+    def test_arabic_russian_scripts(self):
+        a, b = count_two_langs("hello мир", "en", "ru")
+        assert a == 1 and b == 1
+        a, b = count_two_langs("hello مرحبا", "en", "ar")
+        assert a == 1 and b == 1
+
+    def test_classifier_hook_for_same_script(self):
+        clf = lambda tok: "es" if tok in {"hola", "mundo"} else "en"
+        a, b = count_two_langs("hello hola mundo", "en", "es", classifier=clf)
+        assert a == 1 and b == 2
+
+
+def fake_generator(en_text, zh_text, targets, k):
+    """Deterministic mixed candidates: swap a fraction of EN words to ZH chars."""
+    en_words = en_text.split()
+    out = []
+    for t in targets:
+        for j in range(k):
+            n_total = len(en_words)
+            # aim for t% chinese by words: x chinese chars vs remaining en words
+            n_zh = max(0, min(n_total, round(n_total * t / 100.0) + (j % 2)))
+            mixed = " ".join(["中"] * n_zh + en_words[n_zh:])
+            out.append(mixed)
+    return out
+
+
+class TestBands:
+    def test_band_of(self):
+        assert band_of(0, DEFAULT_BANDS) == (0, 20)
+        assert band_of(19.9, DEFAULT_BANDS) == (0, 20)
+        assert band_of(20, DEFAULT_BANDS) == (20, 40)
+        assert band_of(100, DEFAULT_BANDS) == (80, 100)
+        assert band_of(150, DEFAULT_BANDS) is None
+
+    def test_adaptive_k_grows(self):
+        assert adaptive_k(0) == 3
+        assert adaptive_k(1) == 6
+        assert adaptive_k(5) == 10  # capped
+
+    def test_pair_fills_all_bands(self):
+        state = BandState(DEFAULT_BANDS)
+        en = "where do black widow spiders live in the united states today"
+        zh = "黑寡妇蜘蛛如今住在美国哪里"
+        filled = generate_bands_for_pair("q1", en, zh, state, fake_generator)
+        assert not state.missing_bands("q1")
+        assert filled == 5
+        # endpoint bands hold the monolingual texts
+        assert state.rows[(0, 20)]["q1"] == en
+        assert state.rows[(80, 100)]["q1"] == zh
+
+    def test_dataset_resume_and_artifacts(self, tmp_path):
+        pairs = [
+            (f"q{i}", "ten little words make up this english query sentence here",
+             "十个中文词组成这个查询") for i in range(6)
+        ]
+        state = generate_band_dataset(pairs, tmp_path, fake_generator, checkpoint_every=2)
+        for lo, hi in DEFAULT_BANDS:
+            f = tmp_path / f"queries-cm{lo}-{hi}.tsv"
+            assert f.exists()
+            assert len(f.read_text().splitlines()) == 6
+        common = (tmp_path / "qids-common.tsv").read_text().split()
+        assert len(common) == 6
+
+        # resume: a generator that would blow up must never be called
+        def explode(*a):
+            raise AssertionError("should not re-generate on resume")
+
+        state2 = generate_band_dataset(pairs, tmp_path, explode)
+        assert state2.common_qids() == state.common_qids()
+
+    def test_opportunistic_filing(self):
+        state = BandState(DEFAULT_BANDS)
+        # a 50% candidate fills 40-60 even if we asked for something else
+        assert state.file_candidate("q1", "foo 中", 50.0) == (40, 60)
+        # second 50% candidate is NOT refiled
+        assert state.file_candidate("q1", "bar 中", 55.0) is None
