@@ -40,10 +40,28 @@ def convert_xlmr_state_dict(
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
 
     def dense(hf_name):
-        return {
+        base = {
             "kernel": _np(sd[f"{hf_name}.weight"]).T,
             "bias": _np(sd[f"{hf_name}.bias"]),
         }
+        if not cfg.lora_rank:
+            return base
+        # LoRA-enabled configs nest the frozen projection under "base";
+        # jina-v3 adapters (parametrizations.*.lora_A/lora_B per task) map
+        # into the stacked (tasks, in, r) / (tasks, r, out) params.
+        out: Dict = {"base": base}
+        la = f"{hf_name}.parametrizations.weight.0.lora_A"
+        lb = f"{hf_name}.parametrizations.weight.0.lora_B"
+        if la in sd and lb in sd:
+            # HF shapes: lora_A (tasks, r, in), lora_B (tasks, out, r)
+            out["lora_a"] = np.transpose(_np(sd[la]), (0, 2, 1))
+            out["lora_b"] = np.transpose(_np(sd[lb]), (0, 2, 1))
+        else:
+            h_in = base["kernel"].shape[0]
+            h_out = base["kernel"].shape[1]
+            out["lora_a"] = np.zeros((cfg.lora_tasks, h_in, cfg.lora_rank), np.float32)
+            out["lora_b"] = np.zeros((cfg.lora_tasks, cfg.lora_rank, h_out), np.float32)
+        return out
 
     def layer_norm(hf_name):
         return {

@@ -27,16 +27,19 @@ class TextEncoder:
     def __init__(
         self,
         name: str,
-        cfg: XLMRConfig,
+        cfg,
         params: Optional[Dict] = None,
         tokenizer=None,
         *,
+        model=None,
         seed: int = 0,
         length_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512),
     ) -> None:
         self.name = name
         self.cfg = cfg
-        self.model = XLMREncoder(cfg)
+        # default model family is XLM-R; pass model=Qwen3Encoder(cfg) etc.
+        # for decoder embedders (same (ids, mask, task_id) call contract)
+        self.model = model if model is not None else XLMREncoder(cfg)
         if tokenizer is None:
             from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer
 
@@ -55,7 +58,7 @@ class TextEncoder:
             params = self.model.init(jax.random.key(seed), ids, mask)
         self.params = params
         self._fwd = jax.jit(
-            lambda p, ids, mask: self.model.apply(p, ids, mask)
+            lambda p, ids, mask, task: self.model.apply(p, ids, mask, task)
         )
 
     @classmethod
@@ -76,9 +79,11 @@ class TextEncoder:
         batch_size: int,
         prefix: str,
         max_length: Optional[int],
+        task_id: int = 0,
     ) -> np.ndarray:
         out: List[np.ndarray] = []
         ml = max_length or (self.cfg.max_position_embeddings - 2)
+        task = jnp.asarray(task_id, jnp.int32)
         for start in range(0, len(texts), batch_size):
             chunk = [prefix + t for t in texts[start : start + batch_size]]
             ids, mask = self.tokenizer.encode_batch(chunk, ml)
@@ -89,12 +94,22 @@ class TextEncoder:
             mask_p = np.zeros((b, s), np.int32)
             ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
             mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
-            vecs = np.asarray(self._fwd(self.params, ids_p, mask_p))
+            vecs = np.asarray(self._fwd(self.params, ids_p, mask_p, task))
             out.append(vecs[: len(chunk)].astype(np.float32))
         if not out:
             dim = self.cfg.hidden_size
             return np.zeros((0, dim), np.float32)
         return np.concatenate(out, axis=0)
+
+    def _task_id(self, role: str) -> int:
+        """LoRA task id for jina-v3 (retrieval.query=0 / retrieval.passage=1,
+        the reference's task kwargs); 0 (a no-op adapter slot) otherwise."""
+        if getattr(self.cfg, "lora_rank", 0) and dialects.detect_encoder_family(self.name) == "jina-v3":
+            from codemix_dense_retrieval_tpu.models.xlmr import JINA_V3_TASKS
+
+            name = "retrieval.query" if role == "query" else "retrieval.passage"
+            return JINA_V3_TASKS.index(name)
+        return 0
 
     def encode_queries(
         self,
@@ -102,7 +117,10 @@ class TextEncoder:
         batch_size: int = 64,
         max_length: Optional[int] = None,
     ) -> np.ndarray:
-        return self._encode(texts, batch_size, dialects.query_prefix(self.name), max_length)
+        return self._encode(
+            texts, batch_size, dialects.query_prefix(self.name), max_length,
+            task_id=self._task_id("query"),
+        )
 
     def encode_documents(
         self,
@@ -110,7 +128,10 @@ class TextEncoder:
         batch_size: int = 64,
         max_length: Optional[int] = None,
     ) -> np.ndarray:
-        return self._encode(texts, batch_size, dialects.doc_prefix(self.name), max_length)
+        return self._encode(
+            texts, batch_size, dialects.doc_prefix(self.name), max_length,
+            task_id=self._task_id("passage"),
+        )
 
     @property
     def dim(self) -> int:

@@ -188,7 +188,11 @@ class Qwen3Encoder(nn.Module):
             x = layer(x, positions, lengths)
         return self.norm(x)
 
-    def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
+    ) -> jnp.ndarray:
+        # task_id accepted for TextEncoder interface uniformity (unused —
+        # Qwen3-Embedding differentiates query/passage by prompt, not adapters)
         x = self.hidden_states(input_ids, attention_mask)
         return pool_and_normalize(x, attention_mask, "last_token", self.cfg.normalize)
 

@@ -40,6 +40,13 @@ class XLMRConfig:
     normalize: bool = True
     dtype: Any = jnp.float32  # compute dtype (bfloat16 on TPU)
     use_flash: bool = True
+    # Jina-v3-style task LoRA adapters: rank 0 disables; when enabled every
+    # projection carries per-task (A, B) low-rank deltas selected at call
+    # time by task id (reference dialect: task="retrieval.query"/"retrieval.passage",
+    # `onepass_dense_mix_run_custom_lang.py:46-58`).
+    lora_rank: int = 0
+    lora_tasks: int = 0
+    lora_alpha: float = 1.0
 
     @classmethod
     def bge_m3(cls, **kw) -> "XLMRConfig":
@@ -51,6 +58,14 @@ class XLMRConfig:
     def me5_large(cls, **kw) -> "XLMRConfig":
         """multilingual-e5-large: XLM-R-large, 512 window, mean pooling."""
         return cls(max_position_embeddings=514, pooling="mean", **kw)
+
+    @classmethod
+    def jina_v3(cls, **kw) -> "XLMRConfig":
+        """jina-embeddings-v3: XLM-R backbone + 5-task LoRA (r=4), mean
+        pooling. Task ids follow JINA_V3_TASKS."""
+        defaults = dict(pooling="mean", lora_rank=4, lora_tasks=5)
+        defaults.update(kw)
+        return cls(**defaults)
 
     @classmethod
     def tiny(cls, **kw) -> "XLMRConfig":
@@ -104,24 +119,75 @@ class XLMREmbeddings(nn.Module):
         return x
 
 
+# jina-embeddings-v3 task-adapter order (index = task id)
+JINA_V3_TASKS = (
+    "retrieval.query",
+    "retrieval.passage",
+    "separation",
+    "classification",
+    "text-matching",
+)
+
+
+class LoraDense(nn.Module):
+    """Dense layer with optional per-task low-rank adaptation.
+
+    ``task_id`` (traced int scalar) selects the adapter pair; the delta is
+    ``alpha/r * (x @ A_t) @ B_t`` added to the frozen base projection —
+    the Jina-v3 adapter mechanism as a functional Flax module.
+    """
+
+    features: int
+    rank: int = 0
+    num_tasks: int = 0
+    alpha: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, task_id=None) -> jnp.ndarray:
+        out = nn.Dense(self.features, name="base", dtype=self.dtype)(x)
+        if self.rank and self.num_tasks:
+            a = self.param(
+                "lora_a",
+                nn.initializers.normal(1e-2),
+                (self.num_tasks, x.shape[-1], self.rank),
+            )
+            b = self.param(
+                "lora_b", nn.initializers.zeros, (self.num_tasks, self.rank, self.features)
+            )
+            tid = jnp.asarray(0 if task_id is None else task_id, jnp.int32)
+            a_t = jnp.take(a, tid, axis=0).astype(self.dtype)
+            b_t = jnp.take(b, tid, axis=0).astype(self.dtype)
+            out = out + (self.alpha / self.rank) * ((x @ a_t) @ b_t)
+        return out
+
+
 class XLMRLayer(nn.Module):
     cfg: XLMRConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None) -> jnp.ndarray:
         c = self.cfg
         h = c.hidden_size
-        q = nn.Dense(h, name="q", dtype=c.dtype)(x)
-        k = nn.Dense(h, name="k", dtype=c.dtype)(x)
-        v = nn.Dense(h, name="v", dtype=c.dtype)(x)
+
+        def dense(features, name):
+            if c.lora_rank:
+                return lambda y: LoraDense(
+                    features, c.lora_rank, c.lora_tasks, c.lora_alpha, c.dtype, name=name
+                )(y, task_id)
+            return nn.Dense(features, name=name, dtype=c.dtype)
+
+        q = dense(h, "q")(x)
+        k = dense(h, "k")(x)
+        v = dense(h, "v")(x)
         attn = multi_head_attention(
             q, k, v, attention_mask, num_heads=c.num_heads, use_flash=c.use_flash
         )
-        attn = nn.Dense(h, name="attn_out", dtype=c.dtype)(attn)
+        attn = dense(h, "attn_out")(attn)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attn_ln", dtype=c.dtype)(x + attn)
-        y = nn.Dense(c.intermediate_size, name="ffn_in", dtype=c.dtype)(x)
+        y = dense(c.intermediate_size, "ffn_in")(x)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(h, name="ffn_out", dtype=c.dtype)(y)
+        y = dense(h, "ffn_out")(y)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="ffn_ln", dtype=c.dtype)(x + y)
         return x
 
@@ -136,14 +202,18 @@ class XLMREncoder(nn.Module):
         self.embeddings = XLMREmbeddings(self.cfg, name="embeddings")
         self.layers = [XLMRLayer(self.cfg, name=f"layer_{i}") for i in range(self.cfg.num_layers)]
 
-    def hidden_states(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    def hidden_states(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
+    ) -> jnp.ndarray:
         x = self.embeddings(input_ids)
         for layer in self.layers:
-            x = layer(x, attention_mask)
+            x = layer(x, attention_mask, task_id)
         return x
 
-    def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
-        x = self.hidden_states(input_ids, attention_mask)
+    def __call__(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
+    ) -> jnp.ndarray:
+        x = self.hidden_states(input_ids, attention_mask, task_id)
         return pool_and_normalize(
             x, attention_mask, self.cfg.pooling, self.cfg.normalize
         )
