@@ -104,28 +104,25 @@ def _bin_scores_xla(
 
 
 def _bin_scores_pallas_kernel(
-    nv_ref, q_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n, transpose_scores
+    nv_ref, qt_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n
 ):
     # The tile is computed TRANSPOSED — scores (T, B) with doc rows on
     # sublanes and queries on lanes — because the bin reduction then splits
     # the leading (sublane) dim, (T, B) -> (T/G, G, B), which Mosaic
     # supports; splitting the lane dim of a (B, T) layout is rejected
     # ("infer-vector-layout: unsupported shape cast").
-    # With ``transpose_scores`` the score tile is transposed back to (B, T)
-    # before the HBM write so phase 2's candidate gather walks contiguous
-    # rows (axis-1 gather) instead of a per-column axis-0 gather.
+    # Queries arrive PRE-TRANSPOSED as (dim, tile_b) so the MXU contraction
+    # is (M,K)x(K,N) with no per-step operand transpose (measured ~2x on
+    # the phase-1 wall time vs contracting rhs dim 1).
     j = pl.program_id(1)
     s = jax.lax.dot_general(
-        d_ref[:], q_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        d_ref[:], qt_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (tile_n, tile_b)
     # mask rows beyond the valid count (padded shard tail)
     n_valid = nv_ref[0]
     row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * tile_n
     s = jnp.where(row < n_valid, s, NEG_INF)
-    if transpose_scores:
-        scores_ref[:] = s.T
-    else:
-        scores_ref[:] = s
+    scores_ref[:] = s
     binmax_ref[:] = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
 
 
@@ -138,13 +135,11 @@ def _bin_scores_pallas(
     tile_b: int = 256,
     tile_n: int = 1024,
     interpret: bool = False,
-    transpose_scores: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused Pallas phase 1: one HBM pass over the shard computes the score
     matrix and its bin maxima (never re-reading the B x N scores).
 
-    Returns (scores, bin_max_t (num_bins, B)); scores is (B, N_pad) when
-    ``transpose_scores`` (default — gather-friendly) else (N_pad, B).
+    Returns (scores_t (N_pad, B), bin_max_t (num_bins, B)).
     """
     b, dim = queries.shape
     n_pad = docs.shape[0]
@@ -153,10 +148,7 @@ def _bin_scores_pallas(
     assert b % tile_b == 0, (b, tile_b)
     grid = (b // tile_b, n_pad // tile_n)
     kernel = functools.partial(
-        _bin_scores_pallas_kernel,
-        bin_size=bin_size,
-        tile_n=tile_n,
-        transpose_scores=transpose_scores,
+        _bin_scores_pallas_kernel, bin_size=bin_size, tile_n=tile_n
     )
     flops = 2 * b * n_pad * dim
     bytes_accessed = (
@@ -165,40 +157,60 @@ def _bin_scores_pallas(
         + b * n_pad * 4
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
-    if transpose_scores:
-        scores_spec = pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-        scores_shape = jax.ShapeDtypeStruct((b, n_pad), jnp.float32)
-    else:
-        scores_spec = pl.BlockSpec((tile_n, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM)
-        scores_shape = jax.ShapeDtypeStruct((n_pad, b), jnp.float32)
+    queries_t = queries.T  # (dim, B) — one tiny host/XLA transpose, loop-invariant
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, tile_b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            scores_spec,
+            pl.BlockSpec((tile_n, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            scores_shape,
+            jax.ShapeDtypeStruct((n_pad, b), jnp.float32),
             jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(nv, queries, docs)
+    )(nv, queries_t, docs)
 
 
 # --------------------------------------------------------------------------
 # phase 2: bin cover -> candidate gather -> lexicographic select
 # --------------------------------------------------------------------------
+
+def _gather_bins_transposed(
+    scores_t: jnp.ndarray, bin_ids: jnp.ndarray, bin_size: int
+) -> jnp.ndarray:
+    """Gather candidate bins from (N, B) scores as (G, 1) SLICES.
+
+    One gather row per (query, bin) — kb slices per query instead of
+    kb*G scalar element gathers, which is the difference between a
+    memory-friendly sliced gather and a pathological transposed gather
+    on TPU.
+    Returns (B, kb*G) candidate scores (bin-major order, matching the
+    candidate index construction in the caller).
+    """
+    b, kb = bin_ids.shape
+    col = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, kb))
+    starts = jnp.stack([bin_ids * bin_size, col], axis=-1).reshape(b * kb, 2)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    out = lax.gather(
+        scores_t, starts, dn, slice_sizes=(bin_size, 1),
+        mode=lax.GatherScatterMode.CLIP,
+    )  # (b*kb, G, 1)
+    return out.reshape(b, kb * bin_size)
+
 
 def _topk_from_bins(
     scores: jnp.ndarray,
@@ -217,7 +229,7 @@ def _topk_from_bins(
         bin_ids[:, :, None] * bin_size + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
     ).reshape(b, kb * bin_size)
     if scores_transposed:
-        cand_scores = jnp.take_along_axis(scores, cand_idx.T, axis=0).T
+        cand_scores = _gather_bins_transposed(scores, bin_ids, bin_size)
     else:
         cand_scores = jnp.take_along_axis(scores, cand_idx, axis=1)
     # lexicographic (score desc, id asc): sort ascending on (-score, id)
@@ -271,14 +283,14 @@ def topk_ip_bins(
             b_pad = _ceil_to(b, tile_b)
             if b_pad != b:
                 queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
-        scores, bin_max_t = _bin_scores_pallas(
+        scores_t, bin_max_t = _bin_scores_pallas(
             queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
-            interpret=interpret, transpose_scores=True,
+            interpret=interpret,
         )
         bin_max = bin_max_t.T  # (B, num_bins) — small
         if b_pad != b:
-            scores, bin_max = scores[:b], bin_max[:b]
-        return _topk_from_bins(scores, bin_max, k, bin_size, scores_transposed=False)
+            scores_t, bin_max = scores_t[:, :b], bin_max[:b]
+        return _topk_from_bins(scores_t, bin_max, k, bin_size, scores_transposed=True)
     else:
         n_pad = _ceil_to(n_rows, bin_size)
         if n_pad != n_rows:

@@ -1,0 +1,239 @@
+"""Sweep-plan builders — the reference's bash job matrices as data.
+
+Replicates the experiment matrices of `run_all_vector_pairs.sh:74-183`
+(35 bilingual pairs + 70 mono jobs = for every bilingual pair, one
+doc-language-A and one doc-language-B mono job) and the six-job EN-ZH
+reproduction of `reproduce_en_zh.sh:127-341`, emitting Scheduler plans
+(JSON) whose jobs run the framework's own CLI with resume-by-artifact
+expected-file patterns and per-band eval steps.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from codemix_dense_retrieval_tpu.config import DEFAULT_ALPHAS, format_alpha
+from codemix_dense_retrieval_tpu.io.naming import LANG_NAMES, encoder_tag
+
+# `run_all_vector_pairs.sh:74-110`
+BILINGUAL_PAIRS_DEFAULT: Tuple[Tuple[str, str], ...] = (
+    ("en", "fr"), ("en", "it"), ("en", "pt"), ("en", "nl"),
+    ("es", "fr"), ("es", "it"), ("fr", "pt"), ("it", "pt"),
+    ("de", "fr"), ("de", "it"), ("nl", "fr"), ("nl", "it"),
+    ("nl", "es"), ("ja", "hi"), ("ja", "ru"), ("ar", "zh"),
+    ("hi", "zh"), ("es", "pt"), ("de", "nl"), ("en", "de"),
+    ("en", "es"), ("es", "de"), ("en", "id"), ("id", "vi"),
+    ("en", "vi"), ("en", "ru"), ("en", "hi"), ("en", "ar"),
+    ("en", "zh"), ("id", "zh"), ("en", "ja"), ("hi", "ar"),
+    ("fr", "it"), ("zh", "ja"), ("zh", "ru"),
+)
+
+
+def mono_jobs_for_pairs(
+    pairs: Sequence[Tuple[str, str]] = BILINGUAL_PAIRS_DEFAULT,
+) -> List[Tuple[str, str, str]]:
+    """(docLang, queryLangA, queryLangB) — two mono jobs per pair
+    (`run_all_vector_pairs.sh:112-183` pattern: doc side = each of the two
+    query languages in turn)."""
+    jobs: List[Tuple[str, str, str]] = []
+    for a, b in pairs:
+        jobs.append((a, a, b))
+        jobs.append((b, a, b))
+    return jobs
+
+
+def vector_mix_job(
+    *,
+    doc_side: str,  # language code or "bilingual"
+    lang_a: str,
+    lang_b: str,
+    index_root: str,
+    query_tsv_a: str,
+    query_tsv_b: str,
+    result_root: str,
+    encoder: str = "BAAI/bge-m3",
+    checkpoint: Optional[str] = None,
+    alphas: Sequence[float] = DEFAULT_ALPHAS,
+    dataset: str = "mmarco",
+    size: int = 8_841_823,
+    qrels: Optional[str] = None,
+    k: Optional[int] = None,
+    query_cache_root: Optional[str] = None,
+) -> Dict:
+    """One vector-mix job dict for the Scheduler plan."""
+    tag = encoder_tag(encoder)
+    bilingual = doc_side == "bilingual"
+    side_name = (
+        f"bilingual-{lang_a}-{lang_b}" if bilingual else LANG_NAMES.get(doc_side, doc_side)
+    )
+    exp = f"{dataset}-{size}-{side_name}-{lang_a}-{lang_b}-5bands-{tag}"
+    outdir = str(pathlib.Path(result_root) / exp / "vector_mix")
+    name = f"vecmix-{side_name}-{lang_a}-{lang_b}-{tag}"
+    alpha_labels = [format_alpha(a) for a in alphas]
+    if bilingual:
+        argv = [
+            "run-bilingual-mix",
+            "--index", str(pathlib.Path(index_root) / lang_a),
+            str(pathlib.Path(index_root) / lang_b),
+            "--lang_tags", lang_a, lang_b,
+            "--query_tsv", f"{lang_a}={query_tsv_a}", f"{lang_b}={query_tsv_b}",
+            "--cm_alphas", *[str(a) for a in alphas],
+            "--outdir", outdir,
+            "--encoder", encoder,
+            "--k", str(k or 500),
+        ]
+        run_suffix = "_base"
+    else:
+        argv = [
+            "run-mix",
+            "--index", str(pathlib.Path(index_root) / doc_side),
+            "--query_tsv", f"{lang_a}={query_tsv_a}", f"{lang_b}={query_tsv_b}",
+            "--cm_alphas", *[str(a) for a in alphas],
+            "--outdir", outdir,
+            "--encoder", encoder,
+            "--k", str(k or 100),
+        ]
+        run_suffix = ""
+    if checkpoint:
+        argv += ["--checkpoint", checkpoint]
+    if query_cache_root and not bilingual:
+        argv += ["--query_cache", str(pathlib.Path(query_cache_root) / f"{lang_a}-{lang_b}")]
+
+    eval_after: List[List[str]] = []
+    expected = [f"cm-alpha-{lab}{run_suffix}.trec" for lab in alpha_labels]
+    if qrels:
+        for lab in alpha_labels:
+            eval_after.append([
+                "evaluate",
+                "--dataset", dataset,
+                "--run", str(pathlib.Path(outdir) / f"cm-alpha-{lab}{run_suffix}.trec"),
+                "--qrels", qrels,
+                "--outdir", outdir,
+            ])
+        expected += [f"cm-alpha-{lab}{run_suffix}_dev_*-agg.json" for lab in alpha_labels]
+    return {
+        "name": name,
+        "argv": argv,
+        "outdir": outdir,
+        "expected": expected,
+        "eval_after": eval_after,
+    }
+
+
+def build_all_pairs_plan(
+    *,
+    index_root: str,
+    query_tsv_root: str,  # expects queries.<lang>.tsv files
+    result_root: str,
+    encoder: str = "BAAI/bge-m3",
+    checkpoint: Optional[str] = None,
+    pairs: Sequence[Tuple[str, str]] = BILINGUAL_PAIRS_DEFAULT,
+    qrels: Optional[str] = None,
+    **kw,
+) -> Dict:
+    """The full sweep: per pair one bilingual job + two mono jobs
+    (105 jobs for the default 35 pairs — the reference's full matrix)."""
+    q = lambda lang: str(pathlib.Path(query_tsv_root) / f"queries.{lang}.tsv")
+    jobs: List[Dict] = []
+    for a, b in pairs:
+        jobs.append(
+            vector_mix_job(
+                doc_side="bilingual", lang_a=a, lang_b=b, index_root=index_root,
+                query_tsv_a=q(a), query_tsv_b=q(b), result_root=result_root,
+                encoder=encoder, checkpoint=checkpoint, qrels=qrels, **kw,
+            )
+        )
+    for doc, a, b in mono_jobs_for_pairs(pairs):
+        jobs.append(
+            vector_mix_job(
+                doc_side=doc, lang_a=a, lang_b=b, index_root=index_root,
+                query_tsv_a=q(a), query_tsv_b=q(b), result_root=result_root,
+                encoder=encoder, checkpoint=checkpoint, qrels=qrels, **kw,
+            )
+        )
+    return {"jobs": jobs}
+
+
+def build_en_zh_repro_plan(
+    *,
+    index_root: str,
+    query_tsv_en: str,
+    query_tsv_zh: str,
+    band_dir: Optional[str],
+    result_root: str,
+    encoder: str = "BAAI/bge-m3",
+    checkpoint: Optional[str] = None,
+    qrels: Optional[str] = None,
+    size: int = 100_000,
+) -> Dict:
+    """The six-job EN-ZH reproduction (`reproduce_en_zh.sh:127-341`):
+    mono-EN/ZH x word/vector mix + bilingual word/vector mix."""
+    tag = encoder_tag(encoder)
+    jobs: List[Dict] = []
+    for doc in ("en", "zh"):
+        jobs.append(
+            vector_mix_job(
+                doc_side=doc, lang_a="en", lang_b="zh", index_root=index_root,
+                query_tsv_a=query_tsv_en, query_tsv_b=query_tsv_zh,
+                result_root=result_root, encoder=encoder, checkpoint=checkpoint,
+                qrels=qrels, dataset="mmarco", size=size,
+            )
+        )
+    jobs.append(
+        vector_mix_job(
+            doc_side="bilingual", lang_a="en", lang_b="zh", index_root=index_root,
+            query_tsv_a=query_tsv_en, query_tsv_b=query_tsv_zh,
+            result_root=result_root, encoder=encoder, checkpoint=checkpoint,
+            qrels=qrels, dataset="mmarco", size=size,
+        )
+    )
+    if band_dir:
+        for doc in ("en", "zh"):
+            side = LANG_NAMES[doc]
+            exp = f"mmarco-{size}-{side}-en-zh-5bands-{tag}"
+            outdir = str(pathlib.Path(result_root) / exp)
+            argv = [
+                "run-mono",
+                "--index", str(pathlib.Path(index_root) / doc),
+                "--queries", band_dir,
+                "--outdir", outdir,
+                "--encoder", encoder,
+            ]
+            if checkpoint:
+                argv += ["--checkpoint", checkpoint]
+            jobs.append({
+                "name": f"wordmix-{side}-en-zh-{tag}",
+                "argv": argv,
+                "outdir": outdir,
+                "expected": ["cm*.trec"],
+                "eval_after": [],
+            })
+        exp = f"mmarco-{size}-bilingual-en-zh-5bands-{tag}"
+        outdir = str(pathlib.Path(result_root) / exp)
+        argv = [
+            "run-bilingual",
+            "--index", str(pathlib.Path(index_root) / "en"), str(pathlib.Path(index_root) / "zh"),
+            "--lang_tags", "en", "zh",
+            "--queries", band_dir,
+            "--outdir", outdir,
+            "--encoder", encoder,
+        ]
+        if checkpoint:
+            argv += ["--checkpoint", checkpoint]
+        jobs.append({
+            "name": f"wordmix-bilingual-en-zh-{tag}",
+            "argv": argv,
+            "outdir": outdir,
+            "expected": ["cm*_base.trec"],
+            "eval_after": [],
+        })
+    return {"jobs": jobs}
+
+
+def write_plan(plan: Dict, path) -> pathlib.Path:
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(plan, indent=2))
+    return path

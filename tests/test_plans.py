@@ -1,0 +1,65 @@
+"""Sweep-plan builder tests."""
+
+import json
+
+from codemix_dense_retrieval_tpu.orchestrate.plans import (
+    BILINGUAL_PAIRS_DEFAULT,
+    build_all_pairs_plan,
+    build_en_zh_repro_plan,
+    mono_jobs_for_pairs,
+    vector_mix_job,
+    write_plan,
+)
+from codemix_dense_retrieval_tpu.orchestrate.scheduler import load_plan
+
+
+def test_default_matrix_sizes():
+    assert len(BILINGUAL_PAIRS_DEFAULT) == 35
+    assert len(mono_jobs_for_pairs()) == 70
+
+
+def test_full_plan_job_count_and_loadable(tmp_path):
+    plan = build_all_pairs_plan(
+        index_root="/idx", query_tsv_root="/q", result_root="/r",
+        qrels="/qrels.tsv",
+    )
+    assert len(plan["jobs"]) == 105
+    path = write_plan(plan, tmp_path / "plan.json")
+    jobs = load_plan(path)
+    assert len(jobs) == 105
+    names = [j.name for j in jobs]
+    assert len(set(names)) == 105  # unique job names
+
+
+def test_vector_mix_job_shape():
+    job = vector_mix_job(
+        doc_side="zh", lang_a="en", lang_b="zh", index_root="/idx",
+        query_tsv_a="/q/queries.en.tsv", query_tsv_b="/q/queries.zh.tsv",
+        result_root="/r", qrels="/qrels.tsv", alphas=(0.0, 0.5, 1.0),
+    )
+    assert job["argv"][0] == "run-mix"
+    assert "mmarco-8841823-chinese-en-zh-5bands-bge-m3" in job["outdir"]
+    assert "cm-alpha-0.5.trec" in job["expected"]
+    assert any("agg.json" in e for e in job["expected"])
+    assert len(job["eval_after"]) == 3
+
+
+def test_bilingual_job_uses_base_runs():
+    job = vector_mix_job(
+        doc_side="bilingual", lang_a="en", lang_b="zh", index_root="/idx",
+        query_tsv_a="/a.tsv", query_tsv_b="/b.tsv", result_root="/r",
+        alphas=(0.5,),
+    )
+    assert job["argv"][0] == "run-bilingual-mix"
+    assert job["expected"] == ["cm-alpha-0.5_base.trec"]
+
+
+def test_en_zh_repro_plan(tmp_path):
+    plan = build_en_zh_repro_plan(
+        index_root="/idx", query_tsv_en="/en.tsv", query_tsv_zh="/zh.tsv",
+        band_dir="/bands", result_root="/r",
+    )
+    names = [j["name"] for j in plan["jobs"]]
+    assert len(plan["jobs"]) == 6
+    assert sum("wordmix" in n for n in names) == 3
+    assert sum("vecmix" in n for n in names) == 3
