@@ -106,6 +106,49 @@ class ShardWriter:
         self._fh = None
         self._rows_in_file = 0
 
+    @classmethod
+    def resume_partial(cls, out_dir: PathLike, dim: int, dtype: str = "bfloat16", **kw):
+        """Reopen an UNFINALIZED shard directory, positioned after the rows
+        already written (mid-language crash recovery — finer checkpoint
+        granularity than the reference's per-language FAISS writes,
+        `encode_multilingual_corpus.py:467-471`).
+
+        Returns (writer, already_written_docids). Rows whose docids are in
+        the partial sidecar must not be appended again.
+        """
+        w = cls(out_dir, dim, dtype, **kw)
+        partial = w.dir / "docids.partial.txt"
+        existing: List[str] = []
+        if partial.exists():
+            existing = [l for l in partial.read_text(encoding="utf-8").splitlines() if l]
+        row_bytes = w.np_dtype.itemsize * dim
+        total_rows = 0
+        idx = 0
+        while True:
+            path = w.dir / f"emb.{idx:05d}.bin"
+            if not path.exists():
+                break
+            rows = path.stat().st_size // row_bytes
+            # truncate a torn trailing row from a mid-write crash
+            if path.stat().st_size % row_bytes:
+                with open(path, "r+b") as fh:
+                    fh.truncate(rows * row_bytes)
+            w.files.append({"name": path.name, "rows": rows})
+            total_rows += rows
+            idx += 1
+        # reconcile: the sidecar is appended before the vector flush, so it
+        # may run ahead by one batch after a crash; trust the vector count
+        existing = existing[:total_rows]
+        if total_rows and w.files:
+            last = w.files[-1]
+            w._fh = open(w.dir / last["name"], "ab")
+            w._rows_in_file = last["rows"]
+            w.files = w.files
+        w.count = total_rows
+        w._docids = list(existing)
+        w._derived = [f"{d}#{w.lang}" if w.lang else d for d in existing]
+        return w, set(existing)
+
     def _open_new_file(self):
         name = f"emb.{len(self.files):05d}.bin"
         self.files.append({"name": name, "rows": 0})
@@ -120,6 +163,10 @@ class ShardWriter:
     ) -> None:
         assert vecs.ndim == 2 and vecs.shape[1] == self.dim, vecs.shape
         assert len(docids) == len(vecs)
+        # durable docid sidecar first, then vectors (resume_partial trusts
+        # the vector count and truncates the sidecar to match)
+        with open(self.dir / "docids.partial.txt", "a", encoding="utf-8") as fh:
+            fh.write("".join(f"{d}\n" for d in docids))
         vecs = np.ascontiguousarray(vecs).astype(self.np_dtype, copy=False)
         pos = 0
         while pos < len(vecs):
@@ -162,6 +209,9 @@ class ShardWriter:
         tmp = self.dir / "manifest.json.tmp"
         tmp.write_text(manifest.to_json(), encoding="utf-8")
         tmp.replace(self.dir / "manifest.json")
+        partial = self.dir / "docids.partial.txt"
+        if partial.exists():
+            partial.unlink()
         return manifest
 
 

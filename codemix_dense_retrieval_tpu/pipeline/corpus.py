@@ -191,15 +191,23 @@ def encode_corpus(
             base_ids_global.update(existing.docids)
             continue
 
-        writer = ShardWriter(
+        # mid-language resume: reopen partial shard files and skip docids
+        # already encoded (selection is deterministic under the same seed
+        # and stream order, so replaying it reproduces the same keep-set)
+        writer, already_written = ShardWriter.resume_partial(
             lang_dir,
             dim=encoder.dim,
             dtype=storage_dtype,
             lang=lang,
             encoder=getattr(encoder, "name", None),
         )
+        if already_written:
+            log.info(
+                "resuming language %s mid-encode: %d vectors already on disk",
+                lang, len(already_written),
+            )
         seen_rel: Set[str] = set()
-        kept = 0
+        kept = writer.count
         for batch in _batched(iter(source), batch_size):
             if lang_idx == 0 and selection.first_lang_done(seen_rel):
                 break
@@ -216,7 +224,7 @@ def encode_corpus(
                         seen_rel.add(docid)
                 else:
                     ok = selection.select_mirror(docid)
-                if ok:
+                if ok and docid not in already_written:
                     keep_ids.append(docid)
                     keep_texts.append(text)
             if not keep_ids:
