@@ -106,13 +106,23 @@ class DenseFlatIndex:
         pad_multiple: int = 1024,
         **search_kwargs,
     ) -> "DenseFlatIndex":
-        """Upload rows to HBM, sharded over ``mesh``'s ``shard`` axis."""
+        """Upload rows to HBM, sharded over ``mesh``'s ``shard`` axis.
+
+        int8 stores upload int8 rows + the per-row scale sidecar and search
+        through the int8 MXU path (half the HBM of bf16)."""
         self.mesh = mesh if mesh is not None else make_mesh()
         vectors = self.store.vectors
         self._docs_dev, self._counts_dev, self._rows_per_shard = shard_rows(
             np.asarray(vectors), self.mesh, pad_multiple=pad_multiple
         )
         self.search_kwargs = search_kwargs
+        if self.store.manifest.dtype == "int8" and self.store.scales is not None:
+            from codemix_dense_retrieval_tpu.parallel.sharded_search import shard_row_sidecar
+
+            self.search_kwargs = dict(search_kwargs)
+            self.search_kwargs["doc_scales"] = shard_row_sidecar(
+                self.store.scales, self.mesh, self._rows_per_shard
+            )
         return self
 
     # ---------------- search ----------------
@@ -142,6 +152,8 @@ class DenseFlatIndex:
         ]
         vals_out, ids_out = [], []
         dtype = self._docs_dev.dtype
+        if dtype == jnp.int8:
+            dtype = jnp.float32  # int8 path quantizes queries on-device
         for blk in blocks:
             vals, gids = sharded_topk_ip(
                 jnp.asarray(blk, dtype),

@@ -167,6 +167,13 @@ class ShardWriter:
         # the vector count and truncates the sidecar to match)
         with open(self.dir / "docids.partial.txt", "a", encoding="utf-8") as fh:
             fh.write("".join(f"{d}\n" for d in docids))
+        if self.dtype_name == "int8" and vecs.dtype != np.int8:
+            # symmetric per-row quantization; scales go to a f32 sidecar
+            from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+
+            vecs, scales = quantize_rows_np(vecs)
+            with open(self.dir / "scales.bin", "ab") as fh:
+                fh.write(np.ascontiguousarray(scales, np.float32).tobytes())
         vecs = np.ascontiguousarray(vecs).astype(self.np_dtype, copy=False)
         pos = 0
         while pos < len(vecs):
@@ -225,12 +232,14 @@ class ShardStore:
         docids: List[str],
         derived_ids: Optional[List[str]] = None,
         directory: Optional[pathlib.Path] = None,
+        scales: Optional[np.ndarray] = None,
     ) -> None:
         self.manifest = manifest
         self.vectors = vectors  # (count, dim), possibly a memmap-backed view
         self.docids = docids
         self.derived_ids = derived_ids if derived_ids is not None else docids
         self.dir = directory
+        self.scales = scales  # per-row f32 scales (int8 storage only)
 
     @property
     def count(self) -> int:
@@ -276,7 +285,14 @@ class ShardStore:
                     parts_ = line.rstrip("\n").split("\t")
                     if len(parts_) >= 2:
                         derived.append(parts_[1])
-        return cls(manifest, vectors, docids, derived, directory=d)
+        scales = None
+        if manifest.dtype == "int8" and (d / "scales.bin").exists():
+            scales = np.fromfile(d / "scales.bin", dtype=np.float32)
+            if scales.shape[0] != manifest.count:
+                raise ValueError(
+                    f"scales count {scales.shape[0]} != manifest count {manifest.count} in {d}"
+                )
+        return cls(manifest, vectors, docids, derived, directory=d, scales=scales)
 
     @classmethod
     def build(
@@ -291,13 +307,19 @@ class ShardStore:
         derived_ids: Optional[Sequence[str]] = None,
     ) -> "ShardStore":
         """In-memory store (no directory)."""
+        scales = None
+        if dtype == "int8" and np.asarray(vectors).dtype != np.int8:
+            from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+
+            vectors, scales = quantize_rows_np(np.asarray(vectors))
         vectors = np.ascontiguousarray(vectors).astype(storage_dtype(dtype), copy=False)
         manifest = ShardManifest(
             dim=vectors.shape[1], dtype=dtype, count=vectors.shape[0], files=[],
             lang=lang, encoder=encoder, normalized=normalized,
         )
         return cls(manifest, vectors, list(map(str, docids)),
-                   list(map(str, derived_ids)) if derived_ids is not None else None)
+                   list(map(str, derived_ids)) if derived_ids is not None else None,
+                   scales=scales)
 
     def save(self, directory: PathLike, rows_per_file: int = 1_000_000) -> "ShardStore":
         w = ShardWriter(
@@ -312,6 +334,12 @@ class ShardStore:
                 np.asarray(self.vectors[start:stop]),
                 self.docids[start:stop],
                 self.derived_ids[start:stop],
+            )
+        if self.manifest.dtype == "int8" and self.scales is not None:
+            # vectors were already int8, so append() skipped the scale
+            # sidecar — write it wholesale
+            np.ascontiguousarray(self.scales, np.float32).tofile(
+                pathlib.Path(directory) / "scales.bin"
             )
         w.finalize(extra=self.manifest.extra)
         return ShardStore.open(directory)
@@ -344,4 +372,7 @@ def concat_stores(
         encoder=stores[0].manifest.encoder,
         normalized=all(s.manifest.normalized for s in stores),
     )
-    return ShardStore(manifest, vectors, docids, derived)
+    scales = None
+    if dtype == "int8" and all(s.scales is not None for s in stores):
+        scales = np.concatenate([s.scales for s in stores])
+    return ShardStore(manifest, vectors, docids, derived, scales=scales)

@@ -1,0 +1,51 @@
+"""Int8 symmetric quantization for embedding storage.
+
+Replaces the reference's bitsandbytes 8-bit path (`onepass_dense_run.py:
+177-187`) with the XLA-native design: per-row symmetric int8 quantization
+(scale = max|x| / 127), int8 x int8 -> int32 ``dot_general`` on the MXU,
+and a final f32 rescale by (query_scale x doc_scale). Halves index HBM
+relative to bf16 at a small recall cost; the quantization error bound is
+||x||_inf / 127 per component.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def quantize_rows_np(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side per-row symmetric quantization -> (int8 values, f32 scales)."""
+    x = np.asarray(x, np.float32)
+    amax = np.abs(x).max(axis=1)
+    scales = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(x / scales[:, None]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device per-row symmetric quantization."""
+    amax = jnp.max(jnp.abs(x), axis=1)
+    scales = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.rint(x / scales[:, None]), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
+def int8_ip_scores(
+    q_vals: jnp.ndarray,  # (B, d) int8
+    q_scales: jnp.ndarray,  # (B,) f32
+    d_vals: jnp.ndarray,  # (N, d) int8
+    d_scales: jnp.ndarray,  # (N,) f32
+) -> jnp.ndarray:
+    """Exact int8 inner products rescaled to f32: (B, N)."""
+    acc = lax.dot_general(
+        q_vals, d_vals, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * q_scales[:, None] * d_scales[None, :]
+
+
+def dequantize(vals: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    return vals.astype(jnp.float32) * scales[:, None]

@@ -111,12 +111,11 @@ def _bin_scores_pallas_kernel(
     # the leading (sublane) dim, (T, B) -> (T/G, G, B), which Mosaic
     # supports; splitting the lane dim of a (B, T) layout is rejected
     # ("infer-vector-layout: unsupported shape cast").
-    # Queries arrive PRE-TRANSPOSED as (dim, tile_b) so the MXU contraction
-    # is (M,K)x(K,N) with no per-step operand transpose (measured ~2x on
-    # the phase-1 wall time vs contracting rhs dim 1).
+    # Queries arrive as (tile_b, dim); both operands contract their LANE
+    # dim (measured faster on Mosaic than a (dim, tile_b) rhs layout).
     j = pl.program_id(1)
     s = jax.lax.dot_general(
-        d_ref[:], qt_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        d_ref[:], qt_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (tile_n, tile_b)
     # mask rows beyond the valid count (padded shard tail)
     n_valid = nv_ref[0]
@@ -157,13 +156,12 @@ def _bin_scores_pallas(
         + b * n_pad * 4
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
-    queries_t = queries.T  # (dim, B) — one tiny host/XLA transpose, loop-invariant
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((dim, tile_b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -180,7 +178,7 @@ def _bin_scores_pallas(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(nv, queries_t, docs)
+    )(nv, queries, docs)
 
 
 # --------------------------------------------------------------------------

@@ -66,6 +66,18 @@ def shard_rows(
     return docs, counts_dev, rows_per_shard
 
 
+def shard_row_sidecar(
+    values: np.ndarray, mesh: Mesh, rows_per_shard: int, *, axis: str = "shard"
+) -> jax.Array:
+    """Shard a per-row (N,) sidecar (e.g. int8 scales) with the same padded
+    layout as :func:`shard_rows`."""
+    s = mesh.shape[axis]
+    n_pad = rows_per_shard * s
+    padded = np.zeros(n_pad, dtype=values.dtype)
+    padded[: len(values)] = values
+    return jax.device_put(padded, NamedSharding(mesh, P(axis)))
+
+
 def sharded_topk_ip(
     queries: jnp.ndarray,
     docs_sharded: jax.Array,
@@ -79,12 +91,16 @@ def sharded_topk_ip(
     tile_n: int = 1024,
     tile_b: int = 256,
     interpret: Optional[bool] = None,
+    doc_scales: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact global top-k over a row-sharded index.
 
     ``queries`` is replicated; ``docs_sharded``/``counts`` as produced by
-    :func:`shard_rows`. Returns replicated (values (B, k), global ids
-    (B, k) int32), ties broken by lower global id (FAISS parity).
+    :func:`shard_rows`. With int8 docs, pass per-row ``doc_scales``
+    (sharded like counts): queries are quantized per-row on-device and
+    scoring runs the int8 MXU path (`ops.quant`). Returns replicated
+    (values (B, k), global ids (B, k) int32), ties broken by lower global
+    id (FAISS parity).
     """
     s = mesh.shape[axis]
     rows_per_shard = docs_sharded.shape[0] // s
@@ -94,18 +110,37 @@ def sharded_topk_ip(
         )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    int8_mode = docs_sharded.dtype == jnp.int8
+    if int8_mode and doc_scales is None:
+        raise ValueError("int8 index requires doc_scales")
 
-    def local_search(q, d, cnt):
+    def _scores(q, d, scales):
+        if int8_mode:
+            from codemix_dense_retrieval_tpu.ops.quant import int8_ip_scores, quantize_rows
+
+            qv, qs = quantize_rows(q.astype(jnp.float32))
+            return int8_ip_scores(qv, qs, d, scales)
+        return lax.dot_general(
+            q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def local_search(q, d, cnt, scales):
         shard_id = lax.axis_index(axis)
         n_valid = cnt[0]
-        if method == "full":
-            # full-sort path: mask pad-row scores BEFORE selection
-            scores = lax.dot_general(
-                q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
+        if method == "full" or int8_mode:
+            # full-sort path (int8 always scores here; the binned pallas
+            # kernel is the bf16/f32 fast path): mask pad rows BEFORE select
+            scores = _scores(q, d, scales)
             col = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
             scores = jnp.where(col < n_valid, scores, topk_ops.NEG_INF)
-            vals, idx = lax.top_k(scores, k)
+            if method in ("bins_xla", "bins_pallas") :
+                n_pad_b = (scores.shape[1] // bin_size) * bin_size
+                bin_max = scores[:, :n_pad_b].reshape(
+                    scores.shape[0], -1, bin_size
+                ).max(axis=-1)
+                vals, idx = topk_ops._topk_from_bins(scores, bin_max, k, bin_size)
+            else:
+                vals, idx = lax.top_k(scores, k)
         else:
             vals, idx = topk_ops.topk_ip_bins(
                 q,
@@ -125,11 +160,16 @@ def sharded_topk_ip(
         neg, ids = lax.sort((-vals_all, gids_all), num_keys=2)
         return -neg[:, :k], ids[:, :k]
 
+    if doc_scales is None:
+        # dummy replicated scalar so the shard_map signature is static
+        doc_scales = jax.device_put(
+            np.zeros(docs_sharded.shape[0], np.float32), NamedSharding(mesh, P(axis))
+        )
     fn = shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis)),
+        in_specs=(P(), P(axis, None), P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, docs_sharded, counts)
+    return fn(queries, docs_sharded, counts, doc_scales)

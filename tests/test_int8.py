@@ -1,0 +1,88 @@
+"""Int8 quantized-index tests (the bitsandbytes replacement)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+from codemix_dense_retrieval_tpu.io.shards import ShardStore
+from codemix_dense_retrieval_tpu.ops.quant import (
+    int8_ip_scores,
+    quantize_rows,
+    quantize_rows_np,
+)
+from codemix_dense_retrieval_tpu.ops.topk import topk_ip_oracle
+from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestQuantOps:
+    def test_roundtrip_error_bound(self, rng):
+        x = normed(rng, 50, 64)
+        q, s = quantize_rows_np(x)
+        deq = q.astype(np.float32) * s[:, None]
+        # per-component error <= scale/2 = max|x|/254
+        assert np.abs(deq - x).max() <= (np.abs(x).max(axis=1) / 254 + 1e-7).max()
+
+    def test_np_and_jnp_agree(self, rng):
+        x = normed(rng, 20, 32)
+        qn, sn = quantize_rows_np(x)
+        qj, sj = quantize_rows(jnp.asarray(x))
+        np.testing.assert_array_equal(qn, np.asarray(qj))
+        np.testing.assert_allclose(sn, np.asarray(sj), rtol=1e-6)
+
+    def test_int8_scores_match_dequant(self, rng):
+        q = normed(rng, 4, 32)
+        d = normed(rng, 100, 32)
+        qv, qs = quantize_rows_np(q)
+        dv, ds = quantize_rows_np(d)
+        got = np.asarray(
+            int8_ip_scores(jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(dv), jnp.asarray(ds))
+        )
+        ref = (qv.astype(np.float32) * qs[:, None]) @ (dv.astype(np.float32) * ds[:, None]).T
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_zero_row_safe(self):
+        q, s = quantize_rows_np(np.zeros((3, 8), np.float32))
+        assert np.all(q == 0) and np.all(s == 1.0)
+
+
+class TestInt8Index:
+    def test_store_roundtrip_with_scales(self, tmp_path, rng):
+        vecs = normed(rng, 80, 16)
+        store = ShardStore.build(vecs, [str(i) for i in range(80)], dtype="int8")
+        assert store.scales is not None and store.scales.shape == (80,)
+        store2 = store.save(tmp_path / "ix")
+        np.testing.assert_array_equal(np.asarray(store.vectors), np.asarray(store2.vectors))
+        np.testing.assert_allclose(store.scales, store2.scales, rtol=1e-7)
+
+    def test_int8_search_high_recall(self, rng, eight_cpu_devices):
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n, d, k = 3000, 64, 50
+        vecs = normed(rng, n, d)
+        idx = DenseFlatIndex.build(vecs, [str(i) for i in range(n)], dtype="int8")
+        idx.to_device(mesh, pad_multiple=256, method="bins_xla", tile_n=256)
+        q = normed(rng, 8, d)
+        vals, gids = idx.search(q, k, return_docids=False)
+        _, ref_idx = topk_ip_oracle(q, vecs, k)
+        recalls = [
+            len(set(gids[i].tolist()) & set(ref_idx[i].tolist())) / k for i in range(8)
+        ]
+        assert np.mean(recalls) > 0.9  # int8 quantization keeps recall high
+        # top-1 should essentially always survive quantization
+        top1 = np.mean([gids[i, 0] == ref_idx[i, 0] for i in range(8)])
+        assert top1 >= 0.75
+
+    def test_int8_without_scales_raises(self, rng, eight_cpu_devices):
+        from codemix_dense_retrieval_tpu.parallel import shard_rows, sharded_topk_ip
+
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        docs = np.zeros((512, 16), np.int8)
+        dd, counts, _ = shard_rows(docs, mesh, pad_multiple=64)
+        with pytest.raises(ValueError):
+            sharded_topk_ip(jnp.zeros((2, 16)), dd, counts, 5, mesh=mesh)
