@@ -290,9 +290,14 @@ def cmd_sweep(args) -> None:
 
 
 def cmd_collect(args) -> None:
-    from codemix_dense_retrieval_tpu.analysis.collect import collect_cli
+    if args.ablation:
+        from codemix_dense_retrieval_tpu.analysis.ablation import collect_ablation_cli
 
-    collect_cli(args)
+        collect_ablation_cli(args.results_root, args.out)
+    else:
+        from codemix_dense_retrieval_tpu.analysis.collect import collect_cli
+
+        collect_cli(args)
 
 
 # ---------------------------------------------------------------------------
