@@ -48,6 +48,15 @@ class ExperimentName:
     bands: int = 5
 
     def dirname(self) -> str:
+        # bilingual dirs carry the language pair ONCE (reference convention:
+        # `mmarco-100000-bilingual-en-zh-5bands-bge-m3`,
+        # `run_all_vector_pairs.sh:362-375`); mono dirs carry doc language
+        # name + both query languages.
+        if self.is_bilingual:
+            return (
+                f"{self.dataset}-{self.size}-{self.doc_side}-"
+                f"{self.bands}bands-{self.encoder_tag}"
+            )
         return (
             f"{self.dataset}-{self.size}-{self.doc_side}-{self.qa}-{self.qb}-"
             f"{self.bands}bands-{self.encoder_tag}"
@@ -65,7 +74,7 @@ class ExperimentName:
 
 
 _NAME_RE = re.compile(
-    r"^(?P<dataset>[a-zA-Z0-9_]+)-(?P<size>\d+)-(?P<docside>bilingual-[a-z]{2}-[a-z]{2}|[a-z]+)"
+    r"^(?P<dataset>[a-zA-Z0-9_]+)-(?P<size>\d+)-(?P<docside>[a-z]+)"
     r"-(?P<qa>[a-z]{2})-(?P<qb>[a-z]{2})-(?P<bands>\d+)bands-(?P<enc>.+)$"
 )
 
@@ -74,12 +83,16 @@ def parse_experiment_dirname(name: str) -> Optional[ExperimentName]:
     m = _NAME_RE.match(name)
     if not m:
         return None
+    doc_side = m.group("docside")
+    qa, qb = m.group("qa"), m.group("qb")
+    if doc_side == "bilingual":
+        doc_side = f"bilingual-{qa}-{qb}"
     return ExperimentName(
         dataset=m.group("dataset"),
         size=int(m.group("size")),
-        doc_side=m.group("docside"),
-        qa=m.group("qa"),
-        qb=m.group("qb"),
+        doc_side=doc_side,
+        qa=qa,
+        qb=qb,
         encoder_tag=m.group("enc"),
         bands=int(m.group("bands")),
     )

@@ -65,10 +65,12 @@ def vector_mix_job(
     """One vector-mix job dict for the Scheduler plan."""
     tag = encoder_tag(encoder)
     bilingual = doc_side == "bilingual"
-    side_name = (
-        f"bilingual-{lang_a}-{lang_b}" if bilingual else LANG_NAMES.get(doc_side, doc_side)
-    )
-    exp = f"{dataset}-{size}-{side_name}-{lang_a}-{lang_b}-5bands-{tag}"
+    if bilingual:
+        side_name = f"bilingual-{lang_a}-{lang_b}"
+        exp = f"{dataset}-{size}-{side_name}-5bands-{tag}"
+    else:
+        side_name = LANG_NAMES.get(doc_side, doc_side)
+        exp = f"{dataset}-{size}-{side_name}-{lang_a}-{lang_b}-5bands-{tag}"
     outdir = str(pathlib.Path(result_root) / exp / "vector_mix")
     name = f"vecmix-{side_name}-{lang_a}-{lang_b}-{tag}"
     alpha_labels = [format_alpha(a) for a in alphas]
