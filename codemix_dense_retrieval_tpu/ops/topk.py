@@ -186,28 +186,15 @@ def _bin_scores_pallas(
 # --------------------------------------------------------------------------
 
 def _gather_bins_transposed(
-    scores_t: jnp.ndarray, bin_ids: jnp.ndarray, bin_size: int
+    scores_t: jnp.ndarray, cand_idx: jnp.ndarray
 ) -> jnp.ndarray:
-    """Gather candidate bins from (N, B) scores as (G, 1) SLICES.
+    """Gather candidate scores from (N, B)-layout scores.
 
-    One gather row per (query, bin) — kb slices per query instead of
-    kb*G scalar element gathers, which is the difference between a
-    memory-friendly sliced gather and a pathological transposed gather
-    on TPU.
-    Returns (B, kb*G) candidate scores (bin-major order, matching the
-    candidate index construction in the caller).
+    ``take_along_axis`` over axis 0 measured ~2x faster than the
+    equivalent ``lax.gather`` with (G, 1) slice sizes on v5e, so this is
+    deliberately the simple formulation. Returns (B, kb*G).
     """
-    b, kb = bin_ids.shape
-    col = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, kb))
-    starts = jnp.stack([bin_ids * bin_size, col], axis=-1).reshape(b * kb, 2)
-    dn = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
-    )
-    out = lax.gather(
-        scores_t, starts, dn, slice_sizes=(bin_size, 1),
-        mode=lax.GatherScatterMode.CLIP,
-    )  # (b*kb, G, 1)
-    return out.reshape(b, kb * bin_size)
+    return jnp.take_along_axis(scores_t, cand_idx.T, axis=0).T
 
 
 def _topk_from_bins(
@@ -227,7 +214,7 @@ def _topk_from_bins(
         bin_ids[:, :, None] * bin_size + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
     ).reshape(b, kb * bin_size)
     if scores_transposed:
-        cand_scores = _gather_bins_transposed(scores, bin_ids, bin_size)
+        cand_scores = _gather_bins_transposed(scores, cand_idx)
     else:
         cand_scores = jnp.take_along_axis(scores, cand_idx, axis=1)
     # lexicographic (score desc, id asc): sort ascending on (-score, id)
