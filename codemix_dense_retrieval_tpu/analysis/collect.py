@@ -99,13 +99,75 @@ def collect_results(results_root) -> List[Dict]:
             "recall100": metrics.get("R@100"),
             "map": metrics.get("AP"),
         }
+        perquery = load_perquery_ndcg10(agg)
+        if perquery:
+            row["perquery"] = perquery
         rows.append(row)
     return rows
 
 
+def load_perquery_ndcg10(agg_json_path: pathlib.Path) -> Optional[Dict[str, float]]:
+    """Per-query nDCG@10 series from the sibling -perquery.csv (written by
+    the evaluator with --perquery); None when absent."""
+    stem = agg_json_path.name[: -len("-agg.json")]
+    pq = agg_json_path.parent / f"{stem}-perquery.csv"
+    if not pq.exists():
+        return None
+    import csv
+
+    out: Dict[str, float] = {}
+    with open(pq, newline="", encoding="utf-8") as f:
+        reader = csv.DictReader(f)
+        if "nDCG@10" not in (reader.fieldnames or []):
+            return None
+        for row in reader:
+            try:
+                out[row["qid"]] = float(row["nDCG@10"])
+            except (ValueError, KeyError):
+                continue
+    return out or None
+
+
+def bootstrap_delta_ci(
+    endpoint_series: Dict[str, float],
+    interior_series: Dict[str, float],
+    n_boot: int = 2000,
+    seed: int = 0,
+) -> Optional[Dict[str, float]]:
+    """Cluster (per-query) bootstrap CI for delta(nDCG@10) between the best
+    interior and best endpoint runs (reference `collect_results.py:490-566`
+    semantics: resample qids, recompute the mean difference)."""
+    import random
+
+    qids = sorted(set(endpoint_series) & set(interior_series))
+    if len(qids) < 2:
+        return None
+    diffs = [interior_series[q] - endpoint_series[q] for q in qids]
+    rng = random.Random(seed)
+    n = len(diffs)
+    samples = sorted(
+        sum(diffs[rng.randrange(n)] for _ in range(n)) / n for _ in range(n_boot)
+    )
+
+    def q(p: float) -> float:
+        pos = p * (len(samples) - 1)
+        lo = int(pos)
+        hi = min(lo + 1, len(samples) - 1)
+        return samples[lo] * (1 - pos + lo) + samples[hi] * (pos - lo)
+
+    return {
+        "delta_ndcg_ci90_low": q(0.05),
+        "delta_ndcg_ci90_high": q(0.95),
+        "delta_ndcg_ci95_low": q(0.025),
+        "delta_ndcg_ci95_high": q(0.975),
+    }
+
+
 def compute_summary(rows: List[Dict]) -> List[Dict]:
     """Best-endpoint vs best-interior delta and lambda* per
-    (pair, doc_side, mix_mode, model)."""
+    (pair, doc_side, mix_mode, model). When rows carry ``perquery``
+    series (dict qid -> nDCG@10), a cluster-bootstrap CI over the
+    best-interior-minus-best-endpoint per-query differences is added."""
     groups: Dict[Tuple, List[Dict]] = defaultdict(list)
     for r in rows:
         if r["ndcg10"] is None:
@@ -118,26 +180,37 @@ def compute_summary(rows: List[Dict]) -> List[Dict]:
         endpoints = [g for g in grp if g["mix_ratio"] in (0.0, 100.0)]
         interior = [g for g in grp if 0.0 < g["mix_ratio"] < 100.0]
         best_endpoint = max((g["ndcg10"] for g in endpoints), default=math.nan)
+        best_endpoint_row = (
+            max(endpoints, key=lambda g: g["ndcg10"]) if endpoints else None
+        )
         if interior:
             best = max(interior, key=lambda g: g["ndcg10"])
             best_mixed = best["ndcg10"]
             lambda_star = best["mix_ratio"]
             delta = best_mixed - (best_endpoint if not math.isnan(best_endpoint) else 0.0)
         else:
-            best_mixed, lambda_star, delta = math.nan, math.nan, 0.0
-        out.append(
-            {
-                "pair": pair,
-                "doc_side": doc_side,
-                "mix_mode": mix_mode,
-                "model": model,
-                "best_endpoint_ndcg": best_endpoint,
-                "best_mixed_ndcg": best_mixed,
-                "delta_ndcg": delta,
-                "lambda_star_mid": lambda_star,
-                "n_points": len(grp),
-            }
-        )
+            best, best_mixed, lambda_star, delta = None, math.nan, math.nan, 0.0
+        row_out = {
+            "pair": pair,
+            "doc_side": doc_side,
+            "mix_mode": mix_mode,
+            "model": model,
+            "best_endpoint_ndcg": best_endpoint,
+            "best_mixed_ndcg": best_mixed,
+            "delta_ndcg": delta,
+            "lambda_star_mid": lambda_star,
+            "n_points": len(grp),
+        }
+        if (
+            best is not None
+            and best_endpoint_row is not None
+            and isinstance(best.get("perquery"), dict)
+            and isinstance(best_endpoint_row.get("perquery"), dict)
+        ):
+            ci = bootstrap_delta_ci(best_endpoint_row["perquery"], best["perquery"])
+            if ci:
+                row_out.update(ci)
+        out.append(row_out)
     return out
 
 
@@ -159,7 +232,8 @@ def write_csv(path, rows: List[Dict]) -> None:
 def collect_cli(args) -> None:
     rows = collect_results(args.results_root)
     out = pathlib.Path(args.out)
-    write_csv(out, rows)
+    # the long-form CSV drops the bulky per-query dicts
+    write_csv(out, [{k: v for k, v in r.items() if k != "perquery"} for r in rows])
     summary = compute_summary(rows)
     summary_path = out.with_name(out.stem + "_processed" + out.suffix)
     write_csv(summary_path, summary)
