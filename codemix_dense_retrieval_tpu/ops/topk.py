@@ -231,7 +231,7 @@ def topk_ip_bins(
     docs: jnp.ndarray,
     k: int,
     *,
-    bin_size: int = 32,
+    bin_size: int = 16,
     use_pallas: bool = True,
     tile_b: int = 256,
     tile_n: int = 1024,
@@ -289,7 +289,7 @@ def topk_ip(
     docs: jnp.ndarray,
     k: int,
     *,
-    bin_size: int = 32,
+    bin_size: int = 16,
     method: str = "auto",
     **kwargs,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

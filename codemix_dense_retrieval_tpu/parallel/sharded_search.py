@@ -86,7 +86,7 @@ def sharded_topk_ip(
     *,
     mesh: Mesh,
     axis: str = "shard",
-    bin_size: int = 32,
+    bin_size: int = 16,
     method: str = "bins_pallas",
     tile_n: int = 1024,
     tile_b: int = 256,
