@@ -283,6 +283,34 @@ def cmd_evaluate(args, extra: Sequence[str]) -> None:
     eval_main(extra)
 
 
+def cmd_convert(args) -> None:
+    """Convert an HF checkpoint directory to framework params (.npz)."""
+    import json as _json
+
+    from codemix_dense_retrieval_tpu.models.convert import (
+        load_hf_checkpoint,
+        save_params_npz,
+    )
+    from codemix_dense_retrieval_tpu.models.dialects import default_pooling
+
+    cfg, params = load_hf_checkpoint(
+        args.src, pooling=default_pooling(args.encoder)
+    )
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    save_params_npz(out / "params.npz", params)
+    import dataclasses
+
+    cfg_dict = dataclasses.asdict(cfg)
+    cfg_dict["dtype"] = str(cfg_dict["dtype"])
+    (out / "encoder_config.json").write_text(_json.dumps(cfg_dict, indent=2))
+    # copy tokenizer.json through when present so from_checkpoint finds it
+    tok = pathlib.Path(args.src) / "tokenizer.json"
+    if tok.exists():
+        (out / "tokenizer.json").write_text(tok.read_text(encoding="utf-8"), encoding="utf-8")
+    print(f"converted {args.src} -> {out} ({cfg.num_layers} layers, dim {cfg.hidden_size})")
+
+
 def cmd_sweep(args) -> None:
     from codemix_dense_retrieval_tpu.orchestrate.scheduler import run_sweep_cli
 
@@ -394,6 +422,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="evaluate a TREC run (all reference evaluate.py flags)",
         add_help=False,
     ).set_defaults(fn=cmd_evaluate, passthrough=True)
+
+    p = sub.add_parser("convert", help="convert an HF checkpoint to framework params")
+    p.add_argument("--encoder", default="BAAI/bge-m3")
+    p.add_argument("--src", required=True, help="HF checkpoint dir")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("sweep", help="experiment scheduler (replaces the bash schedulers)")
     p.add_argument("--plan", required=True, help="JSON sweep plan file")
