@@ -63,12 +63,30 @@ class TextEncoder:
 
     @classmethod
     def from_checkpoint(cls, name: str, checkpoint_dir, **kw) -> "TextEncoder":
-        from codemix_dense_retrieval_tpu.models.convert import load_hf_checkpoint
+        """Load either a pre-converted framework checkpoint (params.npz +
+        encoder_config.json, written by the ``convert`` CLI) or a raw HF
+        checkpoint dir (config.json + torch/safetensors weights)."""
+        import pathlib
 
-        cfg, params = load_hf_checkpoint(
-            checkpoint_dir, pooling=dialects.default_pooling(name)
+        d = pathlib.Path(checkpoint_dir)
+        if (d / "params.npz").exists() and (d / "encoder_config.json").exists():
+            import json
+
+            from codemix_dense_retrieval_tpu.models.convert import load_params_npz
+
+            cfg_dict = json.loads((d / "encoder_config.json").read_text())
+            cfg_dict.pop("dtype", None)
+            cfg = XLMRConfig(**cfg_dict)
+            params = load_params_npz(d / "params.npz")
+        else:
+            from codemix_dense_retrieval_tpu.models.convert import load_hf_checkpoint
+
+            cfg, params = load_hf_checkpoint(
+                checkpoint_dir, pooling=dialects.default_pooling(name)
+            )
+        tok = load_tokenizer(
+            checkpoint_dir, cfg.max_position_embeddings - 2, vocab_size=cfg.vocab_size
         )
-        tok = load_tokenizer(checkpoint_dir, cfg.max_position_embeddings - 2)
         return cls(name, cfg, params, tok, **kw)
 
     # ------------------------------------------------------------------

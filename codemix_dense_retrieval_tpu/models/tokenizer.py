@@ -105,10 +105,12 @@ def bucket_length(n: int, buckets: Sequence[int] = (16, 32, 64, 128, 256, 512)) 
     return buckets[-1]
 
 
-def load_tokenizer(name_or_dir, max_length: int = 512):
-    """HFTokenizer when a local tokenizer.json exists, else HashTokenizer."""
+def load_tokenizer(name_or_dir, max_length: int = 512, vocab_size: int = 250_002):
+    """HFTokenizer when a local tokenizer.json exists, else a HashTokenizer
+    bounded by the MODEL's vocab (out-of-range ids read garbage embedding
+    rows, so the fallback must always respect ``vocab_size``)."""
     if name_or_dir:
         d = pathlib.Path(str(name_or_dir))
         if (d / "tokenizer.json").exists():
             return HFTokenizer.from_dir(d)
-    return HashTokenizer(max_length=max_length)
+    return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
