@@ -44,9 +44,14 @@ def main() -> None:
     q_np = rng.standard_normal((block, dim)).astype(np.float32)
     queries = jnp.asarray(q_np).astype(jnp.bfloat16)
 
-    # warmup/compile
+    # warmup/compile — force a scalar device->host transfer: on the axon
+    # relay platform block_until_ready can return before a pallas program
+    # has actually compiled+run, which would push the compile into the
+    # first timed iteration
     vals, idx = run(queries, docs)
-    jax.block_until_ready((vals, idx))
+    _ = float(vals[0, 0])
+    vals, idx = run(queries, docs)
+    _ = float(vals[0, 0])
 
     # timed: force device completion AND host transfer each iteration so
     # async-dispatch platforms cannot under-report
