@@ -29,7 +29,7 @@ def main() -> None:
         n, block = 20_000, 256
 
     rng = np.random.default_rng(0)
-    docs_np = rng.standard_normal((n, dim)).astype(np.float32)
+    docs_np = rng.standard_normal((n, dim), dtype=np.float32)
     docs = jnp.asarray(docs_np).astype(jnp.bfloat16)
 
     import functools
@@ -41,7 +41,7 @@ def main() -> None:
             interpret=not on_tpu,
         )
 
-    q_np = rng.standard_normal((block, dim)).astype(np.float32)
+    q_np = rng.standard_normal((block, dim), dtype=np.float32)
     queries = jnp.asarray(q_np).astype(jnp.bfloat16)
 
     # warmup/compile — force a scalar device->host transfer: on the axon
