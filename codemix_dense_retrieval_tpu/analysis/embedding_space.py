@@ -259,6 +259,75 @@ def analyze_triplets(
     return result
 
 
+def project_embeddings(
+    E_en: np.ndarray,
+    E_zh: np.ndarray,
+    E_cm: np.ndarray,
+    *,
+    method: str = "auto",
+    abtt_remove: int = 0,
+    seed: int = 42,
+    max_points: int = 2000,
+) -> Dict[str, np.ndarray]:
+    """2-D projections of the EN/ZH/CM clouds for visualization
+    (reference's UMAP/t-SNE panels, `cm_embedding_space_analysis.py`).
+
+    ``method``: auto (umap if installed, else t-SNE, else PCA) | umap |
+    tsne | pca. Returns {"en": (n,2), "zh": ..., "cm": ...}.
+    """
+    rng = np.random.default_rng(seed)
+    parts = []
+    for E in (E_en, E_zh, E_cm):
+        if len(E) > max_points:
+            E = E[rng.choice(len(E), size=max_points, replace=False)]
+        parts.append(np.asarray(E, np.float32))
+    X = np.vstack(parts)
+    if abtt_remove:
+        X, _ = abtt_remove_top_pcs(X, abtt_remove)
+
+    if method == "auto":
+        try:
+            import umap  # noqa: F401
+
+            method = "umap"
+        except ImportError:
+            method = "tsne" if len(X) <= 5000 else "pca"
+    if method == "umap":
+        import umap
+
+        proj = umap.UMAP(n_components=2, random_state=seed).fit_transform(X)
+    elif method == "tsne":
+        from sklearn.manifold import TSNE
+
+        proj = TSNE(n_components=2, random_state=seed, init="pca").fit_transform(X)
+    else:
+        from sklearn.decomposition import PCA
+
+        proj = PCA(n_components=2, random_state=seed).fit_transform(X)
+    n1, n2 = len(parts[0]), len(parts[1])
+    return {"en": proj[:n1], "zh": proj[n1 : n1 + n2], "cm": proj[n1 + n2 :]}
+
+
+def plot_projection(proj: Dict[str, np.ndarray], outpath) -> None:
+    """Scatter the 2-D projection panels to png."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5, 4.2))
+    for name, color in (("en", "#4878a8"), ("zh", "#a85a5a"), ("cm", "#6aa86a")):
+        pts = proj[name]
+        ax.scatter(pts[:, 0], pts[:, 1], s=4, alpha=0.5, label=name.upper(), color=color)
+    ax.legend()
+    ax.set_xticks([])
+    ax.set_yticks([])
+    outpath = pathlib.Path(outpath)
+    outpath.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(outpath, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
 def write_report(result: AnalysisResult, outdir, qids: Optional[Sequence[str]] = None) -> None:
     """report.md + per-query CSV + hubness/anisotropy JSONs (the artifact
     set of the reference's `cm_analysis_dev_5_bge-m3/` example output)."""

@@ -11,10 +11,13 @@ Usage: python scripts/bench_encode.py [--batch 256] [--seq 128] [--layers 24]
 
 import argparse
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:

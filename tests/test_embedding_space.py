@@ -141,3 +141,32 @@ class TestFullAnalysis:
         assert (tmp_path / "analysis" / "anisotropy.json").exists()
         csv_lines = (tmp_path / "analysis" / "per_query_metrics.csv").read_text().splitlines()
         assert len(csv_lines) == b + 1
+
+
+class TestProjection:
+    def test_project_and_plot(self, tmp_path, rng):
+        from codemix_dense_retrieval_tpu.analysis.embedding_space import (
+            plot_projection,
+            project_embeddings,
+        )
+
+        d = 16
+        en = unit(rng.standard_normal((80, d)) + np.eye(d)[0] * 3)
+        zh = unit(rng.standard_normal((80, d)) - np.eye(d)[0] * 3)
+        cm = unit(0.5 * en + 0.5 * zh)
+        proj = project_embeddings(en, zh, cm, method="pca")
+        assert proj["en"].shape == (80, 2)
+        # separable clusters should stay separated in the projection
+        assert abs(proj["en"][:, 0].mean() - proj["zh"][:, 0].mean()) > 0.5
+        plot_projection(proj, tmp_path / "proj.png")
+        assert (tmp_path / "proj.png").stat().st_size > 1000
+
+    def test_tsne_path(self, rng):
+        from codemix_dense_retrieval_tpu.analysis.embedding_space import project_embeddings
+
+        d = 8
+        en = unit(rng.standard_normal((30, d)))
+        zh = unit(rng.standard_normal((30, d)))
+        cm = unit(en + zh)
+        proj = project_embeddings(en, zh, cm, method="tsne")
+        assert proj["cm"].shape == (30, 2)
