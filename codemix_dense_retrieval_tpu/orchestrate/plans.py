@@ -234,6 +234,86 @@ def build_en_zh_repro_plan(
     return {"jobs": jobs}
 
 
+# ------------------------------------------------------------------------
+# Ablation matrix (`run_ablation.sh:98-156`)
+# ------------------------------------------------------------------------
+
+ABLATION_MODELS: Dict[str, str] = {
+    "me5-large-instruct": "intfloat/multilingual-e5-large-instruct",
+    "gte-multilingual-base": "Alibaba-NLP/gte-multilingual-base",
+    "jina-embedding-v3": "jinaai/jina-embeddings-v3",
+    "qwen3-embedding-0.6B": "Qwen/Qwen3-Embedding-0.6B",
+    "qwen3-embedding-4B": "Qwen/Qwen3-Embedding-4B",
+    "qwen3-embedding-8B": "Qwen/Qwen3-Embedding-8B",
+}
+CORE_MODELS = (
+    "me5-large-instruct", "gte-multilingual-base",
+    "jina-embedding-v3", "qwen3-embedding-0.6B",
+)
+SIZE_MODELS = ("qwen3-embedding-0.6B", "qwen3-embedding-4B", "qwen3-embedding-8B")
+
+COMPOSITION_PAIRS = (("en", "ar"), ("en", "zh"), ("de", "nl"), ("en", "de"),
+                     ("ar", "zh"), ("zh", "ru"))
+HUB_MONO_JOBS = (("zh", "id", "zh"), ("de", "de", "en"))
+SCRIPT_MONO_JOBS = (("ru", "en", "ru"),)
+HIGH_SIGNAL_MONO_JOBS = (
+    ("ar", "en", "ar"), ("zh", "en", "zh"), ("de", "de", "nl"), ("zh", "id", "zh"),
+    ("en", "en", "zh"), ("de", "de", "en"), ("ar", "ar", "zh"), ("zh", "ar", "zh"),
+    ("zh", "zh", "ru"), ("ru", "zh", "ru"), ("en", "en", "ar"), ("en", "en", "de"),
+    ("de", "en", "de"),
+)
+SIZE_BILINGUAL_PAIRS = (("en", "zh"), ("de", "nl"), ("ar", "zh"), ("zh", "ru"),
+                        ("en", "de"))
+
+
+def build_ablation_plan(
+    *,
+    index_root_by_model: Dict[str, str],
+    query_tsv_root: str,
+    result_root: str,
+    checkpoints: Optional[Dict[str, str]] = None,
+    qrels: Optional[str] = None,
+    size: int = 100_000,
+) -> Dict:
+    """The encoder x block ablation matrix (`run_ablation.sh`): core models
+    run composition/hub/script blocks; size models run the size block.
+    Jobs are deduped on (model, side, pair). Per-model index roots mirror
+    the reference's per-encoder index trees."""
+    checkpoints = checkpoints or {}
+    q = lambda lang: str(pathlib.Path(query_tsv_root) / f"queries.{lang}.tsv")
+    jobs: List[Dict] = []
+    seen = set()
+
+    def add(model_tag: str, doc_side: str, a: str, b: str, block: str):
+        key = (model_tag, doc_side, a, b)
+        if key in seen:
+            return
+        seen.add(key)
+        encoder = ABLATION_MODELS[model_tag]
+        job = vector_mix_job(
+            doc_side=doc_side, lang_a=a, lang_b=b,
+            index_root=index_root_by_model[model_tag],
+            query_tsv_a=q(a), query_tsv_b=q(b),
+            result_root=str(pathlib.Path(result_root) / "ablation2"),
+            encoder=encoder, checkpoint=checkpoints.get(model_tag),
+            qrels=qrels, dataset="mmarco", size=size,
+        )
+        job["name"] = f"abl-{block}-{job['name']}"
+        jobs.append(job)
+
+    for model in CORE_MODELS:
+        for a, b in COMPOSITION_PAIRS:
+            add(model, "bilingual", a, b, "composition")
+        for doc, a, b in HUB_MONO_JOBS + HIGH_SIGNAL_MONO_JOBS:
+            add(model, doc, a, b, "hub")
+        for doc, a, b in SCRIPT_MONO_JOBS:
+            add(model, doc, a, b, "script")
+    for model in SIZE_MODELS:
+        for a, b in SIZE_BILINGUAL_PAIRS:
+            add(model, "bilingual", a, b, "size")
+    return {"jobs": jobs}
+
+
 def write_plan(plan: Dict, path) -> pathlib.Path:
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

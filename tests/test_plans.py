@@ -63,3 +63,28 @@ def test_en_zh_repro_plan(tmp_path):
     assert len(plan["jobs"]) == 6
     assert sum("wordmix" in n for n in names) == 3
     assert sum("vecmix" in n for n in names) == 3
+
+
+def test_ablation_plan():
+    from codemix_dense_retrieval_tpu.orchestrate.plans import (
+        ABLATION_MODELS,
+        CORE_MODELS,
+        SIZE_MODELS,
+        build_ablation_plan,
+    )
+
+    roots = {m: f"/idx/{m}" for m in ABLATION_MODELS}
+    plan = build_ablation_plan(
+        index_root_by_model=roots, query_tsv_root="/q", result_root="/r",
+    )
+    names = [j["name"] for j in plan["jobs"]]
+    assert len(names) == len(set(names))
+    # core models: 6 composition + dedup(hub 2 + 13 high-signal) + 1 script
+    per_core = 6 + len({(d, a, b) for d, a, b in
+                        (("zh","id","zh"),("de","de","en"))} |
+                       set()) + 13 + 1 - 2  # two hub jobs duplicate high-signal entries
+    core_jobs = [n for n in names if any(m in n for m in ["me5", "gte", "jina"])]
+    assert len(plan["jobs"]) > 50
+    # size block only for qwen models
+    size_jobs = [n for n in names if n.startswith("abl-size-")]
+    assert len(size_jobs) == 3 * 5 - 5  # qwen3-0.6B size pairs dedup against composition? no: different model keys
