@@ -76,12 +76,27 @@ def _device_index(index, args):
 
 
 def _load_query_sets(args) -> Dict[str, List[Tuple[str, str]]]:
-    """Either a directory of band files (queries-cm*.tsv) or single files
-    (reference 3 query modes, `onepass_dense_run.py:382-466`)."""
+    """A directory of band files (queries-cm*.tsv), single TSV files, or an
+    HF streaming split (the reference's 3 query modes,
+    `onepass_dense_run.py:382-466`)."""
     from codemix_dense_retrieval_tpu.io.tsv import read_queries_tsv
 
     sets: Dict[str, List[Tuple[str, str]]] = {}
-    for spec in args.queries:
+    if getattr(args, "queries_repo", None):
+        from datasets import load_dataset
+
+        ds = load_dataset(
+            args.queries_repo, args.queries_config, split=args.queries_split,
+            streaming=True,
+        )
+        rows = []
+        for rec in ds:
+            rows.append((str(rec[args.qid_field]), rec[args.qtext_field]))
+            if args.max_queries and len(rows) >= args.max_queries:
+                break
+        sets[args.queries_config or "hf"] = rows
+        return sets
+    for spec in args.queries or []:
         p = pathlib.Path(spec)
         if p.is_dir():
             for f in sorted(p.glob("queries-cm*.tsv")):
@@ -365,7 +380,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("run-mono", help="word-mix band search over one index")
     _add_common(p)
     p.add_argument("--index", required=True)
-    p.add_argument("--queries", nargs="+", required=True, help="band dir or TSV files")
+    p.add_argument("--queries", nargs="+", help="band dir or TSV files")
+    p.add_argument("--queries_repo", help="HF dataset repo (streaming query mode)")
+    p.add_argument("--queries_config", default=None)
+    p.add_argument("--queries_split", default="dev")
+    p.add_argument("--qid_field", default="id")
+    p.add_argument("--qtext_field", default="text")
     p.add_argument("--outdir", required=True)
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--qblock", type=int, default=256)

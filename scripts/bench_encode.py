@@ -56,8 +56,12 @@ def main() -> None:
     fwd = jax.jit(lambda p, i, m: model.apply(p, i, m))
     t0 = time.perf_counter()
     out = fwd(params, ids, mask)
-    jax.block_until_ready(out)
+    # force a scalar transfer: block_until_ready can return before pallas
+    # programs have compiled+run on the relay platform
+    _ = float(jnp.asarray(out).ravel()[0])
     compile_s = time.perf_counter() - t0
+    out = fwd(params, ids, mask)
+    _ = float(jnp.asarray(out).ravel()[0])
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
