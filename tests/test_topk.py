@@ -118,3 +118,22 @@ def test_query_batch_not_multiple_of_tile(rng):
     vals, idx = topk_ip_bins(jnp.asarray(qs), jnp.asarray(docs), 10, bin_size=64, tile_b=8)
     _, ref_idx = topk_ip_oracle(qs, docs, 10)
     np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_bf16_score_dtype_option(rng):
+    """Opt-in bf16 score storage: top-k set stays ~identical on
+    well-separated scores; values return as f32."""
+    import jax.numpy as jnp
+
+    qs, docs = make_data(rng, 3000, 64, 8)
+    k = 50
+    v32, i32 = topk_ip_bins(jnp.asarray(qs), jnp.asarray(docs), k)
+    v16, i16 = topk_ip_bins(
+        jnp.asarray(qs), jnp.asarray(docs), k, score_dtype=jnp.bfloat16
+    )
+    assert np.asarray(v16).dtype == np.float32
+    overlap = np.mean([
+        len(set(np.asarray(i32)[b].tolist()) & set(np.asarray(i16)[b].tolist())) / k
+        for b in range(8)
+    ])
+    assert overlap > 0.95
