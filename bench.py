@@ -37,7 +37,7 @@ def main() -> None:
     @functools.partial(jax.jit, static_argnames=())
     def run(q, d):
         return topk_ip_bins(
-            q, d, k, bin_size=16, use_pallas=on_tpu, tile_b=256, tile_n=1024,
+            q, d, k, bin_size=16, use_pallas=on_tpu, tile_b=512, tile_n=1024,
             interpret=not on_tpu,
         )
 
