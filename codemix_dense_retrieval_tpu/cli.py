@@ -211,6 +211,40 @@ def cmd_run_mix(args) -> None:
     vecs_a = encode_cached(lang_a, texts_a)
     vecs_b = encode_cached(lang_b, texts_b)
     alphas = [float(a) for a in args.cm_alphas]
+    if args.fused and args.qrels:
+        # one-jit sweep: mix + sharded search + ON-DEVICE metrics
+        from codemix_dense_retrieval_tpu.evals.device_metrics import build_rel_matrix
+        from codemix_dense_retrieval_tpu.io.trec import write_run
+        from codemix_dense_retrieval_tpu.io.tsv import read_qrels
+        from codemix_dense_retrieval_tpu.pipeline.fused import fused_alpha_sweep
+
+        qrels = read_qrels(args.qrels)
+        docid_to_row = {d: i for i, d in enumerate(index.docids)}
+        rel_rows = [
+            [docid_to_row[d] for d in qrels.get(qid, {}) if d in docid_to_row]
+            for qid in qids
+        ]
+        vals, ids, metrics = fused_alpha_sweep(
+            vecs_a, vecs_b, alphas, index._docs_dev, index._counts_dev,
+            args.k, mesh=index.mesh, rel_ids=build_rel_matrix(rel_rows),
+            search_kwargs=index.search_kwargs,
+        )
+        outdir = pathlib.Path(args.outdir)
+        out = {}
+        import numpy as np
+
+        from codemix_dense_retrieval_tpu.config import format_alpha
+
+        for ai, alpha in enumerate(alphas):
+            docids = index.docids[np.asarray(ids)[ai]]
+            path = outdir / f"cm-alpha-{format_alpha(alpha)}.trec"
+            write_run(path, qids, docids, np.asarray(vals)[ai], tag="onepass-cm")
+            out[format_alpha(alpha)] = {
+                "run": str(path),
+                **{name: round(float(v[ai]) * 100, 4) for name, v in metrics.items()},
+            }
+        print(json.dumps(out, indent=2))
+        return
     runs = run_vector_mix_search(
         index, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
         query_block=args.qblock,
@@ -401,6 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outdir", required=True)
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--qblock", type=int, default=1024)
+    p.add_argument("--fused", action="store_true",
+                   help="one-jit sweep with on-device metrics (needs --qrels)")
+    p.add_argument("--qrels", help="qrels file for --fused on-device metrics")
     p.set_defaults(fn=cmd_run_mix)
 
     p = sub.add_parser("run-bilingual", help="bilingual hub word-mix search (collapse-max)")

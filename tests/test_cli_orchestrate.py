@@ -231,3 +231,39 @@ class TestCollector:
         assert mix_ratio_from_runstem("cm0") == ("word", 0.0)
         assert mix_ratio_from_runstem("cm100_base") == ("word", 100.0)
         assert mix_ratio_from_runstem("notarun") is None
+
+
+class TestFusedCli:
+    def test_run_mix_fused_with_device_metrics(self, tmp_path, capsys):
+        docs_zh = write_corpus_tsv(tmp_path / "c.zh.tsv", "zh", 50)
+        cli_main([
+            "encode-corpus", "--corpus_tsv", f"zh={tmp_path/'c.zh.tsv'}",
+            "--out", str(tmp_path / "idx"), "--storage_dtype", "float32",
+            "--smoke_dim", "32",
+        ])
+        qids = [f"q{i}" for i in range(6)]
+        rel = [str(4 * i) for i in range(6)]
+        (tmp_path / "q.en.tsv").write_text(
+            "\n".join(f"{q}\tunrelated english {q}" for q in qids) + "\n"
+        )
+        (tmp_path / "q.zh.tsv").write_text(
+            "\n".join(f"{q}\t{docs_zh[d]}" for q, d in zip(qids, rel)) + "\n"
+        )
+        qrels = tmp_path / "qrels.tsv"
+        qrels.write_text("\n".join(f"{q}\t{d}#zh\t1" for q, d in zip(qids, rel)) + "\n")
+        capsys.readouterr()  # drop earlier commands' stdout
+        cli_main([
+            "run-mix",
+            "--index", str(tmp_path / "idx" / "zh"),
+            "--query_tsv", f"en={tmp_path/'q.en.tsv'}", f"zh={tmp_path/'q.zh.tsv'}",
+            "--cm_alphas", "0", "1",
+            "--outdir", str(tmp_path / "r"),
+            "--k", "10",
+            "--smoke_dim", "32",
+            "--fused", "--qrels", str(qrels),
+        ])
+        out = capsys.readouterr().out
+        payload = json.loads(out[out.index("{"):])
+        # alpha=1: queries == their relevant docs -> on-device RR@10 == 100
+        assert payload["1"]["RR@10"] == pytest.approx(100.0)
+        assert pathlib.Path(payload["1"]["run"]).exists()
