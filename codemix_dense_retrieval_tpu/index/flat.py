@@ -147,6 +147,12 @@ class DenseFlatIndex:
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None]
+        if q.shape[1] != self.dim:
+            # dim-mismatch rejection (reference `onepass_dense_run.py:46-53`)
+            raise ValueError(
+                f"query dim {q.shape[1]} != index dim {self.dim} "
+                f"(encoder/index mismatch)"
+            )
         blocks = [q] if not query_block else [
             q[i : i + query_block] for i in range(0, len(q), query_block)
         ]

@@ -226,3 +226,32 @@ class TestEvaluateCli:
         diag = dict(l.split(": ") for l in diag_f.read_text().strip().splitlines())
         assert diag["num_queries"] == "2"
         assert diag["num_retrieved"] == "4"
+
+
+class TestIrMeasuresParity:
+    """Cross-check against ir_measures/pytrec_eval when installed (absent in
+    this image; runs in environments that have it — SURVEY §2.2 'host-side
+    ir_measures-compatible path for parity checks')."""
+
+    def test_matches_ir_measures(self, rng):
+        irm = pytest.importorskip("ir_measures")
+        from ir_measures import Qrel, ScoredDoc
+
+        qrels_rows, run_rows = [], []
+        qrels, run = {}, {}
+        for qi in range(10):
+            qid = f"q{qi}"
+            rels = rng.choice(50, size=3, replace=False)
+            qrels[qid] = {f"d{j}": 1 for j in rels}
+            qrels_rows += [Qrel(qid, f"d{j}", 1) for j in rels]
+            scores = rng.standard_normal(50)
+            run[qid] = [(f"d{j}", float(scores[j])) for j in range(50)]
+            run_rows += [ScoredDoc(qid, f"d{j}", float(scores[j])) for j in range(50)]
+        measures = M.parse_measures(["nDCG@10", "MRR@10", "P@10", "Recall@10", "AP"])
+        ours = M.aggregate(measures, qrels, run)
+        theirs = irm.calc_aggregate(
+            list(irm.parse(" ".join(["nDCG@10", "RR@10", "P@10", "R@10", "AP"]))),
+            qrels_rows, run_rows,
+        )
+        for m, v in theirs.items():
+            assert ours[str(m)] == pytest.approx(float(v), abs=1e-8), str(m)

@@ -153,3 +153,14 @@ class TestDenseFlatIndex:
         np.testing.assert_allclose(vals, ref_vals, rtol=1e-5, atol=1e-5)
         for b in range(4):
             assert set(gids[b].tolist()) == set(ref_idx[b].tolist())
+
+
+def test_query_dim_mismatch_rejected(rng, eight_cpu_devices):
+    from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+    mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+    vecs = normed(rng, 300, 16)
+    idx = DenseFlatIndex.build(vecs, [str(i) for i in range(300)], dtype="float32")
+    idx.to_device(mesh, pad_multiple=64, method="bins_xla", tile_n=64, bin_size=16)
+    with pytest.raises(ValueError, match="dim"):
+        idx.search(normed(rng, 2, 32), 5)
