@@ -42,6 +42,7 @@ class Qwen3Config:
     tie_word_embeddings: bool = True
     normalize: bool = True
     dtype: Any = jnp.float32
+    use_flash: bool = False  # causal Pallas flash attention (TPU runs)
 
     @classmethod
     def embedding_0p6b(cls, **kw) -> "Qwen3Config":
@@ -125,15 +126,22 @@ class Qwen3Attention(nn.Module):
         v = jnp.repeat(v, rep, axis=2)
         # (B, H, S, Dh)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / np.sqrt(dh)
-        row = lax.broadcasted_iota(jnp.int32, (1, 1, s, s), 2)
-        col = lax.broadcasted_iota(jnp.int32, (1, 1, s, s), 3)
-        causal = col <= row
-        valid = col < lengths[:, None, None, None]
-        scores = jnp.where(causal & valid, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if c.use_flash:
+            from codemix_dense_retrieval_tpu.ops.flash_attention import attention_flash
+
+            out = attention_flash(q, k, v, lengths, causal=True)
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            scores = scores / np.sqrt(dh)
+            row = lax.broadcasted_iota(jnp.int32, (1, 1, s, s), 2)
+            col = lax.broadcasted_iota(jnp.int32, (1, 1, s, s), 3)
+            causal = col <= row
+            valid = col < lengths[:, None, None, None]
+            scores = jnp.where(causal & valid, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
         return nn.Dense(c.hidden_size, use_bias=False, name="o_proj", dtype=c.dtype)(out)
 

@@ -31,20 +31,26 @@ def attention_xla(
     k: jnp.ndarray,
     v: jnp.ndarray,
     lengths: jnp.ndarray,  # (B,) int32 valid key counts
+    causal: bool = False,
 ) -> jnp.ndarray:
     dh = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s / math.sqrt(dh)
     col = lax.broadcasted_iota(jnp.int32, (1, 1, 1, k.shape[2]), 3)
-    s = jnp.where(col < lengths[:, None, None, None], s, _NEG)
+    mask = col < lengths[:, None, None, None]
+    if causal:
+        row = lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[2], 1), 2)
+        mask = mask & (col <= row)
+    s = jnp.where(mask, s, _NEG)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
 def _flash_kernel(
-    len_ref, q_ref, k_ref, v_ref, o_ref, *, num_heads, block_k, sm_scale
+    len_ref, q_ref, k_ref, v_ref, o_ref, *, num_heads, block_k, sm_scale, causal
 ):
     bh = pl.program_id(0)
+    jq = pl.program_id(1)
     length = len_ref[bh // num_heads]
     q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, dh)
     block_q, dh = q.shape
@@ -59,7 +65,11 @@ def _flash_kernel(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_k)
         col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(col < length, s, _NEG)
+        valid = col < length
+        if causal:
+            row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + jq * block_q
+            valid = valid & (col <= row)
+        s = jnp.where(valid, s, _NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
@@ -85,6 +95,7 @@ def attention_flash(
     block_q: int = 256,
     block_k: int = 256,
     interpret: Optional[bool] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -101,7 +112,8 @@ def attention_flash(
     vf = v.reshape(b * h, s_pad, dh)
     grid = (b * h, s_pad // bq)
     kernel = functools.partial(
-        _flash_kernel, num_heads=h, block_k=bk, sm_scale=1.0 / math.sqrt(dh)
+        _flash_kernel, num_heads=h, block_k=bk, sm_scale=1.0 / math.sqrt(dh),
+        causal=causal,
     )
     out = pl.pallas_call(
         kernel,
@@ -128,11 +140,13 @@ def multi_head_attention(
     *,
     num_heads: int,
     use_flash: bool = True,
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """Encoder self-attention over packed (B, S, D) projections.
+    """Self-attention over packed (B, S, D) projections.
 
     ``attention_mask`` must be contiguous-prefix (standard right-padding);
-    it is reduced to per-sequence lengths for the flash path.
+    it is reduced to per-sequence lengths for the flash path. ``causal``
+    adds the decoder mask (Qwen3-style embedders).
     """
     b, s, d = q.shape
     dh = d // num_heads
@@ -143,7 +157,7 @@ def multi_head_attention(
     lengths = attention_mask.astype(jnp.int32).sum(axis=1)
     qh, kh, vh = split(q), split(k), split(v)
     if use_flash:
-        out = attention_flash(qh, kh, vh, lengths)
+        out = attention_flash(qh, kh, vh, lengths, causal=causal)
     else:
-        out = attention_xla(qh, kh, vh, lengths)
+        out = attention_xla(qh, kh, vh, lengths, causal=causal)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)

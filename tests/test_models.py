@@ -263,3 +263,50 @@ class TestTextEncoder:
         a = enc.encode_queries(["same text", "other"], batch_size=2)
         b = enc.encode_queries(["same text"], batch_size=1)
         np.testing.assert_allclose(a[0], b[0], atol=1e-5)
+
+
+class TestCausalFlash:
+    @pytest.mark.parametrize("s,block", [(32, 16), (48, 16)])
+    def test_causal_flash_matches_xla(self, rng, s, block):
+        from codemix_dense_retrieval_tpu.ops.flash_attention import (
+            attention_flash,
+            attention_xla,
+        )
+
+        b, h, dh = 2, 4, 16
+        q = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+        k = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+        v = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+        lengths = np.array([s, s - 7], np.int32)
+        ref = attention_xla(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+            causal=True,
+        )
+        out = attention_flash(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+            block_q=block, block_k=block, causal=True,
+        )
+        for i, L in enumerate(lengths):
+            np.testing.assert_allclose(
+                np.asarray(out)[i, :, :L], np.asarray(ref)[i, :, :L], rtol=2e-4, atol=2e-4
+            )
+
+
+class TestQwen3Flash:
+    def test_qwen3_flash_matches_xla_attention(self, rng):
+        import dataclasses
+
+        from codemix_dense_retrieval_tpu.models.qwen3 import Qwen3Config, Qwen3Encoder
+
+        cfg = Qwen3Config.tiny()
+        cfg_flash = dataclasses.replace(cfg, use_flash=True)
+        ids = jnp.asarray(rng.integers(3, 99, size=(2, 12)), jnp.int32)
+        mask = jnp.ones_like(ids)
+        import jax
+
+        m1 = Qwen3Encoder(cfg)
+        params = m1.init(jax.random.key(0), ids, mask)
+        out1 = np.asarray(m1.apply(params, ids, mask))
+        m2 = Qwen3Encoder(cfg_flash)
+        out2 = np.asarray(m2.apply(params, ids, mask))
+        np.testing.assert_allclose(out1, out2, rtol=3e-4, atol=3e-4)
