@@ -134,6 +134,14 @@ def cmd_encode_corpus(args) -> None:
     rel_ids = set()
     if args.rel_ids:
         rel_ids = set(pathlib.Path(args.rel_ids).read_text().split())
+    elif args.rel_qrels:
+        # harvest relevant docids from a qrels file (the reference streams
+        # them from the HF qrels dataset, `encode_multilingual_corpus.py:164-187`)
+        from codemix_dense_retrieval_tpu.io.tsv import read_qrels
+
+        qr = read_qrels(args.rel_qrels)
+        rel_ids = {d for judged in qr.values() for d, r in judged.items() if r > 0}
+        log.info("harvested %d relevant docids from %s", len(rel_ids), args.rel_qrels)
     selection = SelectionState(
         rel_ids=rel_ids,
         subset_neg_cap=args.subset_neg_cap,
@@ -403,6 +411,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--corpus_tsv", nargs="+", help="LANG=PATH offline corpus TSVs")
     p.add_argument("--out", required=True)
     p.add_argument("--rel_ids", help="file with relevant docids (subset mode)")
+    p.add_argument("--rel_qrels", help="qrels file to harvest relevant docids from")
     p.add_argument("--subset_neg_cap", type=int, default=0)
     p.add_argument("--neg_prob", type=float, default=1.0)
     p.add_argument("--batch", type=int, default=4096)
