@@ -15,7 +15,6 @@ dedup and summary machinery.
 from __future__ import annotations
 
 import json
-import math
 import pathlib
 import re
 from typing import Dict, List, Optional

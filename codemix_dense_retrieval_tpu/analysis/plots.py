@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 import pathlib
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 

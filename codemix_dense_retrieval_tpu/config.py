@@ -15,7 +15,7 @@ import json
 import os
 import pathlib
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 
 def _env_path(name: str, default: str) -> pathlib.Path:

@@ -16,7 +16,6 @@ framework's and fully testable offline.
 
 from __future__ import annotations
 
-import json
 import pathlib
 import threading
 from dataclasses import dataclass, field

@@ -17,7 +17,6 @@ from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
 def build_rel_matrix(rel_rows: Sequence[Sequence[int]], pad: int = -1) -> np.ndarray:

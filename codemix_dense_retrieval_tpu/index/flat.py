@@ -17,8 +17,7 @@ numpy docid table lookup over the returned global row ids.
 
 from __future__ import annotations
 
-import pathlib
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

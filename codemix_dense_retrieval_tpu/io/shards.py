@@ -26,7 +26,7 @@ import json
 import os
 import pathlib
 from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import ml_dtypes
 import numpy as np

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import pathlib
 import tempfile
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 PathLike = os.PathLike | str
 

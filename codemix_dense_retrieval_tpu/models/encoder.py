@@ -9,7 +9,6 @@ prefixes the reference's ``encode_queries``/``encode_documents`` do.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
