@@ -27,6 +27,8 @@ def detect_encoder_family(encoder: str) -> str:
         return "e5-instruct"
     if "e5" in name:
         return "e5"
+    if "gte-" in name or "/gte" in name:
+        return "gte"
     return "default"
 
 
