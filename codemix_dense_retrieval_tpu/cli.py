@@ -48,15 +48,17 @@ def _parse_lang_path(specs: Sequence[str]) -> Dict[str, pathlib.Path]:
 
 
 def _build_encoder(args):
-    """TextEncoder from --encoder/--checkpoint (random-init + hash
-    tokenizer when no checkpoint — synthetic/smoke mode)."""
+    """TextEncoder from --encoder/--checkpoint via the registry (any
+    family); random-init + hash tokenizer when no checkpoint (smoke mode)."""
+    if args.checkpoint:
+        from codemix_dense_retrieval_tpu.models.registry import load_encoder
+
+        return load_encoder(args.encoder, args.checkpoint, seed=args.seed)
+    log.warning("no --checkpoint: random-init encoder + hash tokenizer (smoke mode)")
     from codemix_dense_retrieval_tpu.models.dialects import default_pooling
     from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
     from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
 
-    if args.checkpoint:
-        return TextEncoder.from_checkpoint(args.encoder, args.checkpoint)
-    log.warning("no --checkpoint: random-init encoder + hash tokenizer (smoke mode)")
     cfg = XLMRConfig.tiny(
         vocab_size=30_000,
         hidden_size=args.smoke_dim,
