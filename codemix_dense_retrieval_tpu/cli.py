@@ -342,6 +342,45 @@ def cmd_evaluate(args, extra: Sequence[str]) -> None:
     eval_main(extra)
 
 
+def cmd_analyze(args) -> None:
+    """Embedding-space geometry analysis over EN/ZH/CM query triplets."""
+    import numpy as np
+
+    from codemix_dense_retrieval_tpu.analysis.embedding_space import (
+        analyze_triplets,
+        plot_projection,
+        project_embeddings,
+        write_report,
+    )
+    from codemix_dense_retrieval_tpu.io.tsv import read_queries_tsv
+    from codemix_dense_retrieval_tpu.pipeline.runs import intersect_query_sets
+
+    encoder = _build_encoder(args)
+    tsvs = _parse_lang_path(args.query_tsv)
+    if len(tsvs) != 3:
+        raise SystemExit("[ERROR] analyze needs three LANG=PATH --query_tsv (en, zh, cm)")
+    (l_a, p_a), (l_b, p_b), (l_cm, p_cm) = tsvs.items()
+    rows_a = read_queries_tsv(p_a)
+    rows_b = read_queries_tsv(p_b)
+    rows_cm = dict(read_queries_tsv(p_cm))
+    qids, texts_a, texts_b = intersect_query_sets(rows_a, rows_b)
+    qids = [q for q in qids if q in rows_cm]
+    texts_a = [t for q, t in zip(qids, texts_a)]
+    texts_b = [t for q, t in zip(qids, texts_b)]
+    texts_cm = [rows_cm[q] for q in qids]
+    if not qids:
+        raise SystemExit("[ERROR] empty qid intersection across the three TSVs")
+    E_a = encoder.encode_queries(texts_a, batch_size=args.enc_batch)
+    E_b = encoder.encode_queries(texts_b, batch_size=args.enc_batch)
+    E_cm = encoder.encode_queries(texts_cm, batch_size=args.enc_batch)
+    result = analyze_triplets(E_a, E_b, E_cm, seed=args.seed)
+    outdir = pathlib.Path(args.outdir)
+    write_report(result, outdir, qids=qids)
+    proj = project_embeddings(E_a, E_b, E_cm, seed=args.seed)
+    plot_projection(proj, outdir / "projection.png")
+    print(json.dumps({k: v for k, v in result.summary().items()}, indent=2, default=float))
+
+
 def cmd_convert(args) -> None:
     """Convert an HF checkpoint directory to framework params (.npz)."""
     import json as _json
@@ -490,6 +529,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="evaluate a TREC run (all reference evaluate.py flags)",
         add_help=False,
     ).set_defaults(fn=cmd_evaluate, passthrough=True)
+
+    p = sub.add_parser("analyze", help="embedding-space geometry analysis (EN/ZH/CM triplets)")
+    _add_common(p)
+    p.add_argument("--query_tsv", nargs=3, required=True, metavar="LANG=PATH")
+    p.add_argument("--outdir", required=True)
+    p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("convert", help="convert an HF checkpoint to framework params")
     p.add_argument("--encoder", default="BAAI/bge-m3")

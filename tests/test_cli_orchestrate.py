@@ -267,3 +267,27 @@ class TestFusedCli:
         # alpha=1: queries == their relevant docs -> on-device RR@10 == 100
         assert payload["1"]["RR@10"] == pytest.approx(100.0)
         assert pathlib.Path(payload["1"]["run"]).exists()
+
+
+class TestAnalyzeCli:
+    def test_analyze_triplets(self, tmp_path, capsys):
+        qids = [f"q{i}" for i in range(40)]
+        (tmp_path / "en.tsv").write_text(
+            "\n".join(f"{q}\tenglish query number {i} alpha beta" for i, q in enumerate(qids)) + "\n")
+        (tmp_path / "zh.tsv").write_text(
+            "\n".join(f"{q}\tchinese query number {i} gamma delta" for i, q in enumerate(qids)) + "\n")
+        (tmp_path / "cm.tsv").write_text(
+            "\n".join(f"{q}\tenglish chinese mixed {i} alpha gamma" for i, q in enumerate(qids)) + "\n")
+        cli_main([
+            "analyze",
+            "--query_tsv", f"en={tmp_path/'en.tsv'}", f"zh={tmp_path/'zh.tsv'}",
+            f"cm={tmp_path/'cm.tsv'}",
+            "--outdir", str(tmp_path / "analysis"),
+            "--smoke_dim", "32",
+        ])
+        assert (tmp_path / "analysis" / "report.md").exists()
+        assert (tmp_path / "analysis" / "projection.png").exists()
+        assert (tmp_path / "analysis" / "per_query_metrics.csv").exists()
+        out = capsys.readouterr().out
+        payload = json.loads(out[out.index("{"):])
+        assert "r_mean" in payload and "probe_accuracy" in payload
