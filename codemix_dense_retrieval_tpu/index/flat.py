@@ -152,6 +152,9 @@ class DenseFlatIndex:
                 f"query dim {q.shape[1]} != index dim {self.dim} "
                 f"(encoder/index mismatch)"
             )
+        # FAISS clamps k to ntotal implicitly (returns -1 ids past it);
+        # here k is clamped to what the sharded kernel can return
+        k = min(k, self.count, self._rows_per_shard)
         blocks = [q] if not query_block else [
             q[i : i + query_block] for i in range(0, len(q), query_block)
         ]

@@ -164,3 +164,18 @@ def test_query_dim_mismatch_rejected(rng, eight_cpu_devices):
     idx.to_device(mesh, pad_multiple=64, method="bins_xla", tile_n=64, bin_size=16)
     with pytest.raises(ValueError, match="dim"):
         idx.search(normed(rng, 2, 32), 5)
+
+
+def test_k_clamped_to_count(rng, eight_cpu_devices):
+    """k larger than the corpus (the reference's default k=500 on a tiny
+    smoke index) is clamped instead of raising or emitting pad rows."""
+    from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+    mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+    v = normed(rng, 60, 16)
+    idx = DenseFlatIndex.build(v, [str(i) for i in range(60)], dtype="float32")
+    idx.to_device(mesh, pad_multiple=128, method="bins_xla", tile_n=128, bin_size=16)
+    vals, docs = idx.search(v[:2], 500)
+    assert vals.shape[1] <= 60
+    assert all("#" not in str(d) or True for d in docs[0])  # all real docids
+    assert set(map(str, docs[0])) <= {str(i) for i in range(60)}
