@@ -98,7 +98,12 @@ class TextEncoder:
         max_length: Optional[int],
         task_id: int = 0,
     ) -> np.ndarray:
-        out: List[np.ndarray] = []
+        # JAX dispatch is asynchronous: by deferring the device->host
+        # materialization until all batches are enqueued, host tokenization
+        # of batch i+1 overlaps the device forward of batch i (the
+        # host-tokenization wall flagged in SURVEY §7 "hard parts").
+        pending: List = []
+        sizes: List[int] = []
         ml = max_length or (self.cfg.max_position_embeddings - 2)
         task = jnp.asarray(task_id, jnp.int32)
         for start in range(0, len(texts), batch_size):
@@ -111,11 +116,14 @@ class TextEncoder:
             mask_p = np.zeros((b, s), np.int32)
             ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
             mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
-            vecs = np.asarray(self._fwd(self.params, ids_p, mask_p, task))
-            out.append(vecs[: len(chunk)].astype(np.float32))
-        if not out:
+            pending.append(self._fwd(self.params, ids_p, mask_p, task))
+            sizes.append(len(chunk))
+        if not pending:
             dim = self.cfg.hidden_size
             return np.zeros((0, dim), np.float32)
+        out = [
+            np.asarray(dev)[:n].astype(np.float32) for dev, n in zip(pending, sizes)
+        ]
         return np.concatenate(out, axis=0)
 
     def _task_id(self, role: str) -> int:
