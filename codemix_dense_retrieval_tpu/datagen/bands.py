@@ -192,12 +192,48 @@ def generate_band_dataset(
     return state
 
 
+class UsageTracker:
+    """Token/cost accounting across generator calls (the reference keeps
+    running cost totals, `generate_cm_bands.py:364-365,433-434`)."""
+
+    def __init__(self, prompt_usd_per_1m: float = 0.0, completion_usd_per_1m: float = 0.0):
+        self.prompt_tokens = 0
+        self.completion_tokens = 0
+        self.calls = 0
+        self._pp = prompt_usd_per_1m
+        self._cp = completion_usd_per_1m
+
+    def add(self, usage) -> None:
+        self.calls += 1
+        if usage is None:
+            return
+        self.prompt_tokens += getattr(usage, "prompt_tokens", 0) or 0
+        self.completion_tokens += getattr(usage, "completion_tokens", 0) or 0
+
+    @property
+    def cost_usd(self) -> float:
+        return (
+            self.prompt_tokens * self._pp + self.completion_tokens * self._cp
+        ) / 1_000_000
+
+    def summary(self) -> dict:
+        return {
+            "calls": self.calls,
+            "prompt_tokens": self.prompt_tokens,
+            "completion_tokens": self.completion_tokens,
+            "cost_usd": round(self.cost_usd, 4),
+        }
+
+
 def openai_generate_fn(
-    model: str = "gpt-5-mini", api_key: Optional[str] = None
+    model: str = "gpt-5-mini",
+    api_key: Optional[str] = None,
+    usage: Optional[UsageTracker] = None,
 ) -> GenerateFn:
     """OpenAI-backed candidate generator (host-side; requires network +
     the ``openai`` package — mirrors the reference's prompt contract,
-    `generate_cm_bands.py:173-217`)."""
+    `generate_cm_bands.py:173-217`). Pass a ``UsageTracker`` to accumulate
+    token counts / cost."""
     from openai import OpenAI  # gated import
 
     client = OpenAI(api_key=api_key)
@@ -214,6 +250,8 @@ def openai_generate_fn(
         resp = client.chat.completions.create(
             model=model, messages=[{"role": "user", "content": prompt}]
         )
+        if usage is not None:
+            usage.add(getattr(resp, "usage", None))
         text = resp.choices[0].message.content or ""
         return [line.strip() for line in text.splitlines() if line.strip()]
 

@@ -125,3 +125,18 @@ class TestBands:
         assert state.file_candidate("q1", "foo 中", 50.0) == (40, 60)
         # second 50% candidate is NOT refiled
         assert state.file_candidate("q1", "bar 中", 55.0) is None
+
+
+def test_usage_tracker():
+    from types import SimpleNamespace
+
+    from codemix_dense_retrieval_tpu.datagen.bands import UsageTracker
+
+    t = UsageTracker(prompt_usd_per_1m=0.25, completion_usd_per_1m=2.0)
+    t.add(SimpleNamespace(prompt_tokens=1000, completion_tokens=500))
+    t.add(SimpleNamespace(prompt_tokens=2000, completion_tokens=1500))
+    t.add(None)
+    s = t.summary()
+    assert s["calls"] == 3
+    assert s["prompt_tokens"] == 3000 and s["completion_tokens"] == 2000
+    assert s["cost_usd"] == round((3000 * 0.25 + 2000 * 2.0) / 1e6, 4)
