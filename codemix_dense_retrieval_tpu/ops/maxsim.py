@@ -1,0 +1,110 @@
+"""MaxSim late-interaction scoring (ColBERT-style multi-vector rerank).
+
+Beyond-parity capability: BGE-M3 exposes a multi-vector (ColBERT) head in
+addition to the dense CLS vector the reference uses. The standard serving
+pattern is two-stage — dense recall with the flat index, then MaxSim
+rerank of the top-k candidates:
+
+    score(q, d) = sum_i max_j  q_i . d_j
+
+This module provides the rerank stage: an XLA reference implementation
+and a fused Pallas kernel that streams candidate token blocks through
+VMEM with a running per-query-token max (never materializing the full
+(Tq x Td) similarity matrix per pair in HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def maxsim_scores_xla(
+    q_tokens: jnp.ndarray,  # (B, Tq, d)
+    q_mask: jnp.ndarray,  # (B, Tq) 1 = valid query token
+    d_tokens: jnp.ndarray,  # (B, K, Td, d) candidate doc token embeddings
+    d_mask: jnp.ndarray,  # (B, K, Td)
+) -> jnp.ndarray:
+    """Reference MaxSim: (B, K) scores."""
+    sim = jnp.einsum(
+        "bqd,bktd->bkqt", q_tokens, d_tokens, preferred_element_type=jnp.float32
+    )
+    sim = jnp.where(d_mask[:, :, None, :] > 0, sim, -jnp.inf)
+    best = jnp.max(sim, axis=-1)  # (B, K, Tq)
+    best = jnp.where(q_mask[:, None, :] > 0, best, 0.0)
+    # candidates with no valid tokens score 0
+    best = jnp.where(jnp.isfinite(best), best, 0.0)
+    return best.sum(axis=-1)
+
+
+def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, tq, td):
+    """One (batch-row, candidate) program: score = sum_i max_j q_i . d_j."""
+    q = q_ref[0].astype(jnp.float32)  # (Tq, dim)
+    d = d_ref[0, 0].astype(jnp.float32)  # (Td, dim)
+    sim = lax.dot_general(
+        q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Tq, Td)
+    dmask = dm_ref[0, 0].astype(jnp.float32)  # (Td,)
+    sim = jnp.where(dmask[None, :] > 0, sim, -jnp.inf)
+    best = jnp.max(sim, axis=1)  # (Tq,)
+    qmask = qm_ref[0].astype(jnp.float32)
+    best = jnp.where((qmask > 0) & jnp.isfinite(best), best, 0.0)
+    o_ref[0, 0] = jnp.sum(best)
+
+
+def maxsim_scores_pallas(
+    q_tokens: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    d_tokens: jnp.ndarray,
+    d_mask: jnp.ndarray,
+    *,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused MaxSim over (B, K) candidate pairs; grid = (B, K); each program
+    computes one pair's (Tq x Td) similarity tile in VMEM and reduces it
+    without an HBM round-trip."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, tq, dim = q_tokens.shape
+    _, k, td, _ = d_tokens.shape
+    kernel = functools.partial(_maxsim_kernel, tq=tq, td=td)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, k),
+        in_specs=[
+            pl.BlockSpec((1, tq), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, td), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, dim), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, td, dim), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
+        interpret=interpret,
+    )(q_mask.astype(jnp.float32), d_mask.astype(jnp.float32), q_tokens, d_tokens)
+
+
+def maxsim_rerank(
+    q_tokens: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    d_tokens: jnp.ndarray,
+    d_mask: jnp.ndarray,
+    candidate_ids: jnp.ndarray,  # (B, K) global ids from the dense stage
+    *,
+    use_pallas: bool = True,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rerank dense-stage candidates by MaxSim; returns (scores sorted desc,
+    reordered candidate ids), ties broken by lower id."""
+    if use_pallas:
+        scores = maxsim_scores_pallas(q_tokens, q_mask, d_tokens, d_mask, interpret=interpret)
+    else:
+        scores = maxsim_scores_xla(q_tokens, q_mask, d_tokens, d_mask)
+    neg, ids = lax.sort((-scores, candidate_ids.astype(jnp.int32)), num_keys=2)
+    return -neg, ids
