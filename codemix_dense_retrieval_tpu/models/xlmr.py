@@ -218,6 +218,16 @@ class XLMREncoder(nn.Module):
             x, attention_mask, self.cfg.pooling, self.cfg.normalize
         )
 
+    def token_embeddings(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
+    ) -> jnp.ndarray:
+        """Per-token L2-normalized embeddings for multi-vector (ColBERT /
+        BGE-M3 colbert-head) late interaction; padded tokens zeroed.
+        Feed into :mod:`~codemix_dense_retrieval_tpu.ops.maxsim`."""
+        x = self.hidden_states(input_ids, attention_mask, task_id).astype(jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return x * attention_mask.astype(jnp.float32)[..., None]
+
 
 def pool_and_normalize(
     hidden: jnp.ndarray,

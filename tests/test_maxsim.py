@@ -83,3 +83,37 @@ def test_identical_doc_wins(rng):
     scores = np.asarray(maxsim_scores_xla(*map(jnp.asarray, (qt, qm, dt, dm))))
     assert scores[0].argmax() == 1
     assert scores[0, 1] == pytest.approx(tq, rel=1e-5)
+
+
+def test_token_embeddings_feed_maxsim(rng):
+    """End-to-end multi-vector: token embeddings from the encoder rerank a
+    copy of the query's own text to the top."""
+    import jax
+    from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer
+    from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig, XLMREncoder
+
+    cfg = XLMRConfig.tiny(vocab_size=5000, hidden_size=32, use_flash=False)
+    model = XLMREncoder(cfg)
+    tok = HashTokenizer(5000, 16)
+    texts = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    query = texts[1]
+    ids_d, mask_d = tok.encode_batch(texts, 16)
+    ids_q, mask_q = tok.encode_batch([query], 16)
+    # pad both to the same length for stacking
+    L = max(ids_d.shape[1], ids_q.shape[1])
+    def padto(a, fill):
+        out = np.full((a.shape[0], L), fill, a.dtype)
+        out[:, :a.shape[1]] = a
+        return out
+    ids_d, mask_d = padto(ids_d, 1), padto(mask_d, 0)
+    ids_q, mask_q = padto(ids_q, 1), padto(mask_q, 0)
+    params = model.init(jax.random.key(0), jnp.asarray(ids_q), jnp.asarray(mask_q))
+    d_tok = np.asarray(model.apply(params, jnp.asarray(ids_d), jnp.asarray(mask_d),
+                                   method=model.token_embeddings))
+    q_tok = np.asarray(model.apply(params, jnp.asarray(ids_q), jnp.asarray(mask_q),
+                                   method=model.token_embeddings))
+    scores = np.asarray(maxsim_scores_xla(
+        jnp.asarray(q_tok), jnp.asarray(mask_q), jnp.asarray(d_tok[None]),
+        jnp.asarray(mask_d[None]),
+    ))
+    assert scores[0].argmax() == 1  # the query's own text wins
