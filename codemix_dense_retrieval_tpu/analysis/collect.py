@@ -210,6 +210,10 @@ def compute_summary(rows: List[Dict]) -> List[Dict]:
             ci = bootstrap_delta_ci(best_endpoint_row["perquery"], best["perquery"])
             if ci:
                 row_out.update(ci)
+        if pair:
+            from codemix_dense_retrieval_tpu.analysis.lang_factors import pair_factors
+
+            row_out.update(pair_factors(str(pair)))
         out.append(row_out)
     return out
 
@@ -223,8 +227,12 @@ def write_csv(path, rows: List[Dict]) -> None:
         path.write_text("")
         return
     cols = list(rows[0].keys())
+    for r in rows[1:]:  # union of keys, first-seen order (factor columns vary)
+        for k in r:
+            if k not in cols:
+                cols.append(k)
     with open(path, "w", newline="", encoding="utf-8") as f:
-        w = csv.DictWriter(f, fieldnames=cols)
+        w = csv.DictWriter(f, fieldnames=cols, restval="")
         w.writeheader()
         w.writerows(rows)
 

@@ -53,3 +53,29 @@ def test_summary_gets_ci_from_perquery_files(tmp_path, rng):
     # constant +3 shift -> CI degenerates around 3
     assert abs(s["delta_ndcg_ci95_low"] - 3.0) < 0.2
     assert abs(s["delta_ndcg_ci95_high"] - 3.0) < 0.2
+
+
+def test_pair_factors_in_summary(tmp_path):
+    exp = tmp_path / "mmarco-1000-chinese-en-zh-5bands-bge-m3" / "vector_mix"
+    exp.mkdir(parents=True)
+    for alpha, ndcg in [("0", 30.0), ("0.5", 32.0), ("1", 28.0)]:
+        (exp / f"cm-alpha-{alpha}_dev_20260101-000000-agg.json").write_text(
+            json.dumps({"nDCG@10": ndcg})
+        )
+    rows = collect_results(tmp_path)
+    summary = compute_summary(rows)
+    s = summary[0]
+    assert s["same_script"] is False  # latin vs han
+    assert s["lang2vec_knn"] == 0.3316  # published EN-ZH distance
+    assert s["glot_tree"] == 1.0
+
+
+def test_pair_factors_direct():
+    from codemix_dense_retrieval_tpu.analysis.lang_factors import pair_factors
+
+    f = pair_factors("DE-NL")
+    assert f["same_script"] is True and f["same_family"] is True
+    assert f["lang2vec_knn"] == 0.0849
+    # order-insensitive
+    assert pair_factors("NL-DE")["lang2vec_knn"] == 0.0849
+    assert pair_factors("XX-YY") == {}
