@@ -56,7 +56,7 @@ class TestFlashAttention:
         mask[1, :17] = 1
         o1 = multi_head_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
-            num_heads=h, use_flash=True,
+            num_heads=h, use_flash=True, flash_min_seq=0,  # force the kernel
         )
         o2 = multi_head_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
