@@ -185,6 +185,122 @@ def _bin_scores_pallas(
     )(nv, queries, docs)
 
 
+def _bin_scores_pallas_int8_kernel(
+    nv_ref, qv_ref, qs_ref, dv_ref, ds_ref, scores_ref, binmax_ref, *, bin_size, tile_n
+):
+    # int8 x int8 -> int32 on the MXU, rescaled to f32 by the per-row
+    # symmetric scales (ops.quant); same transposed (T, B) layout as the
+    # bf16 kernel. Index reads drop to 1 byte/element.
+    j = pl.program_id(1)
+    acc = jax.lax.dot_general(
+        dv_ref[:], qv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (tile_n, tile_b) int32
+    ds = ds_ref[:, 0]  # (tile_n,)
+    qs = qs_ref[:, 0]  # (tile_b,)
+    s = acc.astype(jnp.float32) * ds[:, None] * qs[None, :]
+    n_valid = nv_ref[0]
+    row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * tile_n
+    s = jnp.where(row < n_valid, s, NEG_INF)
+    scores_ref[:] = s.astype(scores_ref.dtype)
+    binmax_ref[:] = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
+
+
+def _bin_scores_pallas_int8(
+    q_vals: jnp.ndarray,  # (B, dim) int8
+    q_scales: jnp.ndarray,  # (B,) f32
+    d_vals: jnp.ndarray,  # (Npad, dim) int8
+    d_scales: jnp.ndarray,  # (Npad,) f32
+    bin_size: int,
+    n_valid,
+    *,
+    tile_b: int = 256,
+    tile_n: int = 1024,
+    interpret: bool = False,
+    score_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, dim = q_vals.shape
+    n_pad = d_vals.shape[0]
+    assert n_pad % tile_n == 0 and tile_n % bin_size == 0
+    tile_b = min(tile_b, b)
+    assert b % tile_b == 0, (b, tile_b)
+    grid = (b // tile_b, n_pad // tile_n)
+    kernel = functools.partial(
+        _bin_scores_pallas_int8_kernel, bin_size=bin_size, tile_n=tile_n
+    )
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, b), score_dtype),
+            jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nv, q_vals, q_scales.reshape(-1, 1), d_vals, d_scales.reshape(-1, 1))
+
+
+def topk_ip_bins_int8(
+    queries: jnp.ndarray,  # (B, dim) float — quantized on-device
+    d_vals: jnp.ndarray,  # (N, dim) int8
+    d_scales: jnp.ndarray,  # (N,) f32
+    k: int,
+    *,
+    bin_size: int = 16,
+    tile_b: int = 256,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    n_valid=None,
+    score_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bin-max-cover top-k over an int8 index (per-row scales): the fused
+    int8 MXU path of the quantized index (`ops.quant`)."""
+    from codemix_dense_retrieval_tpu.ops.quant import quantize_rows
+
+    n_rows = d_vals.shape[0]
+    if n_valid is None:
+        n_valid = n_rows
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_pad = _ceil_to(n_rows, tile_n)
+    if n_pad != n_rows:
+        d_vals = jnp.pad(d_vals, ((0, n_pad - n_rows), (0, 0)))
+        d_scales = jnp.pad(d_scales, (0, n_pad - n_rows))
+        if isinstance(n_valid, int):
+            n_valid = min(n_valid, n_rows)
+    b = queries.shape[0]
+    q_vals, q_scales = quantize_rows(queries.astype(jnp.float32))
+    if b <= tile_b:
+        eff_tile_b, b_pad = b, b
+    else:
+        eff_tile_b = tile_b
+        b_pad = _ceil_to(b, tile_b)
+        if b_pad != b:
+            q_vals = jnp.pad(q_vals, ((0, b_pad - b), (0, 0)))
+            q_scales = jnp.pad(q_scales, (0, b_pad - b))
+    scores_t, bin_max_t = _bin_scores_pallas_int8(
+        q_vals, q_scales, d_vals, d_scales, bin_size, n_valid,
+        tile_b=eff_tile_b, tile_n=tile_n, interpret=interpret,
+        score_dtype=score_dtype,
+    )
+    bin_max = bin_max_t.T
+    if b_pad != b:
+        scores_t, bin_max = scores_t[:, :b], bin_max[:b]
+    return _topk_from_bins(scores_t, bin_max, k, bin_size, scores_transposed=True)
+
+
 # --------------------------------------------------------------------------
 # phase 2: bin cover -> candidate gather -> lexicographic select
 # --------------------------------------------------------------------------

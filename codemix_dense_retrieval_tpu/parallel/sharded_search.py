@@ -127,9 +127,14 @@ def sharded_topk_ip(
     def local_search(q, d, cnt, scales):
         shard_id = lax.axis_index(axis)
         n_valid = cnt[0]
-        if method == "full" or int8_mode:
-            # full-sort path (int8 always scores here; the binned pallas
-            # kernel is the bf16/f32 fast path): mask pad rows BEFORE select
+        if int8_mode and method == "bins_pallas":
+            # fused int8 MXU kernel: 1-byte index reads, f32 rescale in-kernel
+            vals, idx = topk_ops.topk_ip_bins_int8(
+                q, d, scales, k, bin_size=bin_size, tile_b=tile_b, tile_n=tile_n,
+                interpret=interpret, n_valid=n_valid,
+            )
+        elif method == "full" or int8_mode:
+            # full-sort path / int8 XLA fallback: mask pad rows BEFORE select
             scores = _scores(q, d, scales)
             col = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
             scores = jnp.where(col < n_valid, scores, topk_ops.NEG_INF)

@@ -86,3 +86,50 @@ class TestInt8Index:
         dd, counts, _ = shard_rows(docs, mesh, pad_multiple=64)
         with pytest.raises(ValueError):
             sharded_topk_ip(jnp.zeros((2, 16)), dd, counts, 5, mesh=mesh)
+
+
+class TestInt8PallasKernel:
+    def test_int8_bins_matches_xla_scores(self, rng):
+        import jax.numpy as jnp
+
+        from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+        from codemix_dense_retrieval_tpu.ops.topk import (
+            _topk_from_bins,
+            topk_ip_bins_int8,
+        )
+
+        n, d, b, k = 2000, 64, 8, 30
+        docs = normed(rng, n, d)
+        q = normed(rng, b, d)
+        dv, ds = quantize_rows_np(docs)
+        vals, idx = topk_ip_bins_int8(
+            jnp.asarray(q), jnp.asarray(dv), jnp.asarray(ds), k,
+            bin_size=16, tile_n=256,
+        )
+        # oracle: dequantized int8 scores with quantized queries
+        qv, qs = quantize_rows_np(q)
+        scores = (qv.astype(np.float32) * qs[:, None]) @ (
+            dv.astype(np.float32) * ds[:, None]
+        ).T
+        order = np.lexsort((np.arange(n)[None].repeat(b, 0), -scores), axis=1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(idx), order)
+        ref_vals = np.take_along_axis(scores, order, axis=1)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-4, atol=1e-4)
+
+    def test_sharded_int8_pallas_method(self, rng, eight_cpu_devices):
+        import jax.numpy as jnp
+
+        from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n, d, k = 3000, 64, 50
+        vecs = normed(rng, n, d)
+        idx = DenseFlatIndex.build(vecs, [str(i) for i in range(n)], dtype="int8")
+        idx.to_device(mesh, pad_multiple=256, method="bins_pallas", tile_n=256, bin_size=16)
+        q = normed(rng, 8, d)
+        vals, gids = idx.search(q, k, return_docids=False)
+        _, ref_idx = topk_ip_oracle(q, vecs, k)
+        recalls = [
+            len(set(gids[i].tolist()) & set(ref_idx[i].tolist())) / k for i in range(8)
+        ]
+        assert np.mean(recalls) > 0.9
