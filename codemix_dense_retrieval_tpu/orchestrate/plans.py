@@ -314,6 +314,40 @@ def build_ablation_plan(
     return {"jobs": jobs}
 
 
+# Per-model encode batch defaults (the reference tunes these per encoder,
+# `run_encode_index_ablation.sh:56-106`), overridable via env vars of the
+# form ENC_BATCH_<TAG> (reference `get_override`, `:118-132`).
+MODEL_ENC_BATCH: Dict[str, int] = {
+    "bge-m3": 256,
+    "me5-large-instruct": 256,
+    "gte-multilingual-base": 512,
+    "jina-embedding-v3": 256,
+    "qwen3-embedding-0.6B": 256,
+    "qwen3-embedding-4B": 64,
+    "qwen3-embedding-8B": 32,
+}
+
+
+def get_override(prefix: str, tag: str, default):
+    """Env override ``<PREFIX>_<TAG>`` with non-alnum chars mapped to ``_``
+    and upper-cased (the reference's bash get_override convention)."""
+    import os
+    import re
+
+    key = f"{prefix}_{re.sub(r'[^A-Za-z0-9]+', '_', tag)}".upper()
+    raw = os.environ.get(key)
+    if raw is None:
+        return default
+    try:
+        return type(default)(raw)
+    except (TypeError, ValueError):
+        return raw
+
+
+def enc_batch_for(model_tag: str, default: int = 256) -> int:
+    return get_override("ENC_BATCH", model_tag, MODEL_ENC_BATCH.get(model_tag, default))
+
+
 def write_plan(plan: Dict, path) -> pathlib.Path:
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

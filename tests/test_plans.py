@@ -88,3 +88,14 @@ def test_ablation_plan():
     # size block only for qwen models
     size_jobs = [n for n in names if n.startswith("abl-size-")]
     assert len(size_jobs) == 3 * 5 - 5  # qwen3-0.6B size pairs dedup against composition? no: different model keys
+
+
+def test_enc_batch_overrides(monkeypatch):
+    from codemix_dense_retrieval_tpu.orchestrate.plans import enc_batch_for, get_override
+
+    assert enc_batch_for("qwen3-embedding-8B") == 32
+    assert enc_batch_for("unknown-model") == 256
+    monkeypatch.setenv("ENC_BATCH_QWEN3_EMBEDDING_8B", "16")
+    assert enc_batch_for("qwen3-embedding-8B") == 16
+    monkeypatch.setenv("FOO_BAR_BAZ", "7")
+    assert get_override("FOO", "bar-baz", 3) == 7
