@@ -10,6 +10,11 @@ from codemix_dense_retrieval_tpu.io.trec import (
     read_run,
     write_run,
 )
+from codemix_dense_retrieval_tpu.io.shards import (
+    ShardStore,
+    ShardWriter,
+    concat_stores,
+)
 
 __all__ = [
     "read_queries_tsv",
@@ -20,4 +25,7 @@ __all__ = [
     "read_run",
     "write_run",
     "collapse_run_max",
+    "ShardStore",
+    "ShardWriter",
+    "concat_stores",
 ]
