@@ -330,6 +330,40 @@ def cmd_cache_queries(args) -> None:
         print(f"{lang}: {out} ({len(qids)} queries)")
 
 
+def cmd_generate_bands(args) -> None:
+    """Generate code-mix band query sets (reference generate_cm_bands.py)."""
+    from codemix_dense_retrieval_tpu.datagen.bands import (
+        UsageTracker,
+        generate_band_dataset,
+        openai_generate_fn,
+    )
+    from codemix_dense_retrieval_tpu.io.tsv import read_queries_tsv, write_queries_tsv
+    from codemix_dense_retrieval_tpu.pipeline.runs import intersect_query_sets
+
+    rows_en = read_queries_tsv(args.en)
+    rows_zh = read_queries_tsv(args.zh)
+    qids, texts_en, texts_zh = intersect_query_sets(rows_en, rows_zh)
+    if args.max_queries:
+        qids, texts_en, texts_zh = (
+            qids[: args.max_queries], texts_en[: args.max_queries], texts_zh[: args.max_queries]
+        )
+    bands = []
+    for spec in args.bands:
+        lo, hi = spec.split("-")
+        bands.append((int(lo), int(hi)))
+    usage = UsageTracker()
+    gen = openai_generate_fn(model=args.model, usage=usage)
+    pairs = list(zip(qids, texts_en, texts_zh))
+    generate_band_dataset(
+        pairs, args.out_dir, gen, bands=bands, num_threads=args.workers
+    )
+    # pure-language endpoint bands used by the word-mix scripts
+    out = pathlib.Path(args.out_dir)
+    write_queries_tsv(out / "queries-cm0.tsv", list(zip(qids, texts_en)))
+    write_queries_tsv(out / "queries-cm100.tsv", list(zip(qids, texts_zh)))
+    print(json.dumps({"out_dir": str(out), "queries": len(qids), **usage.summary()}))
+
+
 def cmd_download_queries(args) -> None:
     from codemix_dense_retrieval_tpu.datagen.download import download_mmarco_queries
 
@@ -516,6 +550,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query_tsv", nargs="+", required=True, metavar="LANG=PATH")
     p.add_argument("--cache_root", required=True)
     p.set_defaults(fn=cmd_cache_queries)
+
+    p = sub.add_parser("generate-bands", help="generate code-mix band query sets (needs OPENAI_API_KEY)")
+    p.add_argument("--en", required=True)
+    p.add_argument("--zh", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--bands", nargs="+", default=["0-20", "20-40", "40-60", "60-80", "80-100"])
+    p.add_argument("--model", default="gpt-5-mini")
+    p.add_argument("--workers", type=int, default=1)
+    p.add_argument("--max_queries", type=int, default=0)
+    p.set_defaults(fn=cmd_generate_bands)
 
     p = sub.add_parser("download-queries", help="download mMARCO dev queries to TSVs")
     p.add_argument("--langs", nargs="+", required=True)
