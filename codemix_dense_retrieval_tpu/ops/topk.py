@@ -301,6 +301,116 @@ def topk_ip_bins_int8(
     return _topk_from_bins(scores_t, bin_max, k, bin_size, scores_transposed=True)
 
 
+def _binmax_only_pallas_kernel(nv_ref, qt_ref, d_ref, binmax_ref, *, bin_size, tile_n):
+    # scores are reduced to bin maxima in VMEM and NEVER written to HBM —
+    # phase-1 traffic collapses to the index read + a tiny (N/G, B) output.
+    j = pl.program_id(1)
+    s = jax.lax.dot_general(
+        d_ref[:], qt_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    n_valid = nv_ref[0]
+    row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * tile_n
+    s = jnp.where(row < n_valid, s, NEG_INF)
+    binmax_ref[:] = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
+
+
+def _binmax_only_pallas(
+    queries, docs, bin_size, n_valid, *, tile_b=256, tile_n=1024, interpret=False
+):
+    b, dim = queries.shape
+    n_pad = docs.shape[0]
+    assert n_pad % tile_n == 0 and tile_n % bin_size == 0
+    tile_b = min(tile_b, b)
+    assert b % tile_b == 0, (b, tile_b)
+    kernel = functools.partial(_binmax_only_pallas_kernel, bin_size=bin_size, tile_n=tile_n)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tile_b, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
+        interpret=interpret,
+    )(nv, queries, docs)
+
+
+def topk_ip_bins_rescore(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    bin_size: int = 16,
+    slack_bins: int = 16,
+    tile_b: int = 256,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    n_valid=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bin-max cover with candidate RESCORING — the minimal-HBM variant.
+
+    Phase 1 writes only the (N/G, B) bin maxima (the B x N score matrix
+    never exists in HBM). Phase 2 selects the top (k + slack_bins) bins,
+    gathers those bins' DOC ROWS (contiguous 2KB-row gathers — tile
+    friendly), and recomputes their scores with a small batched matmul.
+
+    Cover exactness holds for kernel-computed scores; rescoring recomputes
+    the same bf16xbf16->f32 products with a (possibly) different
+    accumulation order, so results can differ from the stored-scores path
+    by float round-off on near-ties; ``slack_bins`` absorbs boundary
+    effects. Use the stored-scores path when bit-exact parity matters.
+    """
+    n_rows = docs.shape[0]
+    if n_valid is None:
+        n_valid = n_rows
+    if isinstance(n_valid, int) and k > n_valid:
+        raise ValueError(f"k={k} > num docs {n_valid}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_pad = _ceil_to(n_rows, tile_n)
+    if n_pad != n_rows:
+        docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
+        if isinstance(n_valid, int):
+            n_valid = min(n_valid, n_rows)
+    b = queries.shape[0]
+    if b <= tile_b:
+        eff_tile_b, b_pad = b, b
+    else:
+        eff_tile_b = tile_b
+        b_pad = _ceil_to(b, tile_b)
+        if b_pad != b:
+            queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    binmax_t = _binmax_only_pallas(
+        queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
+        interpret=interpret,
+    )
+    bin_max = binmax_t.T
+    if b_pad != b:
+        bin_max = bin_max[:b]
+        queries = queries[:b]
+    num_bins = bin_max.shape[1]
+    kb = min(k + slack_bins, num_bins)
+    _, bin_ids = lax.top_k(bin_max, kb)
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    # contiguous-row gather of candidate doc vectors + rescore
+    cand_rows = jnp.take(docs, cand_idx.reshape(-1), axis=0).reshape(
+        b, kb * bin_size, docs.shape[1]
+    )
+    cand_scores = jnp.einsum(
+        "bcd,bd->bc", cand_rows, queries, preferred_element_type=jnp.float32
+    )
+    cand_scores = jnp.where(cand_idx < n_valid, cand_scores, NEG_INF)
+    neg, ids = lax.sort((-cand_scores, cand_idx), num_keys=2)
+    return -neg[:, :k], ids[:, :k]
+
+
 # --------------------------------------------------------------------------
 # phase 2: bin cover -> candidate gather -> lexicographic select
 # --------------------------------------------------------------------------
@@ -435,4 +545,6 @@ def topk_ip(
         return topk_ip_bins(queries, docs, k, bin_size=bin_size, use_pallas=False, **kwargs)
     if method == "bins_pallas":
         return topk_ip_bins(queries, docs, k, bin_size=bin_size, use_pallas=True, **kwargs)
+    if method == "bins_rescore":
+        return topk_ip_bins_rescore(queries, docs, k, bin_size=bin_size, **kwargs)
     raise ValueError(f"unknown method {method!r}")

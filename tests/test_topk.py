@@ -137,3 +137,45 @@ def test_bf16_score_dtype_option(rng):
         for b in range(8)
     ])
     assert overlap > 0.95
+
+
+class TestRescoreMode:
+    @pytest.mark.parametrize("n,k", [(3000, 50), (5000, 100)])
+    def test_rescore_matches_oracle(self, rng, n, k):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_rescore
+
+        qs, docs = make_data(rng, n, 64, 8)
+        vals, idx = topk_ip_bins_rescore(
+            jnp.asarray(qs), jnp.asarray(docs), k, bin_size=16, tile_n=256
+        )
+        ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+
+    def test_rescore_adversarial_clustered(self, rng):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_rescore
+
+        d, n, k = 32, 2048, 16
+        q = rng.standard_normal((1, d)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        docs = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+        for j in range(k):
+            docs[512 + j] = q[0] * (2.0 + j * 0.01)
+        vals, idx = topk_ip_bins_rescore(
+            jnp.asarray(q), jnp.asarray(docs), k, bin_size=16, tile_n=256
+        )
+        _, ref_idx = topk_ip_oracle(q, docs, k)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+    def test_rescore_pad_rows_masked(self, rng):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_rescore
+
+        qs, docs = make_data(rng, 900, 16, 4)
+        docs = -np.abs(docs)
+        qs = np.abs(qs)
+        vals, idx = topk_ip_bins_rescore(
+            jnp.asarray(qs), jnp.asarray(docs), 40, bin_size=16, tile_n=256
+        )
+        assert np.asarray(idx).max() < 900
+        _, ref_idx = topk_ip_oracle(qs, docs, 40)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
