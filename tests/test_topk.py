@@ -179,3 +179,35 @@ class TestRescoreMode:
         assert np.asarray(idx).max() < 900
         _, ref_idx = topk_ip_oracle(qs, docs, 40)
         np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_fuzz_shapes_vs_oracle(rng):
+    """Randomized shape/config fuzz: every combination must match the
+    oracle exactly on untied random data."""
+    from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins, topk_ip_bins_rescore
+
+    for trial in range(12):
+        n = int(rng.integers(200, 4000))
+        d = int(rng.choice([16, 32, 64]))
+        b = int(rng.integers(1, 20))
+        k = int(rng.integers(1, min(n, 120)))
+        g = int(rng.choice([8, 16, 32]))
+        tn = int(rng.choice([128, 256]))
+        if tn % g:
+            tn = g * max(1, tn // g)
+        qs, docs = make_data(rng, n, d, b)
+        ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+        vals, idx = topk_ip_bins(
+            jnp.asarray(qs), jnp.asarray(docs), k, bin_size=g, tile_n=tn, tile_b=8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(idx), ref_idx,
+            err_msg=f"bins trial {trial}: n={n} d={d} b={b} k={k} g={g} tn={tn}",
+        )
+        vals2, idx2 = topk_ip_bins_rescore(
+            jnp.asarray(qs), jnp.asarray(docs), k, bin_size=g, tile_n=tn, tile_b=8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(idx2), ref_idx,
+            err_msg=f"rescore trial {trial}: n={n} d={d} b={b} k={k} g={g} tn={tn}",
+        )
