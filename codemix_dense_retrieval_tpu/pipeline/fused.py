@@ -35,23 +35,40 @@ def fused_alpha_sweep(
     rel_ids: Optional[jnp.ndarray] = None,  # (B, R) int32 -1-padded
     metric_cutoffs: Sequence[int] = (1, 3, 5, 10, 100),
     search_kwargs: Optional[Dict] = None,
+    collapse_n_first: Optional[int] = None,
+    collapse_k_raw: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Returns (values (A, B, k), ids (A, B, k), metrics {name: (A,)}).
 
     The alpha loop is traced sequentially (static ``len(alphas)``) so the
     per-alpha score buffer is reused and the index is read once per alpha
     without host round-trips.
+
+    Bilingual parallel-hub mode: pass ``collapse_n_first`` (rows of the
+    first language store) to search ``collapse_k_raw`` (default 2k) raw
+    hits and max-collapse them ON-DEVICE to k base ids (the fused analog
+    of the raw->base collapse, `onepass_bilingual_hub.py:594-611`);
+    ``rel_ids`` then refer to BASE row ids.
     """
     search_kwargs = search_kwargs or {}
     alphas_arr = jnp.asarray(list(alphas), jnp.float32)
+    k_raw = collapse_k_raw or (2 * k if collapse_n_first is not None else k)
 
     @jax.jit
     def sweep(p, s, d, cnt, rel):
+        from codemix_dense_retrieval_tpu.ops.collapse import collapse_topk_parallel_hub
+
         vals_all, ids_all, metrics_all = [], [], []
         for i in range(len(alphas)):
             q = mix_and_renorm(p, s, alphas_arr[i])
             q = q.astype(d.dtype)
-            vals, gids = sharded_topk_ip(q, d, cnt, k, mesh=mesh, **search_kwargs)
+            vals, gids = sharded_topk_ip(q, d, cnt, k_raw, mesh=mesh, **search_kwargs)
+            if collapse_n_first is not None:
+                vals, gids = collapse_topk_parallel_hub(
+                    vals, gids, collapse_n_first, k_out=k
+                )
+            else:
+                vals, gids = vals[:, :k], gids[:, :k]
             vals_all.append(vals)
             ids_all.append(gids)
             if rel is not None:

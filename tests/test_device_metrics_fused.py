@@ -97,3 +97,35 @@ class TestFusedSweep:
         q05 = np.asarray(mix_and_renorm(jnp.asarray(primary), jnp.asarray(secondary), 0.5))
         _, ref_idx = topk_ip_oracle(q05, docs, k)
         np.testing.assert_array_equal(np.asarray(ids)[1], ref_idx)
+
+
+class TestFusedBilingualCollapse:
+    def test_fused_sweep_with_collapse(self, rng, eight_cpu_devices):
+        """Parallel bilingual hub: same docs in two 'languages', fused sweep
+        collapses on-device; alpha=1 query == its relevant doc -> MRR 100."""
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n1, d, b, k = 800, 32, 8, 20
+        docs_a = rng.standard_normal((n1, d)).astype(np.float32)
+        docs_a /= np.linalg.norm(docs_a, axis=1, keepdims=True)
+        # second language = rotated copies (distinct but related vectors)
+        rot = np.linalg.qr(rng.standard_normal((d, d)))[0].astype(np.float32)
+        docs_b = docs_a @ rot
+        hub = np.concatenate([docs_a, docs_b], axis=0)
+
+        rel = rng.choice(n1, size=b, replace=False)
+        secondary = docs_a[rel]
+        primary = rng.standard_normal((b, d)).astype(np.float32)
+        primary /= np.linalg.norm(primary, axis=1, keepdims=True)
+
+        docs_dev, counts, _ = shard_rows(hub, mesh, pad_multiple=256)
+        rel_mat = build_rel_matrix([[int(r)] for r in rel])  # BASE ids
+        vals, ids, metrics = fused_alpha_sweep(
+            primary, secondary, [0.0, 1.0], docs_dev, counts, k, mesh=mesh,
+            rel_ids=rel_mat, collapse_n_first=n1,
+            search_kwargs=dict(method="bins_xla", bin_size=32, tile_n=256),
+        )
+        assert ids.shape == (2, b, k)
+        ids_np = np.asarray(ids)
+        valid = ids_np[ids_np >= 0]
+        assert valid.max() < n1  # all base ids after collapse
+        assert float(np.asarray(metrics["RR@10"])[1]) == pytest.approx(1.0)
