@@ -396,6 +396,7 @@ def topk_ip_bins_rescore(
     num_bins = bin_max.shape[1]
     kb = min(k + slack_bins, num_bins)
     _, bin_ids = lax.top_k(bin_max, kb)
+    bin_ids = lax.sort(bin_ids, dimension=1)  # ascending ids -> top_k tie-break
     cand_idx = (
         bin_ids[:, :, None] * bin_size + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
     ).reshape(b, kb * bin_size)
@@ -407,8 +408,8 @@ def topk_ip_bins_rescore(
         "bcd,bd->bc", cand_rows, queries, preferred_element_type=jnp.float32
     )
     cand_scores = jnp.where(cand_idx < n_valid, cand_scores, NEG_INF)
-    neg, ids = lax.sort((-cand_scores, cand_idx), num_keys=2)
-    return -neg[:, :k], ids[:, :k]
+    vals, pos = lax.top_k(cand_scores, k)
+    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -440,6 +441,10 @@ def _topk_from_bins(
     b, num_bins = bin_max.shape
     kb = min(k, num_bins)
     _, bin_ids = lax.top_k(bin_max, kb)  # ties -> lower bin id first
+    # sort selected bins ASCENDING: candidate ids then ascend globally, so
+    # lax.top_k's lower-position tie preference IS the id-ascending
+    # (FAISS) tie-break — a single top_k replaces the two-key full sort
+    bin_ids = lax.sort(bin_ids, dimension=1)
     cand_idx = (
         bin_ids[:, :, None] * bin_size + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
     ).reshape(b, kb * bin_size)
@@ -448,9 +453,8 @@ def _topk_from_bins(
     else:
         cand_scores = jnp.take_along_axis(scores, cand_idx, axis=1)
     cand_scores = cand_scores.astype(jnp.float32)
-    # lexicographic (score desc, id asc): sort ascending on (-score, id)
-    neg, ids = lax.sort((-cand_scores, cand_idx), num_keys=2)
-    return -neg[:, :k], ids[:, :k]
+    vals, pos = lax.top_k(cand_scores, k)
+    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
 # --------------------------------------------------------------------------
