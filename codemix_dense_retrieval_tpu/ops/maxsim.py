@@ -44,19 +44,23 @@ def maxsim_scores_xla(
     return best.sum(axis=-1)
 
 
-def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, tq, td):
-    """One (batch-row, candidate) program: score = sum_i max_j q_i . d_j."""
+def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, k):
+    """One batch-row program: for each of the k candidates, score =
+    sum_i max_j q_i . d_j, written into the (1, k) output block (a full
+    -k block satisfies Mosaic's last-dim rule where per-pair scalar
+    blocks do not)."""
     q = q_ref[0].astype(jnp.float32)  # (Tq, dim)
-    d = d_ref[0, 0].astype(jnp.float32)  # (Td, dim)
-    sim = lax.dot_general(
-        q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Tq, Td)
-    dmask = dm_ref[0, 0].astype(jnp.float32)  # (Td,)
-    sim = jnp.where(dmask[None, :] > 0, sim, -jnp.inf)
-    best = jnp.max(sim, axis=1)  # (Tq,)
-    qmask = qm_ref[0].astype(jnp.float32)
-    best = jnp.where((qmask > 0) & jnp.isfinite(best), best, 0.0)
-    o_ref[0, 0] = jnp.sum(best)
+    qmask = qm_ref[0].astype(jnp.float32)  # (Tq,)
+    for j in range(k):  # static rerank depth
+        d = d_ref[0, j].astype(jnp.float32)  # (Td, dim)
+        sim = lax.dot_general(
+            q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tq, Td)
+        dmask = dm_ref[0, j].astype(jnp.float32)
+        sim = jnp.where(dmask[None, :] > 0, sim, -jnp.inf)
+        best = jnp.max(sim, axis=1)
+        best = jnp.where((qmask > 0) & jnp.isfinite(best), best, 0.0)
+        o_ref[0, j] = jnp.sum(best)
 
 
 def maxsim_scores_pallas(
@@ -67,24 +71,25 @@ def maxsim_scores_pallas(
     *,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused MaxSim over (B, K) candidate pairs; grid = (B, K); each program
-    computes one pair's (Tq x Td) similarity tile in VMEM and reduces it
-    without an HBM round-trip."""
+    """Fused MaxSim; grid = (B,); each program streams its k candidates'
+    (Tq x Td) similarity tiles through VMEM and reduces them without an
+    HBM round-trip. VMEM bound: k * Td * dim * itemsize must fit (~12 MB);
+    chunk candidates for very deep reranks."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, tq, dim = q_tokens.shape
     _, k, td, _ = d_tokens.shape
-    kernel = functools.partial(_maxsim_kernel, tq=tq, td=td)
+    kernel = functools.partial(_maxsim_kernel, k=k)
     return pl.pallas_call(
         kernel,
-        grid=(b, k),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, tq), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, td), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, dim), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, td, dim), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, td), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, td, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
         interpret=interpret,
     )(q_mask.astype(jnp.float32), d_mask.astype(jnp.float32), q_tokens, d_tokens)
