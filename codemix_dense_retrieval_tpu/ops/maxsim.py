@@ -50,7 +50,7 @@ def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, k):
     -k block satisfies Mosaic's last-dim rule where per-pair scalar
     blocks do not)."""
     q = q_ref[0].astype(jnp.float32)  # (Tq, dim)
-    qmask = qm_ref[0].astype(jnp.float32)  # (Tq,)
+    qmask = qm_ref[0, 0].astype(jnp.float32)  # (Tq,)
     for j in range(k):  # static rerank depth
         d = d_ref[0, j].astype(jnp.float32)  # (Td, dim)
         sim = lax.dot_general(
@@ -60,7 +60,7 @@ def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, k):
         sim = jnp.where(dmask[None, :] > 0, sim, -jnp.inf)
         best = jnp.max(sim, axis=1)
         best = jnp.where((qmask > 0) & jnp.isfinite(best), best, 0.0)
-        o_ref[0, j] = jnp.sum(best)
+        o_ref[0, 0, j] = jnp.sum(best)
 
 
 def maxsim_scores_pallas(
@@ -80,19 +80,28 @@ def maxsim_scores_pallas(
     b, tq, dim = q_tokens.shape
     _, k, td, _ = d_tokens.shape
     kernel = functools.partial(_maxsim_kernel, k=k)
-    return pl.pallas_call(
+    # Mosaic checks the LAST TWO dims of every block: 2-D operands with a
+    # (1, X) block fail the sublane rule, so masks/output carry a singleton
+    # middle axis making their trailing dims block-complete.
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, tq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, td), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, td, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
         interpret=interpret,
-    )(q_mask.astype(jnp.float32), d_mask.astype(jnp.float32), q_tokens, d_tokens)
+    )(
+        q_mask.astype(jnp.float32)[:, None, :],
+        d_mask.astype(jnp.float32),
+        q_tokens,
+        d_tokens,
+    )
+    return out[:, 0, :]
 
 
 def maxsim_rerank(
