@@ -51,6 +51,7 @@ def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, k):
     blocks do not)."""
     q = q_ref[0].astype(jnp.float32)  # (Tq, dim)
     qmask = qm_ref[0, 0].astype(jnp.float32)  # (Tq,)
+    sums = []
     for j in range(k):  # static rerank depth
         d = d_ref[0, j].astype(jnp.float32)  # (Td, dim)
         sim = lax.dot_general(
@@ -60,7 +61,9 @@ def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, k):
         sim = jnp.where(dmask[None, :] > 0, sim, -jnp.inf)
         best = jnp.max(sim, axis=1)
         best = jnp.where((qmask > 0) & jnp.isfinite(best), best, 0.0)
-        o_ref[0, 0, j] = jnp.sum(best)
+        sums.append(jnp.sum(best).reshape(1, 1))
+    # single vector store (scalar VMEM stores are not lowerable)
+    o_ref[0] = jnp.concatenate(sums, axis=1)
 
 
 def maxsim_scores_pallas(
