@@ -61,7 +61,10 @@ def fused_alpha_sweep(
         vals_all, ids_all, metrics_all = [], [], []
         for i in range(len(alphas)):
             q = mix_and_renorm(p, s, alphas_arr[i])
-            q = q.astype(d.dtype)
+            # int8 indexes quantize queries inside the sharded path;
+            # casting floats straight to int8 here would truncate them
+            if jnp.issubdtype(d.dtype, jnp.floating):
+                q = q.astype(d.dtype)
             vals, gids = sharded_topk_ip(q, d, cnt, k_raw, mesh=mesh, **search_kwargs)
             if collapse_n_first is not None:
                 vals, gids = collapse_topk_parallel_hub(

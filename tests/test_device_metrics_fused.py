@@ -129,3 +129,32 @@ class TestFusedBilingualCollapse:
         valid = ids_np[ids_np >= 0]
         assert valid.max() < n1  # all base ids after collapse
         assert float(np.asarray(metrics["RR@10"])[1]) == pytest.approx(1.0)
+
+
+def test_fused_sweep_int8_index(rng, eight_cpu_devices):
+    """Fused sweep over an int8 quantized index: queries must be properly
+    quantized (not float->int8 truncated)."""
+    from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+    from codemix_dense_retrieval_tpu.parallel.sharded_search import shard_row_sidecar
+
+    mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+    n, d, b, k = 1500, 32, 6, 20
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    rel = rng.choice(n, size=b, replace=False)
+    secondary = docs[rel]
+    primary = rng.standard_normal((b, d)).astype(np.float32)
+    primary /= np.linalg.norm(primary, axis=1, keepdims=True)
+
+    dv, ds = quantize_rows_np(docs)
+    docs_dev, counts, rps = shard_rows(dv, mesh, pad_multiple=256)
+    scales_dev = shard_row_sidecar(ds, mesh, rps)
+    rel_mat = build_rel_matrix([[int(r)] for r in rel])
+    vals, ids, metrics = fused_alpha_sweep(
+        primary, secondary, [1.0], docs_dev, counts, k, mesh=mesh,
+        rel_ids=rel_mat,
+        search_kwargs=dict(method="bins_xla", bin_size=32, tile_n=256,
+                           doc_scales=scales_dev),
+    )
+    # quantization keeps self-retrieval at rank ~1
+    assert float(np.asarray(metrics["RR@10"])[0]) > 0.9
