@@ -158,12 +158,14 @@ class DenseFlatIndex:
         blocks = [q] if not query_block else [
             q[i : i + query_block] for i in range(0, len(q), query_block)
         ]
-        vals_out, ids_out = [], []
         dtype = self._docs_dev.dtype
         if dtype == jnp.int8:
             dtype = jnp.float32  # int8 path quantizes queries on-device
-        for blk in blocks:
-            vals, gids = sharded_topk_ip(
+        # dispatch every block before materializing any result: JAX's async
+        # dispatch then overlaps host work (upload of block i+1, TREC
+        # formatting upstream) with device search of block i
+        pending = [
+            sharded_topk_ip(
                 jnp.asarray(blk, dtype),
                 self._docs_dev,
                 self._counts_dev,
@@ -171,10 +173,10 @@ class DenseFlatIndex:
                 mesh=self.mesh,
                 **self.search_kwargs,
             )
-            vals_out.append(np.asarray(vals))
-            ids_out.append(np.asarray(gids))
-        vals = np.concatenate(vals_out, axis=0)
-        gids = np.concatenate(ids_out, axis=0)
+            for blk in blocks
+        ]
+        vals = np.concatenate([np.asarray(v) for v, _ in pending], axis=0)
+        gids = np.concatenate([np.asarray(g) for _, g in pending], axis=0)
         if not return_docids:
             return vals, gids
         return vals, self._docids[gids]
