@@ -53,6 +53,12 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+
+def _auto_bin_size(k: int) -> int:
+    """Default bin size: candidates scale as k*G, so deeper k favors
+    smaller bins (measured on v5e: G=16 best at k=100, G=8 best at k>=500)."""
+    return 8 if k > 200 else 16
+
 # --------------------------------------------------------------------------
 # numpy oracle (tests only)
 # --------------------------------------------------------------------------
@@ -258,7 +264,7 @@ def topk_ip_bins_int8(
     d_scales: jnp.ndarray,  # (N,) f32
     k: int,
     *,
-    bin_size: int = 16,
+    bin_size: Optional[int] = None,
     tile_b: int = 256,
     tile_n: int = 1024,
     interpret: Optional[bool] = None,
@@ -270,6 +276,8 @@ def topk_ip_bins_int8(
     from codemix_dense_retrieval_tpu.ops.quant import quantize_rows
 
     n_rows = d_vals.shape[0]
+    if bin_size is None:
+        bin_size = _auto_bin_size(k)
     if n_valid is None:
         n_valid = n_rows
     if interpret is None:
@@ -345,7 +353,7 @@ def topk_ip_bins_rescore(
     docs: jnp.ndarray,
     k: int,
     *,
-    bin_size: int = 16,
+    bin_size: Optional[int] = None,
     slack_bins: int = 16,
     tile_b: int = 256,
     tile_n: int = 1024,
@@ -366,6 +374,8 @@ def topk_ip_bins_rescore(
     effects. Use the stored-scores path when bit-exact parity matters.
     """
     n_rows = docs.shape[0]
+    if bin_size is None:
+        bin_size = _auto_bin_size(k)
     if n_valid is None:
         n_valid = n_rows
     if isinstance(n_valid, int) and k > n_valid:
@@ -466,7 +476,7 @@ def topk_ip_bins(
     docs: jnp.ndarray,
     k: int,
     *,
-    bin_size: int = 16,
+    bin_size: Optional[int] = None,
     use_pallas: bool = True,
     tile_b: int = 256,
     tile_n: int = 1024,
@@ -487,6 +497,8 @@ def topk_ip_bins(
     lower doc index (FAISS parity).
     """
     n_rows = docs.shape[0]  # static
+    if bin_size is None:
+        bin_size = _auto_bin_size(k)
     if n_valid is None:
         n_valid = n_rows
     if isinstance(n_valid, int) and k > n_valid:
@@ -528,7 +540,7 @@ def topk_ip(
     docs: jnp.ndarray,
     k: int,
     *,
-    bin_size: int = 16,
+    bin_size: Optional[int] = None,
     method: str = "auto",
     **kwargs,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

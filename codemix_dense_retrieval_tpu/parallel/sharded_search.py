@@ -86,7 +86,7 @@ def sharded_topk_ip(
     *,
     mesh: Mesh,
     axis: str = "shard",
-    bin_size: int = 16,
+    bin_size: Optional[int] = None,
     method: str = "bins_pallas",
     tile_n: int = 1024,
     tile_b: int = 256,
@@ -110,6 +110,10 @@ def sharded_topk_ip(
         )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if bin_size is None:
+        from codemix_dense_retrieval_tpu.ops.topk import _auto_bin_size
+
+        bin_size = _auto_bin_size(k)
     int8_mode = docs_sharded.dtype == jnp.int8
     if int8_mode and doc_scales is None:
         raise ValueError("int8 index requires doc_scales")
