@@ -231,7 +231,14 @@ def cmd_run_mix(args) -> None:
         qrels = read_qrels(args.qrels)
         docid_to_row = {d: i for i, d in enumerate(index.docids)}
         rel_rows = [
-            [docid_to_row[d] for d in qrels.get(qid, {}) if d in docid_to_row]
+            # positive judgments only: qrels keep rel=0 (judged
+            # non-relevant) rows, which must not count as relevant —
+            # host evaluator parity (evals/metrics.py uses rel > 0)
+            [
+                docid_to_row[d]
+                for d, r in qrels.get(qid, {}).items()
+                if r > 0 and d in docid_to_row
+            ]
             for qid in qids
         ]
         vals, ids, metrics = fused_alpha_sweep(
@@ -299,8 +306,30 @@ def cmd_run_bilingual_mix(args) -> None:
     )
     vecs_a = encoder.encode_queries(texts_a, batch_size=args.enc_batch)
     vecs_b = encoder.encode_queries(texts_b, batch_size=args.enc_batch)
+    alphas = [float(a) for a in args.cm_alphas]
+    if args.fused:
+        from codemix_dense_retrieval_tpu.config import format_alpha
+        from codemix_dense_retrieval_tpu.pipeline.bilingual import (
+            run_bilingual_vector_mix_fused,
+        )
+
+        qrels = None
+        if args.qrels:
+            from codemix_dense_retrieval_tpu.io.tsv import read_qrels
+
+            qrels = read_qrels(args.qrels)
+        runs, metrics = run_bilingual_vector_mix_fused(
+            hub, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
+            qrels=qrels,
+        )
+        payload = {
+            str(a): {"run": str(p), **(metrics.get(format_alpha(a), {}) if metrics else {})}
+            for a, p in runs.items()
+        }
+        print(json.dumps(payload, indent=2))
+        return
     runs = run_bilingual_vector_mix(
-        hub, qids, vecs_a, vecs_b, [float(a) for a in args.cm_alphas],
+        hub, qids, vecs_a, vecs_b, alphas,
         args.outdir, k=args.k, query_block=args.qblock,
     )
     print(json.dumps({str(a): str(p) for a, p in runs.items()}, indent=2))
@@ -398,9 +427,13 @@ def cmd_analyze(args) -> None:
     rows_b = read_queries_tsv(p_b)
     rows_cm = dict(read_queries_tsv(p_cm))
     qids, texts_a, texts_b = intersect_query_sets(rows_a, rows_b)
-    qids = [q for q in qids if q in rows_cm]
-    texts_a = [t for q, t in zip(qids, texts_a)]
-    texts_b = [t for q, t in zip(qids, texts_b)]
+    # filter by INDEX so texts stay aligned with their qids: a plain
+    # zip against the unfiltered text lists truncates instead of
+    # filtering whenever the CM set is missing an intersected qid
+    keep = [i for i, q in enumerate(qids) if q in rows_cm]
+    qids = [qids[i] for i in keep]
+    texts_a = [texts_a[i] for i in keep]
+    texts_b = [texts_b[i] for i in keep]
     texts_cm = [rows_cm[q] for q in qids]
     if not qids:
         raise SystemExit("[ERROR] empty qid intersection across the three TSVs")
@@ -543,6 +576,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outdir", required=True)
     p.add_argument("--k", type=int, default=500)
     p.add_argument("--qblock", type=int, default=1024)
+    p.add_argument("--fused", action="store_true",
+                   help="one-jit sweep: 2k-deep raw search + on-device "
+                        "collapse (parallel hubs only)")
+    p.add_argument("--qrels", help="qrels file for --fused on-device metrics")
     p.set_defaults(fn=cmd_run_bilingual_mix)
 
     p = sub.add_parser("cache-queries", help="pre-encode query TSVs into npz caches")

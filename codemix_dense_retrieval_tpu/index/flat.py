@@ -153,8 +153,17 @@ class DenseFlatIndex:
                 f"(encoder/index mismatch)"
             )
         # FAISS clamps k to ntotal implicitly (returns -1 ids past it);
-        # here k is clamped to what the sharded kernel can return
-        k = min(k, self.count, self._rows_per_shard)
+        # here k is clamped to what the sharded kernel can return — warn so
+        # small/heavily-sharded indexes don't silently shrink a k=500 run
+        k_eff = min(k, self.count, self._rows_per_shard)
+        if k_eff < k:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "search k=%d clamped to %d (count=%d, rows_per_shard=%d)",
+                k, k_eff, self.count, self._rows_per_shard,
+            )
+        k = k_eff
         blocks = [q] if not query_block else [
             q[i : i + query_block] for i in range(0, len(q), query_block)
         ]

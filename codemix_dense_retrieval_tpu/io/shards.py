@@ -136,9 +136,23 @@ class ShardWriter:
             w.files.append({"name": path.name, "rows": rows})
             total_rows += rows
             idx += 1
-        # reconcile: the sidecar is appended before the vector flush, so it
-        # may run ahead by one batch after a crash; trust the vector count
+        # reconcile: the sidecars are appended before the vector flush, so
+        # they may run ahead by one batch after a crash; trust the vector
+        # count and truncate both the docid sidecar and (for int8) the
+        # per-row scale sidecar to match, or the finalized shard fails
+        # ShardStore.open's scales/count alignment check
         existing = existing[:total_rows]
+        scales_path = w.dir / "scales.bin"
+        if w.dtype_name == "int8" and scales_path.exists():
+            want = total_rows * np.dtype(np.float32).itemsize
+            if scales_path.stat().st_size > want:
+                with open(scales_path, "r+b") as fh:
+                    fh.truncate(want)
+            elif scales_path.stat().st_size < want:
+                raise ValueError(
+                    f"scales.bin has fewer rows than the vectors in {w.dir} "
+                    "(corrupt partial shard)"
+                )
         if total_rows and w.files:
             last = w.files[-1]
             w._fh = open(w.dir / last["name"], "ab")

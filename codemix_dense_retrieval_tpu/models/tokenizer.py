@@ -75,8 +75,17 @@ class HFTokenizer:
     def encode_batch(
         self, texts: Sequence[str], max_length: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        encs = self.tokenizer.encode_batch(list(texts))
-        rows = [e.ids if max_length is None else e.ids[:max_length] for e in encs]
+        # truncate via the tokenizer so post-processor special tokens
+        # (</s>/EOS) survive on over-length texts — a bare ids[:max_length]
+        # slice drops them and diverges from the HF fast-tokenizer path
+        if max_length is not None:
+            self.tokenizer.enable_truncation(max_length)
+        try:
+            encs = self.tokenizer.encode_batch(list(texts))
+        finally:
+            if max_length is not None:
+                self.tokenizer.no_truncation()
+        rows = [e.ids for e in encs]
         return _pad(rows, self.pad_id, max_length)
 
 

@@ -77,6 +77,123 @@ def run_bilingual_word_mix(
     return out
 
 
+def validate_parallel_hub(hub_index: DenseFlatIndex) -> int:
+    """Check the hub is a PARALLEL two-language concat (mirrored base
+    docids, equal counts) and return ``n_first`` — the precondition for
+    the on-device ``base = gid mod n_first`` collapse (`ops.collapse`)."""
+    docids = hub_index.store.docids
+    n = len(docids)
+    if n % 2:
+        raise ValueError(
+            f"fused bilingual collapse needs a parallel 2-language hub; "
+            f"index has odd row count {n}"
+        )
+    n_first = n // 2
+    if docids[:n_first] != docids[n_first:]:
+        raise ValueError(
+            "fused bilingual collapse needs mirrored base docids "
+            "(language stores encoded over the same docid stream); "
+            "the two halves of the hub differ"
+        )
+    return n_first
+
+
+def run_bilingual_vector_mix_fused(
+    hub_index: DenseFlatIndex,
+    qids: Sequence[str],
+    primary_vecs: np.ndarray,
+    secondary_vecs: np.ndarray,
+    alphas: Sequence[float],
+    outdir,
+    *,
+    k: int = 500,
+    qrels: Optional[Dict[str, Dict[str, int]]] = None,
+    tag: str = "bilingual-onepass",
+) -> Tuple[Dict[float, pathlib.Path], Optional[Dict[str, Dict[str, float]]]]:
+    """ONE-JIT bilingual alpha sweep: mix -> sharded raw search (2k deep)
+    -> on-device max-collapse to k base ids -> optional on-device metrics.
+
+    The flagship fused path (`pipeline.fused.fused_alpha_sweep` with
+    ``collapse_n_first``): the hub index stays HBM-resident across the
+    whole sweep; the host receives only (A, B, k) collapsed ids. Output
+    artifacts match :func:`run_bilingual_vector_mix`'s collapsed runs
+    (``cm-alpha-<a>_base.trec`` + ``_meta.json``); raw runs are never
+    materialized on host.
+    """
+    from codemix_dense_retrieval_tpu.pipeline.fused import fused_alpha_sweep
+
+    outdir = pathlib.Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    n_first = validate_parallel_hub(hub_index)
+    base_docids = np.asarray(hub_index.store.docids[:n_first], dtype=object)
+    if hub_index._docs_dev is None:
+        hub_index.to_device()
+
+    rel_matrix = None
+    if qrels is not None:
+        from codemix_dense_retrieval_tpu.evals.device_metrics import build_rel_matrix
+
+        row_of = {d: i for i, d in enumerate(base_docids)}
+        rel_matrix = build_rel_matrix([
+            [row_of[d] for d, r in qrels.get(qid, {}).items()
+             if r > 0 and d in row_of]
+            for qid in qids
+        ])
+
+    vals, ids, metrics = fused_alpha_sweep(
+        primary_vecs, secondary_vecs, list(alphas),
+        hub_index._docs_dev, hub_index._counts_dev, k,
+        mesh=hub_index.mesh, rel_ids=rel_matrix,
+        search_kwargs=hub_index.search_kwargs,
+        collapse_n_first=n_first,
+    )
+    vals_np, ids_np = np.asarray(vals), np.asarray(ids)
+    out: Dict[float, pathlib.Path] = {}
+    metric_out: Optional[Dict[str, Dict[str, float]]] = {} if metrics else None
+    for ai, alpha in enumerate(alphas):
+        label = format_alpha(alpha)
+        base = outdir / f"cm-alpha-{label}_base.trec"
+        gid = ids_np[ai]
+        if (gid >= 0).all():
+            write_run(base, qids, base_docids[gid], vals_np[ai], tag=tag, precision=6)
+        else:
+            # -1 slots (fewer distinct bases than k) are padding, not hits
+            from codemix_dense_retrieval_tpu.io.trec import RunEntry, write_run_entries
+
+            entries = []
+            for qi, qid in enumerate(qids):
+                rank = 0
+                for j in range(gid.shape[1]):
+                    if gid[qi, j] < 0:
+                        break
+                    rank += 1
+                    entries.append(RunEntry(
+                        qid, str(base_docids[gid[qi, j]]), rank,
+                        float(vals_np[ai, qi, j]), tag,
+                    ))
+            write_run_entries(base, entries)
+        (outdir / f"cm-alpha-{label}_meta.json").write_text(
+            json.dumps(
+                {
+                    "alpha": alpha,
+                    "num_queries": len(qids),
+                    "k": k,
+                    "k_raw": 2 * k,
+                    "fused": True,
+                    "index_count": hub_index.count,
+                    "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                },
+                indent=2,
+            )
+        )
+        out[alpha] = base
+        if metrics:
+            metric_out[label] = {
+                name: round(float(v[ai]) * 100, 4) for name, v in metrics.items()
+            }
+    return out, metric_out
+
+
 def run_bilingual_vector_mix(
     hub_index: DenseFlatIndex,
     qids: Sequence[str],

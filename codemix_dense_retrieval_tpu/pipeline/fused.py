@@ -49,6 +49,21 @@ def fused_alpha_sweep(
     hits and max-collapse them ON-DEVICE to k base ids (the fused analog
     of the raw->base collapse, `onepass_bilingual_hub.py:594-611`);
     ``rel_ids`` then refer to BASE row ids.
+
+    **Exactness of the 2k default (two languages, distinct scores).** Let
+    base b be the k-th collapsed base and s_b its max score. Any raw row
+    outranking b's best row has score > s_b, so it belongs to a base whose
+    collapsed max > s_b — one of the at-most k-1 bases above b — and each
+    base contributes at most 2 raw rows. Hence b's best row sits at raw
+    rank <= 2(k-1)+1 = 2k-1, inside the top-2k. Also 2k raw rows span >= k
+    distinct bases (<= 2 rows each), so k collapsed outputs always exist.
+    On TIED scores the collapsed base SET at the boundary can differ from
+    a full-depth collapse (a tied base's best row can be pushed past any
+    bounded raw depth by equal-score rows), exactly as the reference's
+    host collapse over its raw k=500 run can (`onepass_bilingual_hub.py:
+    594-611`) — collapsed SCORES are still exact; parity is therefore
+    bit-exact against a host collapse at the same raw depth, which the
+    tests assert (tests/test_device_collapse.py).
     """
     search_kwargs = search_kwargs or {}
     alphas_arr = jnp.asarray(list(alphas), jnp.float32)

@@ -54,6 +54,49 @@ class TestMidLanguageResume:
         assert w2.count == 9
         assert written == {str(i) for i in range(9)}
 
+    def test_int8_resume_reconciles_scale_sidecar(self, tmp_path, rng):
+        """Crash between the scale-sidecar append and the vector write must
+        not leave an extra scale row: after resume + finalize the store
+        opens with scales aligned to the vector count (VERDICT r1 #4)."""
+        d = 8
+        vecs = normed(rng, 40, d)
+        ids = [f"d{i}" for i in range(40)]
+        w = ShardWriter(tmp_path / "q", dim=d, dtype="int8", lang="en")
+        w.append(vecs[:24], ids[:24])
+        # simulate the torn state: scales + docids for one more batch
+        # landed, but the vector write never happened
+        from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+
+        _, extra_scales = quantize_rows_np(vecs[24:32])
+        with open(tmp_path / "q" / "scales.bin", "ab") as fh:
+            fh.write(np.ascontiguousarray(extra_scales, np.float32).tobytes())
+        with open(tmp_path / "q" / "docids.partial.txt", "a") as fh:
+            fh.write("".join(f"{i}\n" for i in ids[24:32]))
+        w._fh.close()
+
+        w2, written = ShardWriter.resume_partial(
+            tmp_path / "q", dim=d, dtype="int8", lang="en"
+        )
+        assert written == set(ids[:24])
+        assert (tmp_path / "q" / "scales.bin").stat().st_size == 24 * 4
+        w2.append(vecs[24:], ids[24:])
+        w2.finalize()
+        store = ShardStore.open(tmp_path / "q")
+        assert store.count == 40
+        assert store.scales is not None and store.scales.shape == (40,)
+        assert store.docids == ids
+
+    def test_int8_resume_rejects_short_scales(self, tmp_path, rng):
+        d = 8
+        vecs = normed(rng, 16, d)
+        w = ShardWriter(tmp_path / "q2", dim=d, dtype="int8")
+        w.append(vecs, [str(i) for i in range(16)])
+        w._fh.close()
+        with open(tmp_path / "q2" / "scales.bin", "r+b") as fh:
+            fh.truncate(8 * 4)  # fewer scales than vectors: unrecoverable
+        with pytest.raises(ValueError, match="scales.bin"):
+            ShardWriter.resume_partial(tmp_path / "q2", dim=d, dtype="int8")
+
     def test_encode_corpus_mid_resume(self, tmp_path, rng):
         """Kill the encode after a partial write; the rerun must not
         duplicate rows and must produce the complete store."""

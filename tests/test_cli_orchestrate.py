@@ -268,6 +268,101 @@ class TestFusedCli:
         assert payload["1"]["RR@10"] == pytest.approx(100.0)
         assert pathlib.Path(payload["1"]["run"]).exists()
 
+    def test_fused_ignores_judged_nonrelevant(self, tmp_path, capsys):
+        """rel=0 (judged non-relevant) qrels rows must not count as
+        relevant in the fused on-device metrics (ADVICE r1 #2)."""
+        docs_zh = write_corpus_tsv(tmp_path / "c.zh.tsv", "zh", 50)
+        cli_main([
+            "encode-corpus", "--corpus_tsv", f"zh={tmp_path/'c.zh.tsv'}",
+            "--out", str(tmp_path / "idx"), "--storage_dtype", "float32",
+            "--smoke_dim", "32",
+        ])
+        qids = [f"q{i}" for i in range(6)]
+        top = [str(4 * i) for i in range(6)]       # doc each query will rank #1
+        rel = [str(4 * i + 1) for i in range(6)]   # the actually-relevant doc
+        (tmp_path / "q.en.tsv").write_text(
+            "\n".join(f"{q}\tunrelated english {q}" for q in qids) + "\n"
+        )
+        (tmp_path / "q.zh.tsv").write_text(
+            "\n".join(f"{q}\t{docs_zh[d]}" for q, d in zip(qids, top)) + "\n"
+        )
+        qrels = tmp_path / "qrels.tsv"
+        qrels.write_text(
+            "\n".join(
+                f"{q}\t{t}#zh\t0\n{q}\t{r}#zh\t1"
+                for q, t, r in zip(qids, top, rel)
+            ) + "\n"
+        )
+        capsys.readouterr()
+        cli_main([
+            "run-mix",
+            "--index", str(tmp_path / "idx" / "zh"),
+            "--query_tsv", f"en={tmp_path/'q.en.tsv'}", f"zh={tmp_path/'q.zh.tsv'}",
+            "--cm_alphas", "1",
+            "--outdir", str(tmp_path / "r"),
+            "--k", "10",
+            "--smoke_dim", "32",
+            "--fused", "--qrels", str(qrels),
+        ])
+        out = capsys.readouterr().out
+        payload = json.loads(out[out.index("{"):])
+        # the rank-1 doc is judged NON-relevant: perfect RR would mean the
+        # rel=0 judgment leaked into the relevance matrix
+        assert payload["1"]["RR@10"] < 100.0
+
+    def test_bilingual_fused_matches_host_collapse(self, tmp_path, capsys):
+        """run-bilingual-mix --fused (2k-deep raw search + on-device
+        collapse) must reproduce the host raw->collapse path exactly on
+        the same inputs (VERDICT r1 #5)."""
+        from codemix_dense_retrieval_tpu.io.trec import read_run
+
+        write_corpus_tsv(tmp_path / "c.en.tsv", "en", 50)
+        write_corpus_tsv(tmp_path / "c.zh.tsv", "zh", 50)
+        cli_main([
+            "encode-corpus",
+            "--corpus_tsv", f"en={tmp_path/'c.en.tsv'}", f"zh={tmp_path/'c.zh.tsv'}",
+            "--out", str(tmp_path / "idx"), "--storage_dtype", "float32",
+            "--smoke_dim", "32",
+        ])
+        qids = [f"q{i}" for i in range(7)]
+        for lang in ("en", "zh"):
+            (tmp_path / f"q.{lang}.tsv").write_text(
+                "\n".join(f"{q}\t{lang} query text {q} tok{i%3}" for i, q in enumerate(qids)) + "\n"
+            )
+        k = 10
+        common = [
+            "--index", str(tmp_path / "idx" / "en"), str(tmp_path / "idx" / "zh"),
+            "--query_tsv", f"en={tmp_path/'q.en.tsv'}", f"zh={tmp_path/'q.zh.tsv'}",
+            "--cm_alphas", "0.3", "0.7",
+            "--smoke_dim", "32",
+        ]
+        # host path at raw depth 2k (what the fused path searches), then
+        # truncate its collapsed output to k per query
+        cli_main(["run-bilingual-mix", *common, "--k", str(2 * k),
+                  "--outdir", str(tmp_path / "host")])
+        cli_main(["run-bilingual-mix", *common, "--k", str(k), "--fused",
+                  "--outdir", str(tmp_path / "fused")])
+        capsys.readouterr()
+        for label in ("0.3", "0.7"):
+            host = read_run(tmp_path / "host" / f"cm-alpha-{label}_base.trec")
+            fused = read_run(tmp_path / "fused" / f"cm-alpha-{label}_base.trec")
+            by_q_host = {}
+            for e in host:
+                by_q_host.setdefault(e.qid, []).append(e)
+            by_q_fused = {}
+            for e in fused:
+                by_q_fused.setdefault(e.qid, []).append(e)
+            assert set(by_q_fused) == set(qids)
+            for q in qids:
+                h = by_q_host[q][:k]
+                f = by_q_fused[q]
+                assert len(f) == k
+                assert [e.docid for e in f] == [e.docid for e in h]
+                # host collapse writes 4-decimal scores, fused writes 6
+                np.testing.assert_allclose(
+                    [e.score for e in f], [e.score for e in h], atol=6e-5
+                )
+
 
 class TestAnalyzeCli:
     def test_analyze_triplets(self, tmp_path, capsys):
@@ -291,3 +386,33 @@ class TestAnalyzeCli:
         out = capsys.readouterr().out
         payload = json.loads(out[out.index("{"):])
         assert "r_mean" in payload and "probe_accuracy" in payload
+
+    def test_analyze_cm_subset_stays_aligned(self, tmp_path, capsys):
+        """When the CM TSV is missing some intersected qids, texts must be
+        FILTERED by index, not truncated by zip (ADVICE r1 #1). CM == EN
+        text per kept qid, so per-query r must be identical across rows;
+        misalignment would scramble the pairs and spread r."""
+        import csv
+
+        qids = [f"q{i}" for i in range(30)]
+        (tmp_path / "en.tsv").write_text(
+            "\n".join(f"{q}\tenglish query number {i} alpha beta" for i, q in enumerate(qids)) + "\n")
+        (tmp_path / "zh.tsv").write_text(
+            "\n".join(f"{q}\tchinese query number {i} gamma delta" for i, q in enumerate(qids)) + "\n")
+        kept = [q for i, q in enumerate(qids) if i not in (0, 7, 8)]
+        (tmp_path / "cm.tsv").write_text(
+            "\n".join(
+                f"{q}\tenglish query number {qids.index(q)} alpha beta" for q in kept
+            ) + "\n")
+        cli_main([
+            "analyze",
+            "--query_tsv", f"en={tmp_path/'en.tsv'}", f"zh={tmp_path/'zh.tsv'}",
+            f"cm={tmp_path/'cm.tsv'}",
+            "--outdir", str(tmp_path / "analysis"),
+            "--smoke_dim", "32",
+        ])
+        with open(tmp_path / "analysis" / "per_query_metrics.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert [r["qid"] for r in rows] == kept
+        r_vals = [float(r["r"]) for r in rows]
+        assert max(r_vals) - min(r_vals) < 1e-4  # every CM == its EN endpoint

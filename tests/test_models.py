@@ -244,6 +244,36 @@ class TestTokenizer:
         assert bucket_length(100) == 128
         assert bucket_length(1000) == 512
 
+    @staticmethod
+    def _tiny_hf_tok():
+        from tokenizers import Tokenizer
+        from tokenizers.models import WordLevel
+        from tokenizers.pre_tokenizers import Whitespace
+        from tokenizers.processors import TemplateProcessing
+
+        vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "a": 4, "b": 5, "c": 6}
+        tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+        tok.pre_tokenizer = Whitespace()
+        tok.post_processor = TemplateProcessing(
+            single="<s> $A </s>", special_tokens=[("<s>", 0), ("</s>", 2)]
+        )
+        return tok
+
+    def test_hf_truncation_preserves_eos(self):
+        """Over-length texts must keep the post-processor EOS (the HF fast
+        tokenizer truncates BEFORE post-processing; a bare ids slice after
+        the fact drops </s> and diverges — ADVICE r1 #4)."""
+        from codemix_dense_retrieval_tpu.models.tokenizer import HFTokenizer
+
+        t = HFTokenizer(self._tiny_hf_tok(), pad_id=1)
+        ids, mask = t.encode_batch(["a b c a b c a b"], max_length=5)
+        assert ids.shape[1] == 5
+        assert ids[0, 0] == 0 and ids[0, -1] == 2
+        assert mask[0].sum() == 5
+        # truncation state must not leak into later unbounded calls
+        ids2, _ = t.encode_batch(["a b c"])
+        assert ids2[0].tolist() == [0, 4, 5, 6, 2]
+
 
 class TestTextEncoder:
     def test_encode_shapes_and_norms(self):
