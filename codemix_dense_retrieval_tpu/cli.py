@@ -626,6 +626,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("sweep", help="experiment scheduler (replaces the bash schedulers)")
     p.add_argument("--plan", required=True, help="JSON sweep plan file")
     p.add_argument("--max_failures", type=int, default=1)
+    p.add_argument("--slots", type=int, default=1,
+                   help="concurrency when the plan has no device_slots table")
     p.add_argument("--dry_run", action="store_true")
     p.set_defaults(fn=cmd_sweep)
 

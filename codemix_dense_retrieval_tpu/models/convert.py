@@ -40,8 +40,14 @@ def convert_xlmr_state_dict(
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
 
     def dense(hf_name):
+        # torch parametrization moves the frozen weight to
+        # ``parametrizations.weight.original`` (jina-v3 LoRA checkpoints);
+        # plain checkpoints keep ``.weight``.
+        w_key = f"{hf_name}.weight"
+        if w_key not in sd:
+            w_key = f"{hf_name}.parametrizations.weight.original"
         base = {
-            "kernel": _np(sd[f"{hf_name}.weight"]).T,
+            "kernel": _np(sd[w_key]).T,
             "bias": _np(sd[f"{hf_name}.bias"]),
         }
         if not cfg.lora_rank:

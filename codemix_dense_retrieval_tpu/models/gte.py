@@ -11,10 +11,11 @@ embeddings and a gated GELU MLP:
   ``gelu(gate) * up``) -> ``down_proj`` -> LayerNorm(x + mlp);
 - pooling: CLS + L2 norm.
 
-NOTE: built from the published architecture description; conversion
-parity against real released weights is pending validation (the HF
-implementation is trust_remote_code and not available offline here).
-Structural/numeric self-consistency is covered by tests.
+NOTE: built from the published architecture description; numerics and the
+HF-name mapping are pinned against an in-repo torch reference forward
+(tests/test_torch_oracles.py) to <=1e-4. Validation against real released
+weights still needs a network-enabled environment (the HF implementation
+is trust_remote_code and unavailable offline here).
 """
 
 from __future__ import annotations

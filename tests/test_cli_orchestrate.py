@@ -416,3 +416,116 @@ class TestAnalyzeCli:
         assert [r["qid"] for r in rows] == kept
         r_vals = [float(r["r"]) for r in rows]
         assert max(r_vals) - min(r_vals) < 1e-4  # every CM == its EN endpoint
+
+
+class TestSchedulerPlacement:
+    """Per-device slot table + per-type caps + process-group kill
+    (reference `run_all_vector_pairs.sh:529-624`)."""
+
+    def _fake_job(self, tmp_path, name, dur=0.5, jtype="", device=None, rc=0):
+        from codemix_dense_retrieval_tpu.orchestrate.scheduler import Job
+
+        out = tmp_path / "rec" / f"{name}.json"
+        argv = [str(out), str(dur)] + ([str(rc)] if rc else [])
+        return Job(
+            name=name, argv=argv, outdir=str(out.parent),
+            expected=[out.name] if rc == 0 else [],
+            env={"PYTHONPATH": str(pathlib.Path(__file__).resolve().parents[1])},
+            jtype=jtype, device=device,
+        )
+
+    def _run(self, tmp_path, jobs, **kw):
+        from codemix_dense_retrieval_tpu.orchestrate.scheduler import Scheduler
+
+        return Scheduler(jobs, module="tests.fake_job", poll_interval=0.05, **kw).run()
+
+    def _records(self, tmp_path):
+        recs = {}
+        for f in (tmp_path / "rec").glob("*.json"):
+            recs[f.stem] = json.loads(f.read_text())
+        return recs
+
+    @staticmethod
+    def _max_concurrent(intervals):
+        events = [(r["start"], 1) for r in intervals] + [(r["end"], -1) for r in intervals]
+        events.sort()
+        cur = peak = 0
+        for _, d in events:
+            cur += d
+            peak = max(peak, cur)
+        return peak
+
+    def test_device_slots_honored(self, tmp_path):
+        jobs = [self._fake_job(tmp_path, f"j{i}", dur=0.4) for i in range(6)]
+        res = self._run(tmp_path, jobs, device_slots={"a": 2, "b": 1})
+        assert sorted(res.ran) == sorted(j.name for j in jobs)
+        recs = self._records(tmp_path)
+        assert set(r["device"] for r in recs.values()) <= {"a", "b"}
+        for dev, cap in (("a", 2), ("b", 1)):
+            ivs = [r for r in recs.values() if r["device"] == dev]
+            if ivs:
+                assert self._max_concurrent(ivs) <= cap
+        # placements recorded in the result too
+        assert set(res.placements) == set(recs)
+
+    def test_device_pin(self, tmp_path):
+        jobs = [
+            self._fake_job(tmp_path, "pinned", dur=0.2, device="b"),
+            self._fake_job(tmp_path, "free", dur=0.2),
+        ]
+        res = self._run(tmp_path, jobs, device_slots={"a": 1, "b": 1})
+        assert res.placements["pinned"] == "b"
+        assert self._records(tmp_path)["pinned"]["device"] == "b"
+
+    def test_unknown_pin_rejected(self, tmp_path):
+        from codemix_dense_retrieval_tpu.orchestrate.scheduler import Scheduler
+
+        jobs = [self._fake_job(tmp_path, "x", device="nope")]
+        with pytest.raises(ValueError, match="unknown device"):
+            Scheduler(jobs, module="tests.fake_job", device_slots={"a": 1})
+
+    def test_type_caps(self, tmp_path):
+        jobs = [self._fake_job(tmp_path, f"h{i}", dur=0.4, jtype="heavy") for i in range(3)]
+        jobs += [self._fake_job(tmp_path, f"l{i}", dur=0.4, jtype="light") for i in range(2)]
+        res = self._run(
+            tmp_path, jobs, device_slots={"a": 4}, type_caps={"heavy": 1},
+        )
+        assert not res.failed
+        recs = self._records(tmp_path)
+        heavy = [r for n, r in recs.items() if n.startswith("h")]
+        assert self._max_concurrent(heavy) <= 1
+        # light jobs were NOT starved behind the capped heavy queue
+        light = [r for n, r in recs.items() if n.startswith("l")]
+        assert self._max_concurrent(light) == 2
+
+    def test_fail_fast_kills_process_group(self, tmp_path):
+        import time as _time
+
+        jobs = [
+            self._fake_job(tmp_path, "sleeper", dur=30.0),
+            self._fake_job(tmp_path, "bad", dur=0.1, rc=1),
+        ]
+        t0 = _time.monotonic()
+        res = self._run(tmp_path, jobs, device_slots={"a": 2}, max_failures=1)
+        assert "bad" in res.failed
+        # the 30s sleeper was killed, not awaited
+        assert _time.monotonic() - t0 < 15
+        assert "sleeper" not in self._records(tmp_path)
+
+    def test_plan_options_roundtrip(self, tmp_path):
+        from codemix_dense_retrieval_tpu.orchestrate.scheduler import (
+            load_plan, load_plan_options,
+        )
+
+        plan = {
+            "jobs": [{"name": "j1", "argv": ["x"], "outdir": "/tmp/o",
+                      "type": "bilingual", "device": "a"}],
+            "device_slots": {"a": 2, "b": 1},
+            "type_caps": {"bilingual": 1},
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        jobs = load_plan(p)
+        assert jobs[0].jtype == "bilingual" and jobs[0].device == "a"
+        ds, tc = load_plan_options(p)
+        assert ds == {"a": 2, "b": 1} and tc == {"bilingual": 1}
