@@ -268,12 +268,14 @@ def project_embeddings(
     abtt_remove: int = 0,
     seed: int = 42,
     max_points: int = 2000,
+    n_components: int = 2,
 ) -> Dict[str, np.ndarray]:
-    """2-D projections of the EN/ZH/CM clouds for visualization
-    (reference's UMAP/t-SNE panels, `cm_embedding_space_analysis.py`).
+    """2-D (or 3-D for the interactive HTML) projections of the EN/ZH/CM
+    clouds for visualization (reference's UMAP/t-SNE panels and 3-D
+    plotly HTML, `cm_embedding_space_analysis.py:859-1119`).
 
     ``method``: auto (umap if installed, else t-SNE, else PCA) | umap |
-    tsne | pca. Returns {"en": (n,2), "zh": ..., "cm": ...}.
+    tsne | pca. Returns {"en": (n,c), "zh": ..., "cm": ...}.
     """
     rng = np.random.default_rng(seed)
     parts = []
@@ -295,15 +297,19 @@ def project_embeddings(
     if method == "umap":
         import umap
 
-        proj = umap.UMAP(n_components=2, random_state=seed).fit_transform(X)
+        proj = umap.UMAP(n_components=n_components, random_state=seed).fit_transform(X)
+    elif method == "tsne" and len(X) <= n_components + 1:
+        method = "pca"  # t-SNE needs n_samples > n_components + 1
     elif method == "tsne":
         from sklearn.manifold import TSNE
 
-        proj = TSNE(n_components=2, random_state=seed, init="pca").fit_transform(X)
+        perplexity = min(30.0, max(1.0, (len(X) - 1) / 3.0))
+        proj = TSNE(n_components=n_components, random_state=seed, init="pca",
+                    perplexity=perplexity).fit_transform(X)
     else:
         from sklearn.decomposition import PCA
 
-        proj = PCA(n_components=2, random_state=seed).fit_transform(X)
+        proj = PCA(n_components=n_components, random_state=seed).fit_transform(X)
     n1, n2 = len(parts[0]), len(parts[1])
     return {"en": proj[:n1], "zh": proj[n1 : n1 + n2], "cm": proj[n1 + n2 :]}
 

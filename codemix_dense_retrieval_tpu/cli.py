@@ -445,6 +445,17 @@ def cmd_analyze(args) -> None:
     write_report(result, outdir, qids=qids)
     proj = project_embeddings(E_a, E_b, E_cm, seed=args.seed)
     plot_projection(proj, outdir / "projection.png")
+    # interactive 3-D projection HTML (reference's plotly output,
+    # `cm_embedding_space_analysis.py:859-1119`)
+    from codemix_dense_retrieval_tpu.analysis.plots import write_projection_html
+
+    proj3 = project_embeddings(E_a, E_b, E_cm, seed=args.seed, n_components=3)
+    pts3 = np.vstack([proj3["en"], proj3["zh"], proj3["cm"]])
+    groups = [0] * len(proj3["en"]) + [1] * len(proj3["zh"]) + [2] * len(proj3["cm"])
+    write_projection_html(
+        pts3, groups, [l_a.upper(), l_b.upper(), l_cm.upper()],
+        outdir / "projection_3d.html",
+    )
     print(json.dumps({k: v for k, v in result.summary().items()}, indent=2, default=float))
 
 
@@ -491,6 +502,37 @@ def cmd_collect(args) -> None:
         from codemix_dense_retrieval_tpu.analysis.collect import collect_cli
 
         collect_cli(args)
+
+
+def cmd_paper_values(args) -> None:
+    """Full paper-statistics report over a results tree (replaces
+    `calculate_paper_values.py`)."""
+    import pathlib
+
+    from codemix_dense_retrieval_tpu.analysis.collect import collect_results, compute_summary
+    from codemix_dense_retrieval_tpu.analysis.paper_values import paper_values_report
+
+    rows = collect_results(args.results_root)
+    summary = compute_summary(rows)
+    report = paper_values_report(summary, rows, n_boot=args.n_boot)
+    if args.out:
+        out = pathlib.Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(report)
+        print(f"wrote {out} ({len(summary)} summary rows)")
+    else:
+        print(report)
+
+
+def cmd_plots(args) -> None:
+    """Paper figures over a results tree (replaces `plot_diagram_2.py`)."""
+    from codemix_dense_retrieval_tpu.analysis.collect import collect_results, compute_summary
+    from codemix_dense_retrieval_tpu.analysis.plots import generate_all
+
+    rows = collect_results(args.results_root)
+    summary = compute_summary(rows)
+    paths = generate_all(rows, summary, args.outdir)
+    print(f"wrote {len(paths)} figures to {args.outdir}")
 
 
 # ---------------------------------------------------------------------------
@@ -636,6 +678,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", required=True)
     p.add_argument("--ablation", action="store_true")
     p.set_defaults(fn=cmd_collect)
+
+    p = sub.add_parser("paper-values", help="paper statistics report over a results tree")
+    p.add_argument("--results_root", required=True)
+    p.add_argument("--out", help="report path (stdout when omitted)")
+    p.add_argument("--n_boot", type=int, default=2000)
+    p.set_defaults(fn=cmd_paper_values)
+
+    p = sub.add_parser("plots", help="paper figures over a results tree")
+    p.add_argument("--results_root", required=True)
+    p.add_argument("--outdir", required=True)
+    p.set_defaults(fn=cmd_plots)
 
     return ap
 
