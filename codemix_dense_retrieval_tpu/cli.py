@@ -47,13 +47,26 @@ def _parse_lang_path(specs: Sequence[str]) -> Dict[str, pathlib.Path]:
     return out
 
 
+def _encode_mesh(args):
+    """Data-parallel encode mesh from --dp (1 = single device, -1 = all
+    devices) — the GSPMD replacement for run_encode_index_groups.sh's
+    4-way process parallelism."""
+    dp = getattr(args, "dp", 1)
+    if dp == 1:
+        return None
+    from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+    return make_mesh(shard=dp, tp=1)
+
+
 def _build_encoder(args):
     """TextEncoder from --encoder/--checkpoint via the registry (any
     family); random-init + hash tokenizer when no checkpoint (smoke mode)."""
+    mesh = _encode_mesh(args)
     if args.checkpoint:
         from codemix_dense_retrieval_tpu.models.registry import load_encoder
 
-        return load_encoder(args.encoder, args.checkpoint, seed=args.seed)
+        return load_encoder(args.encoder, args.checkpoint, seed=args.seed, mesh=mesh)
     log.warning("no --checkpoint: random-init encoder + hash tokenizer (smoke mode)")
     from codemix_dense_retrieval_tpu.models.dialects import default_pooling
     from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
@@ -67,7 +80,7 @@ def _build_encoder(args):
         pooling=default_pooling(args.encoder),
         use_flash=False,
     )
-    return TextEncoder(args.encoder, cfg, seed=args.seed)
+    return TextEncoder(args.encoder, cfg, seed=args.seed, mesh=mesh)
 
 
 def _device_index(index, args):
@@ -381,10 +394,16 @@ def cmd_generate_bands(args) -> None:
         lo, hi = spec.split("-")
         bands.append((int(lo), int(hi)))
     usage = UsageTracker()
-    gen = openai_generate_fn(model=args.model, usage=usage)
+    if args.protocol == "kadapt":
+        from codemix_dense_retrieval_tpu.datagen.bands import openai_band_generate_fn
+
+        gen = openai_band_generate_fn(model=args.model, usage=usage)
+    else:
+        gen = openai_generate_fn(model=args.model, usage=usage)
     pairs = list(zip(qids, texts_en, texts_zh))
     generate_band_dataset(
-        pairs, args.out_dir, gen, bands=bands, num_threads=args.workers
+        pairs, args.out_dir, gen, bands=bands, num_threads=args.workers,
+        kadapt=args.protocol == "kadapt",
     )
     # pure-language endpoint bands used by the word-mix scripts
     out = pathlib.Path(args.out_dir)
@@ -543,6 +562,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--smoke_dim", type=int, default=64, help="hidden size for random-init smoke mode")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--enc_batch", type=int, default=64)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel encode devices (-1 = all)")
     p.add_argument("--shards", type=int, default=-1, help="index shard axis size (-1 = all devices)")
     p.add_argument("--verbosity", type=int, default=1)
 
@@ -638,6 +659,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="gpt-5-mini")
     p.add_argument("--workers", type=int, default=1)
     p.add_argument("--max_queries", type=int, default=0)
+    p.add_argument("--protocol", choices=["kadapt", "multi"], default="kadapt",
+                   help="kadapt = reference-parity per-band K budgets "
+                        "(one JSON call per attempt); multi = simple "
+                        "multi-candidate protocol")
     p.set_defaults(fn=cmd_generate_bands)
 
     p = sub.add_parser("download-queries", help="download mMARCO dev queries to TSVs")

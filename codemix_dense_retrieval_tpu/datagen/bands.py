@@ -103,8 +103,153 @@ class BandState:
 
 
 def adaptive_k(attempt: int, base_k: int = 3, max_k: int = 10) -> int:
-    """Candidate count grows with retries (reference `:146-171`)."""
+    """Candidate count grows with retries (the simple multi-candidate
+    protocol; see ``adjust_k`` for the reference's miss-driven variant)."""
     return min(base_k * (attempt + 1), max_k)
+
+
+# ---------------------------------------------------------------------------
+# reference-parity K adaptation (miss-driven, word-count based)
+# ---------------------------------------------------------------------------
+
+_EPS = 1e-6
+
+
+def en_token_count(text: str) -> int:
+    """Whitespace word count of the English source (the K unit)."""
+    return len(text.split())
+
+
+def initial_k_for_band(lo: int, hi: int, en_word_count: int) -> int:
+    """Initial K (number of words to switch) from the band midpoint,
+    clamped to [1, n-1] so the result is truly mixed
+    (`generate_cm_bands.py:146-153`)."""
+    if en_word_count <= 1:
+        return 1
+    target_pct = (lo + hi) / 2.0
+    k = round(target_pct / 100.0 * en_word_count)
+    return max(1, min(k, en_word_count - 1))
+
+
+def adjust_k(current_k: int, measured_ratio: float, lo: int, hi: int,
+             en_word_count: int) -> int:
+    """MISS-DRIVEN adjustment (`generate_cm_bands.py:155-171`): move K
+    toward the band proportionally to how far the measured ratio missed,
+    always by at least one word; clamp to [1, n-1]."""
+    import math as _math
+
+    if en_word_count <= 1:
+        return current_k
+    if measured_ratio <= lo + _EPS:
+        delta_pct = max(0.0, lo - measured_ratio)
+        new_k = current_k + max(1, _math.ceil(delta_pct / 100.0 * en_word_count))
+    elif measured_ratio >= hi - _EPS:
+        delta_pct = max(0.0, measured_ratio - hi)
+        new_k = current_k - max(1, _math.ceil(delta_pct / 100.0 * en_word_count))
+    else:
+        return current_k
+    return min(max(new_k, 1), max(1, en_word_count - 1))
+
+
+def build_band_prompt(
+    bands: Sequence[Tuple[int, int]],
+    k_map: Dict[str, int],
+    en_word_count: int,
+    lang_a: str = "English",
+    lang_b: str = "Chinese",
+) -> str:
+    """Fluency-first multi-band system prompt (same CONTRACT as the
+    reference's `build_system_prompt_all_bands`, `:173-217`: one JSON
+    object keyed by band label, per-band exact source-word budgets, reuse
+    -only vocabulary, JSON-only output)."""
+    labels = [f"{lo}-{hi}" for lo, hi in bands]
+    budget_lines = "\n".join(
+        f'  - "{lab}": keep exactly {en_word_count - k_map[lab]} {lang_a} words'
+        for lab in labels
+    )
+    return (
+        f"You rewrite a query as code-mixed {lang_a}/{lang_b} sentences.\n"
+        "Respond with a single JSON object: every key is one of the band "
+        "labels below; every value is ONE fluent code-mixed sentence built "
+        f"only from the given {lang_a} and {lang_b} versions (reuse their "
+        "words and phrases; never invent new facts, and never repeat the "
+        "same meaning in both languages).\n"
+        f"Band labels: {', '.join(labels)}.\n"
+        "Fluency and meaning preservation come first: the sentence must "
+        "read naturally in both grammars, not as word-by-word alternation "
+        "or a concatenation of the two originals. Reordering is allowed "
+        "when it improves fluency.\n"
+        "Per-band word budgets:\n"
+        f"{budget_lines}\n"
+        "Keep the overall length close to the original; small deviations "
+        "for naturalness are fine.\n"
+        "Output strictly the JSON object with exactly these keys and "
+        "string values — no commentary."
+    )
+
+
+# v2 protocol: one call per pair covering all pending bands with explicit
+# per-band K budgets -> {band_label: sentence}
+BandGenerateFn = Callable[[str, str, Sequence[str], Dict[str, int], int], Dict[str, str]]
+
+
+def generate_bands_for_pair_kadapt(
+    qid: str,
+    en_text: str,
+    zh_text: str,
+    state: BandState,
+    generate_fn: BandGenerateFn,
+    *,
+    lang_a: str = "en",
+    lang_b: str = "zh",
+    max_tries: int = 4,
+    classifier=None,
+) -> int:
+    """Reference-parity per-pair loop (`process_one_query`, `:370-487`):
+    one call per attempt covering all pending bands with per-band K
+    budgets; every returned sentence is measured and filed into its
+    ACTUAL band when that band is still empty (opportunistic); a band is
+    satisfied when its sentence lands truly mixed inside it, otherwise
+    its K moves toward the band (``adjust_k``) and it stays pending."""
+    n_words = en_token_count(en_text)
+    if n_words == 0:
+        log.warning("[%s] empty EN text; skipping", qid)
+        return 0
+    filled = 0
+    pending = list(state.missing_bands(qid))
+    k_map = {b: initial_k_for_band(b[0], b[1], n_words) for b in pending}
+    for attempt in range(1, max_tries + 1):
+        if not pending:
+            break
+        labels = [f"{lo}-{hi}" for lo, hi in pending]
+        label_k = {f"{lo}-{hi}": k_map[(lo, hi)] for lo, hi in pending}
+        try:
+            obj = generate_fn(en_text, zh_text, labels, label_k, attempt) or {}
+        except Exception as e:  # backend exhausted its own retries
+            log.warning("[%s] generation failed on attempt %d: %s", qid, attempt, e)
+            break
+        still_pending: List[Tuple[int, int]] = []
+        for band in pending:
+            lo, hi = band
+            txt = (obj.get(f"{lo}-{hi}") or "").strip()
+            ratio = mix_ratio(txt, lang_a, lang_b, classifier) if txt else None
+            truly_mixed = ratio is not None and 0.0 < ratio < 100.0
+            if truly_mixed and state.file_candidate(qid, txt, ratio) is not None:
+                filled += 1
+            if truly_mixed and lo <= ratio <= hi:
+                continue  # satisfied (filed under its actual == target band)
+            if attempt < max_tries:
+                k_map[band] = adjust_k(
+                    k_map[band], -1.0 if ratio is None else ratio, lo, hi, n_words
+                )
+                still_pending.append(band)
+            else:
+                log.warning(
+                    "[%s %d-%d] max tries reached (ratio=%s); not written",
+                    qid, lo, hi, "n/a" if ratio is None else f"{ratio:.1f}",
+                )
+        pending = still_pending
+    return filled
 
 
 def generate_bands_for_pair(
@@ -148,7 +293,7 @@ def generate_bands_for_pair(
 def generate_band_dataset(
     pairs: Sequence[Tuple[str, str, str]],  # (qid, en_text, zh_text)
     outdir,
-    generate_fn: GenerateFn,
+    generate_fn,
     *,
     bands: Sequence[Tuple[int, int]] = DEFAULT_BANDS,
     lang_a: str = "en",
@@ -157,8 +302,14 @@ def generate_band_dataset(
     num_threads: int = 1,
     classifier=None,
     checkpoint_every: int = 50,
+    kadapt: bool = False,
 ) -> BandState:
-    """Full dataset generation with resume + periodic checkpointing."""
+    """Full dataset generation with resume + periodic checkpointing.
+
+    ``kadapt=True`` selects the reference-parity protocol
+    (``generate_bands_for_pair_kadapt``: one JSON call per attempt with
+    per-band K budgets, miss-driven adjustment); the default keeps the
+    simpler multi-candidate protocol."""
     outdir = pathlib.Path(outdir)
     state = BandState.resume(outdir, bands)
     lock = threading.Lock()
@@ -170,11 +321,18 @@ def generate_band_dataset(
         with lock:
             if not state.missing_bands(qid):
                 return
-        generate_bands_for_pair(
-            qid, en_text, zh_text, state, generate_fn,
-            lang_a=lang_a, lang_b=lang_b, max_attempts=max_attempts,
-            classifier=classifier,
-        )
+        if kadapt:
+            generate_bands_for_pair_kadapt(
+                qid, en_text, zh_text, state, generate_fn,
+                lang_a=lang_a, lang_b=lang_b, max_tries=max_attempts,
+                classifier=classifier,
+            )
+        else:
+            generate_bands_for_pair(
+                qid, en_text, zh_text, state, generate_fn,
+                lang_a=lang_a, lang_b=lang_b, max_attempts=max_attempts,
+                classifier=classifier,
+            )
         with lock:
             processed += 1
             if processed % checkpoint_every == 0:
@@ -223,6 +381,137 @@ class UsageTracker:
             "completion_tokens": self.completion_tokens,
             "cost_usd": round(self.cost_usd, 4),
         }
+
+
+def _best_effort_json_object(raw: str) -> Dict[str, str]:
+    """Parse the model output into a dict, tolerating code fences and
+    leading/trailing prose (reference best-effort extraction)."""
+    import json as _json
+    import re as _re
+
+    if not raw:
+        return {}
+    try:
+        obj = _json.loads(raw)
+        return obj if isinstance(obj, dict) else {}
+    except ValueError:
+        pass
+    m = _re.search(r"\{.*\}", raw, _re.DOTALL)
+    if m:
+        try:
+            obj = _json.loads(m.group(0))
+            return obj if isinstance(obj, dict) else {}
+        except ValueError:
+            return {}
+    return {}
+
+
+def _retrying(call, attempts: int = 6, max_backoff: float = 20.0):
+    """Exponential-backoff retry (tenacity-equivalent, dependency-free)."""
+    import random as _random
+    import time as _time
+
+    last = None
+    for i in range(attempts):
+        try:
+            return call()
+        except Exception as e:  # network/API errors
+            last = e
+            _time.sleep(min(max_backoff, (2 ** i) * _random.uniform(0.5, 1.0)))
+    raise last
+
+
+def openai_band_generate_fn(
+    model: str = "gpt-5-mini",
+    api_key: Optional[str] = None,
+    usage: Optional[UsageTracker] = None,
+    temp_first: float = 0.7,
+    temp_retry: float = 1.0,
+    *,
+    client=None,
+    retry_attempts: int = 6,
+    max_backoff: float = 20.0,
+) -> BandGenerateFn:
+    """Reference-parity OpenAI backend for ``generate_bands_for_pair_kadapt``:
+
+    - prefers the RESPONSES API with JSON mode, dropping
+      ``response_format`` when the model rejects it;
+    - falls back to CHAT COMPLETIONS on Responses failure (same JSON-mode
+      downgrade) — `generate_cm_bands.py:316-361`;
+    - exponential-backoff retries around each API;
+    - first attempt uses ``temp_first``, retries ``temp_retry``.
+
+    ``client`` is injectable for tests; otherwise ``openai.OpenAI()``.
+    """
+    if client is None:
+        from openai import OpenAI  # gated import
+
+        client = OpenAI(api_key=api_key)
+
+    def _track(resp) -> None:
+        if usage is not None:
+            usage.add(getattr(resp, "usage", None))
+
+    def _responses(instructions: str, user_text: str, temp: float) -> str:
+        base = dict(
+            model=model,
+            instructions=instructions,
+            input=[{"role": "user", "content": [{"type": "text", "text": user_text}]}],
+            temperature=temp,
+        )
+        try:
+            resp = client.responses.create(
+                response_format={"type": "json_object"}, **base
+            )
+        except Exception as e:
+            if "response_format" not in str(e) and "unsupported" not in str(e).lower():
+                raise
+            resp = client.responses.create(**base)
+        _track(resp)
+        text = getattr(resp, "output_text", None)
+        if text is None:  # assemble from output items
+            parts = []
+            for item in getattr(resp, "output", []) or []:
+                for c in getattr(item, "content", []) or []:
+                    parts.append(getattr(c, "text", "") or "")
+            text = "".join(parts)
+        return text or ""
+
+    def _chat(system: str, user_text: str, temp: float) -> str:
+        base = dict(
+            model=model,
+            messages=[{"role": "system", "content": system},
+                      {"role": "user", "content": user_text}],
+            temperature=temp,
+        )
+        try:
+            resp = client.chat.completions.create(
+                response_format={"type": "json_object"}, **base
+            )
+        except Exception as e:
+            if "response_format" not in str(e) and "unsupported" not in str(e).lower():
+                raise
+            resp = client.chat.completions.create(**base)
+        _track(resp)
+        try:
+            return resp.choices[0].message.content or ""
+        except (AttributeError, IndexError):
+            return ""
+
+    def generate(en_text, zh_text, labels, k_map, attempt) -> Dict[str, str]:
+        bands = [tuple(int(x) for x in lab.split("-")) for lab in labels]
+        prompt = build_band_prompt(bands, k_map, en_token_count(en_text))
+        user_text = f"EN: {en_text}\nZH: {zh_text}"
+        temp = temp_first if attempt == 1 else temp_retry
+        try:
+            raw = _retrying(lambda: _responses(prompt, user_text, temp),
+                            retry_attempts, max_backoff)
+        except Exception:
+            raw = _retrying(lambda: _chat(prompt, user_text, temp),
+                            retry_attempts, max_backoff)
+        return _best_effort_json_object(raw)
+
+    return generate
 
 
 def openai_generate_fn(

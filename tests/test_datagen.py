@@ -140,3 +140,164 @@ def test_usage_tracker():
     assert s["calls"] == 3
     assert s["prompt_tokens"] == 3000 and s["completion_tokens"] == 2000
     assert s["cost_usd"] == round((3000 * 0.25 + 2000 * 2.0) / 1e6, 4)
+
+
+class TestKAdaptation:
+    """Miss-driven K adaptation + one-call JSON protocol
+    (`generate_cm_bands.py:146-171,370-487`)."""
+
+    def test_initial_k_midpoint(self):
+        from codemix_dense_retrieval_tpu.datagen.bands import initial_k_for_band
+
+        assert initial_k_for_band(40, 60, 10) == 5
+        assert initial_k_for_band(0, 20, 10) == 1    # clamped up from 1
+        assert initial_k_for_band(80, 100, 10) == 9  # clamped to n-1
+        assert initial_k_for_band(40, 60, 1) == 1
+
+    def test_adjust_k_moves_toward_band(self):
+        from codemix_dense_retrieval_tpu.datagen.bands import adjust_k
+
+        # undershoot: ratio 10 below band 40-60 -> K grows by >= 1
+        assert adjust_k(3, 10.0, 40, 60, 10) == 6  # ceil(30/100*10)=3 -> 3+3
+        # overshoot: ratio 90 above band 40-60 -> K shrinks
+        assert adjust_k(8, 90.0, 40, 60, 10) == 5  # ceil(30/100*10)=3 -> 8-3
+        # tiny miss still moves by at least one word
+        assert adjust_k(5, 39.9, 40, 60, 10) == 6
+        assert adjust_k(5, 60.1, 40, 60, 10) == 4
+        # inside the band: unchanged
+        assert adjust_k(5, 50.0, 40, 60, 10) == 5
+        # clamps
+        assert adjust_k(1, 95.0, 0, 20, 10) == 1 or adjust_k(1, 95.0, 0, 20, 10) >= 1
+        assert adjust_k(9, 0.0, 80, 100, 10) == 9  # already n-1
+
+    def test_kadapt_loop_converges(self):
+        """Fake backend honoring K: replaces the last K EN words with ZH
+        words — the loop must fill every band via K adjustment."""
+        from codemix_dense_retrieval_tpu.datagen.bands import (
+            BandState, DEFAULT_BANDS, generate_bands_for_pair_kadapt,
+        )
+
+        en = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        zh = "一 二 三 四 五 六 七 八 九 十"
+
+        def fake(en_text, zh_text, labels, k_map, attempt):
+            en_words = en_text.split()
+            zh_words = zh_text.split()
+            out = {}
+            for lab in labels:
+                k = k_map[lab]
+                mixed = en_words[: len(en_words) - k] + zh_words[len(zh_words) - k:]
+                out[lab] = " ".join(mixed)
+            return out
+
+        state = BandState(DEFAULT_BANDS)
+        filled = generate_bands_for_pair_kadapt(
+            "q1", en, zh, state, fake, max_tries=6,
+        )
+        assert filled >= 4
+        assert state.missing_bands("q1") == [] or len(state.missing_bands("q1")) <= 1
+
+    def test_kadapt_never_files_unmixed(self):
+        from codemix_dense_retrieval_tpu.datagen.bands import (
+            BandState, DEFAULT_BANDS, generate_bands_for_pair_kadapt,
+        )
+
+        def pure(en_text, zh_text, labels, k_map, attempt):
+            return {lab: en_text for lab in labels}  # ratio 0: not mixed
+
+        state = BandState(DEFAULT_BANDS)
+        filled = generate_bands_for_pair_kadapt("q1", "one two three", "一 二 三", state, pure)
+        assert filled == 0
+        assert all(not rows for rows in state.rows.values())
+
+    def test_prompt_contract(self):
+        from codemix_dense_retrieval_tpu.datagen.bands import build_band_prompt
+
+        p = build_band_prompt([(0, 20), (40, 60)], {"0-20": 1, "40-60": 5}, 10)
+        assert '"0-20"' in p and '"40-60"' in p
+        assert "exactly 9 English words" in p
+        assert "exactly 5 English words" in p
+        assert "JSON" in p
+
+
+class TestOpenAIFallback:
+    """Responses -> Chat fallback + JSON-mode downgrade with fake clients
+    (`generate_cm_bands.py:316-361`)."""
+
+    class _Usage:
+        prompt_tokens, completion_tokens = 11, 7
+
+    def _mk_responses_resp(self, text):
+        class R:
+            output_text = text
+            usage = self._Usage()
+        return R()
+
+    def _mk_chat_resp(self, text):
+        class Msg:
+            content = text
+        class Choice:
+            message = Msg()
+        class R:
+            choices = [Choice()]
+            usage = self._Usage()
+        return R()
+
+    def test_responses_preferred(self):
+        from codemix_dense_retrieval_tpu.datagen.bands import (
+            UsageTracker, openai_band_generate_fn,
+        )
+
+        calls = {"responses": 0, "chat": 0}
+        outer = self
+
+        class Client:
+            class responses:
+                @staticmethod
+                def create(**kw):
+                    calls["responses"] += 1
+                    assert kw.get("response_format") == {"type": "json_object"}
+                    return outer._mk_responses_resp('{"0-20": "mixed 一"}')
+            class chat:
+                class completions:
+                    @staticmethod
+                    def create(**kw):
+                        calls["chat"] += 1
+                        return outer._mk_chat_resp("{}")
+
+        usage = UsageTracker(1.0, 2.0)
+        fn = openai_band_generate_fn(client=Client(), usage=usage, retry_attempts=2, max_backoff=0.01)
+        out = fn("one two", "一 二", ["0-20"], {"0-20": 1}, 1)
+        assert out == {"0-20": "mixed 一"}
+        assert calls == {"responses": 1, "chat": 0}
+        assert usage.prompt_tokens == 11
+
+    def test_json_mode_downgrade_then_chat_fallback(self):
+        from codemix_dense_retrieval_tpu.datagen.bands import openai_band_generate_fn
+
+        calls = {"responses": 0, "chat": 0, "chat_plain": 0}
+        outer = self
+
+        class Client:
+            class responses:
+                @staticmethod
+                def create(**kw):
+                    calls["responses"] += 1
+                    raise RuntimeError("server exploded")  # hard failure
+            class chat:
+                class completions:
+                    @staticmethod
+                    def create(**kw):
+                        calls["chat"] += 1
+                        if "response_format" in kw:
+                            raise RuntimeError("unsupported_parameter: response_format")
+                        calls["chat_plain"] += 1
+                        return outer._mk_chat_resp(
+                            'noise before {"40-60": "mix 三 words"} after')
+
+        fn = openai_band_generate_fn(client=Client(), retry_attempts=6, max_backoff=0.01)
+        out = fn("one two three", "一 二 三", ["40-60"], {"40-60": 2}, 2)
+        # best-effort JSON extraction from prose-wrapped output
+        assert out == {"40-60": "mix 三 words"}
+        assert calls["responses"] >= 6  # retried with backoff, then fell back
+        assert calls["chat_plain"] == 1
