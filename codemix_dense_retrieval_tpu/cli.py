@@ -719,6 +719,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
+    # TPU plugin (env vars are otherwise ignored there; backends are lazy
+    # so an in-process config flip here still works)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     argv = list(sys.argv[1:] if argv is None else argv)
     # passthrough for `evaluate` (keeps the reference CLI intact)
     if argv and argv[0] == "evaluate":

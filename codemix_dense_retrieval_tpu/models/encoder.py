@@ -33,6 +33,8 @@ class TextEncoder:
         model=None,
         seed: int = 0,
         length_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512),
+        mesh=None,
+        mesh_axis: str = "shard",
     ) -> None:
         self.name = name
         self.cfg = cfg
@@ -56,9 +58,31 @@ class TextEncoder:
             mask = jnp.ones((1, 8), jnp.int32)
             params = self.model.init(jax.random.key(seed), ids, mask)
         self.params = params
-        self._fwd = jax.jit(
-            lambda p, ids, mask, task: self.model.apply(p, ids, mask, task)
-        )
+        # data-parallel corpus encode over the mesh (SURVEY §2.3: "shard
+        # the passage stream across devices" — the 4-way process
+        # parallelism of run_encode_index_groups.sh:35-58 becomes GSPMD
+        # batch splitting): inputs sharded on the batch axis, params
+        # replicated, outputs batch-sharded.
+        self.mesh = mesh
+        self._dp = 1
+        if mesh is not None and mesh_axis in mesh.axis_names:
+            self._dp = mesh.shape[mesh_axis]
+        if self._dp > 1:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            data_sh = NamedSharding(mesh, P(mesh_axis, None))
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self._fwd = jax.jit(
+                lambda p, ids, mask, task: self.model.apply(p, ids, mask, task),
+                in_shardings=(rep, data_sh, data_sh, rep),
+                out_shardings=data_sh,
+            )
+        else:
+            self._fwd = jax.jit(
+                lambda p, ids, mask, task: self.model.apply(p, ids, mask, task)
+            )
 
     @classmethod
     def from_checkpoint(cls, name: str, checkpoint_dir, **kw) -> "TextEncoder":
@@ -106,6 +130,8 @@ class TextEncoder:
         sizes: List[int] = []
         ml = max_length or (self.cfg.max_position_embeddings - 2)
         task = jnp.asarray(task_id, jnp.int32)
+        # the global batch must split evenly over the data-parallel axis
+        batch_size = ((batch_size + self._dp - 1) // self._dp) * self._dp
         for start in range(0, len(texts), batch_size):
             chunk = [prefix + t for t in texts[start : start + batch_size]]
             ids, mask = self.tokenizer.encode_batch(chunk, ml)

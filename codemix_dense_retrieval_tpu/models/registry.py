@@ -53,12 +53,15 @@ def load_encoder(
     dtype=None,
     use_flash: Optional[bool] = None,
     seed: int = 0,
+    mesh=None,
 ) -> TextEncoder:
     """Build a TextEncoder for any supported family.
 
     Without ``checkpoint_dir``: random-init architecture for the family
     (smoke/testing mode). With one: HF-format dir (config.json + weights)
     or a pre-converted dir (params.npz + encoder_config.json).
+    ``mesh``: a jax Mesh with a "shard" axis enables data-parallel
+    encoding (batch split over devices, params replicated).
     """
     import jax.numpy as jnp
 
@@ -73,12 +76,12 @@ def load_encoder(
         use_flash = jax.default_backend() == "tpu"
 
     if checkpoint_dir is None:
-        return _random_init(name, family, dtype, use_flash, seed)
+        return _random_init(name, family, dtype, use_flash, seed, mesh)
 
     d = pathlib.Path(checkpoint_dir)
     if (d / "params.npz").exists():
         # pre-converted: XLM-R-family only for now (the convert CLI path)
-        return TextEncoder.from_checkpoint(name, d, seed=seed)
+        return TextEncoder.from_checkpoint(name, d, seed=seed, mesh=mesh)
     hf_cfg = json.loads((d / "config.json").read_text())
     model_type = hf_cfg.get("model_type", "xlm-roberta")
     sd = _load_state_dict(d)
@@ -94,7 +97,7 @@ def load_encoder(
         prefix = _detect_prefix(sd, "embed_tokens.weight")
         params = convert_qwen3_state_dict(sd, cfg, prefix=prefix)
         tok = load_tokenizer(d, cfg.max_position_embeddings - 2, vocab_size=cfg.vocab_size)
-        return TextEncoder(name, cfg, params, tok, model=Qwen3Encoder(cfg), seed=seed)
+        return TextEncoder(name, cfg, params, tok, model=Qwen3Encoder(cfg), seed=seed, mesh=mesh)
 
     if model_type == "new" or family == "gte":
         from codemix_dense_retrieval_tpu.models.gte import (
@@ -117,7 +120,7 @@ def load_encoder(
         prefix = _detect_prefix(sd, "embeddings.word_embeddings.weight")
         params = convert_gte_state_dict(sd, cfg, prefix=prefix)
         tok = load_tokenizer(d, cfg.max_position_embeddings - 2, vocab_size=cfg.vocab_size)
-        return TextEncoder(name, cfg, params, tok, model=GTEEncoder(cfg), seed=seed)
+        return TextEncoder(name, cfg, params, tok, model=GTEEncoder(cfg), seed=seed, mesh=mesh)
 
     # XLM-R family (incl. jina-v3 LoRA)
     from codemix_dense_retrieval_tpu.models.convert import (
@@ -135,7 +138,7 @@ def load_encoder(
     )
     params = convert_xlmr_state_dict(sd, cfg, prefix=detect_prefix(sd))
     tok = load_tokenizer(d, cfg.max_position_embeddings - 2, vocab_size=cfg.vocab_size)
-    return TextEncoder(name, cfg, params, tok, seed=seed)
+    return TextEncoder(name, cfg, params, tok, seed=seed, mesh=mesh)
 
 
 def _detect_prefix(sd, marker: str) -> str:
@@ -145,18 +148,18 @@ def _detect_prefix(sd, marker: str) -> str:
     raise KeyError(f"no {marker} in state dict")
 
 
-def _random_init(name, family, dtype, use_flash, seed) -> TextEncoder:
+def _random_init(name, family, dtype, use_flash, seed, mesh=None) -> TextEncoder:
     """Smoke-mode random-init encoder of the right family shape (tiny)."""
     if family == "qwen3":
         from codemix_dense_retrieval_tpu.models.qwen3 import Qwen3Config, Qwen3Encoder
 
         cfg = Qwen3Config.tiny(vocab_size=30_000, dtype=dtype)
-        return TextEncoder(name, cfg, model=Qwen3Encoder(cfg), seed=seed)
+        return TextEncoder(name, cfg, model=Qwen3Encoder(cfg), seed=seed, mesh=mesh)
     if family == "gte":
         from codemix_dense_retrieval_tpu.models.gte import GTEConfig, GTEEncoder
 
         cfg = GTEConfig.tiny(vocab_size=30_000, dtype=dtype)
-        return TextEncoder(name, cfg, model=GTEEncoder(cfg), seed=seed)
+        return TextEncoder(name, cfg, model=GTEEncoder(cfg), seed=seed, mesh=mesh)
     from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
 
     extra = dict(lora_rank=4, lora_tasks=5) if family == "jina-v3" else {}
@@ -165,4 +168,4 @@ def _random_init(name, family, dtype, use_flash, seed) -> TextEncoder:
         pooling=dialects.default_pooling(name), dtype=dtype, use_flash=use_flash,
         **extra,
     )
-    return TextEncoder(name, cfg, seed=seed)
+    return TextEncoder(name, cfg, seed=seed, mesh=mesh)

@@ -1,0 +1,151 @@
+"""END-TO-END corpus-encode benchmark: real Rust tokenization + jitted
+forward through TextEncoder's overlapped pipeline (VERDICT round-1
+item 3: "an e2e encode bench that includes real tokenization").
+
+Unlike bench_encode.py (device forward only), this measures the path the
+corpus builder actually runs: host BPE tokenization (tokenizers-rust; a
+32k-vocab BPE trained in-process since real checkpoints are offline) ->
+length-bucketed padding -> jitted forward, with JAX async dispatch
+overlapping tokenization of batch i+1 against the device forward of
+batch i (models/encoder.py:101-127).
+
+Reports: tokenize-only rate, device-forward-only rate, and the e2e rate
+(the SURVEY §7 "host tokenization wall" quantified).
+
+Usage: python scripts/bench_encode_e2e.py [--passages 20000] [--batch 256]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+# The environment's sitecustomize pins the TPU platform and IGNORES the
+# JAX_PLATFORMS env var; honor it in-process (backends init lazily).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def build_bpe_tokenizer(corpus, vocab_size=32_000):
+    """Train a real byte-level BPE tokenizer (Rust) with the XLM-R-style
+    post-processor — representative per-text cost of a production
+    sentencepiece/BPE vocab."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors, trainers
+
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size,
+        special_tokens=["<s>", "<pad>", "</s>", "<unk>"],
+        show_progress=False,
+    )
+    tok.train_from_iterator(corpus, trainer)
+    tok.post_processor = processors.TemplateProcessing(
+        single="<s> $A </s>",
+        special_tokens=[("<s>", tok.token_to_id("<s>")),
+                        ("</s>", tok.token_to_id("</s>"))],
+    )
+    return tok
+
+
+def synth_passages(n, seed=0):
+    """mMARCO-like passage lengths (~40-90 words) over a zipfian vocab."""
+    rng = random.Random(seed)
+    stems = [f"word{i}" for i in range(20_000)]
+    out = []
+    for _ in range(n):
+        length = rng.randint(40, 90)
+        words = [stems[min(int(rng.paretovariate(1.1)), 19_999)] for _ in range(length)]
+        out.append(" ".join(words))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passages", type=int, default=20_000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=24)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.models.tokenizer import HFTokenizer
+    from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
+
+    on_tpu = jax.default_backend() != "cpu"
+    texts = synth_passages(args.passages)
+    t0 = time.perf_counter()
+    raw_tok = build_bpe_tokenizer(texts[:5000])
+    train_s = time.perf_counter() - t0
+    tok = HFTokenizer(raw_tok, pad_id=raw_tok.token_to_id("<pad>"))
+
+    # tokenize-only rate (host wall; Rust-parallel encode_batch)
+    t0 = time.perf_counter()
+    for start in range(0, len(texts), args.batch):
+        tok.encode_batch(texts[start : start + args.batch], 192)
+    tok_s = time.perf_counter() - t0
+    tok_pps = len(texts) / tok_s
+
+    layers = args.layers if on_tpu else 2
+    hidden = 1024 if on_tpu else 64
+    cfg = XLMRConfig(
+        vocab_size=32_000, hidden_size=hidden, num_layers=layers,
+        num_heads=16 if on_tpu else 4, intermediate_size=4 * hidden,
+        max_position_embeddings=8194,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_flash=on_tpu, pooling="cls",
+    )
+    enc = TextEncoder("BAAI/bge-m3", cfg, tokenizer=tok)
+
+    # warm both length buckets this workload hits
+    enc.encode_documents(texts[: args.batch], batch_size=args.batch)
+
+    # device-forward-only rate on a fixed tokenized batch
+    ids = jnp.asarray(np.full((args.batch, 128), 5, np.int32))
+    mask = jnp.ones((args.batch, 128), jnp.int32)
+    task = jnp.asarray(0, jnp.int32)
+    out = enc._fwd(enc.params, ids, mask, task)
+    _ = float(np.asarray(out)[0, 0])
+    t0 = time.perf_counter()
+    iters = 8
+    for _ in range(iters):
+        out = enc._fwd(enc.params, ids, mask, task)
+        _ = float(np.asarray(out)[0, 0])
+    fwd_pps = args.batch * iters / (time.perf_counter() - t0)
+
+    # e2e: tokenization + forward, overlapped
+    t0 = time.perf_counter()
+    vecs = enc.encode_documents(texts, batch_size=args.batch)
+    e2e_s = time.perf_counter() - t0
+    assert vecs.shape[0] == len(texts)
+    e2e_pps = len(texts) / e2e_s
+
+    print(json.dumps({
+        "metric": "encode_e2e_passages_per_sec",
+        "value": round(e2e_pps, 1),
+        "unit": "passages/sec",
+        "vs_baseline": round(e2e_pps / 2000.0, 3),
+        "tokenize_only_pps": round(tok_pps, 1),
+        "device_forward_only_pps": round(fwd_pps, 1),
+        "overlap_efficiency": round(e2e_pps / min(tok_pps, fwd_pps), 3),
+        "passages": len(texts),
+        "batch": args.batch,
+        "layers": layers,
+        "bpe_train_s": round(train_s, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -340,3 +340,64 @@ class TestQwen3Flash:
         m2 = Qwen3Encoder(cfg_flash)
         out2 = np.asarray(m2.apply(params, ids, mask))
         np.testing.assert_allclose(out1, out2, rtol=3e-4, atol=3e-4)
+
+
+class TestDataParallelEncode:
+    """DP corpus encode over the mesh (SURVEY §2.3: batch sharded over
+    devices, params replicated — the run_encode_index_groups.sh analog)."""
+
+    def _encoder(self, mesh=None):
+        import jax.numpy as jnp
+
+        from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+        from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer
+        from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
+
+        cfg = XLMRConfig.tiny(
+            vocab_size=5000, hidden_size=32, num_heads=4, intermediate_size=64,
+            use_flash=False, dtype=jnp.float32,
+        )
+        return TextEncoder(
+            "BAAI/bge-m3", cfg, tokenizer=HashTokenizer(5000, 32), mesh=mesh,
+        )
+
+    def test_dp_matches_single_device(self, eight_cpu_devices):
+        from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+        texts = [f"passage number {i} tok{i % 7}" for i in range(19)]
+        single = self._encoder()
+        mesh = make_mesh(shard=8, tp=1, devices=eight_cpu_devices)
+        dp = self._encoder(mesh=mesh)
+        dp.params = single.params  # same weights (device_put re-placement)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp.params = jax.device_put(single.params, NamedSharding(mesh, P()))
+        ref = single.encode_documents(texts, batch_size=8)
+        got = dp.encode_documents(texts, batch_size=8)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_dp_batch_is_sharded(self, eight_cpu_devices):
+        """The jitted forward's inputs really split over the shard axis."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+        mesh = make_mesh(shard=8, tp=1, devices=eight_cpu_devices)
+        enc = self._encoder(mesh=mesh)
+        assert enc._dp == 8
+        # batch rounds up to a multiple of dp
+        out = enc.encode_documents(["x"] * 3, batch_size=3)  # -> batch 8
+        assert out.shape == (3, 32)
+        # output sharding of the forward is batch-split
+        ids = jnp.zeros((8, 16), jnp.int32)
+        mask = jnp.ones((8, 16), jnp.int32)
+        res = enc._fwd(enc.params, ids, mask, jnp.asarray(0, jnp.int32))
+        assert res.sharding.is_equivalent_to(
+            NamedSharding(mesh, P("shard", None)), res.ndim
+        )
+        # params replicated
+        leaf = jax.tree.leaves(enc.params)[0]
+        assert leaf.sharding.is_equivalent_to(NamedSharding(mesh, P()), leaf.ndim)
