@@ -2,48 +2,28 @@
 
 Searches a synthetic 1.1M x 1024 bf16 index (the per-chip shard of the
 8.8M-passage mMARCO EN-ZH index spread over a v5e-8) with the fused
-bin-max-cover kernel, k=100, query blocks of 1024 — the workload class
-behind BASELINE.md's ">=10,000 queries/sec at MRR@10 parity" target.
+bin-max-cover kernels at BOTH serving depths:
+
+- k=100 (the mono runners' depth, the headline metric) via the
+  single-level cover;
+- k=1000 (BASELINE.json's "exact IP top-1000" smoke depth; the bilingual
+  hub serves k=500) via the two-level cover — reported as the
+  ``search_qps_k1000`` key on the same line.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is qps / 10_000 (the full-pod target rate; a single chip
-sustaining it on its shard means the 8-chip system does too, since every
-chip searches its shard concurrently and the merge payload is ~KBs).
+``vs_baseline`` is k=100 qps / 10_000 (the full-pod target rate; a single
+chip sustaining it on its shard means the 8-chip system does too, since
+every chip searches its shard concurrently and the merge payload is ~KBs).
 """
 
+import functools
 import json
 import time
 
 import numpy as np
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins
-
-    n, dim, k, block = 1_100_000, 1024, 100, 1024
-    on_tpu = jax.default_backend() != "cpu"
-    if not on_tpu:  # keep the CPU smoke honest but fast
-        n, block = 20_000, 256
-
-    rng = np.random.default_rng(0)
-    docs_np = rng.standard_normal((n, dim), dtype=np.float32)
-    docs = jnp.asarray(docs_np).astype(jnp.bfloat16)
-
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=())
-    def run(q, d):
-        return topk_ip_bins(
-            q, d, k, bin_size=16, use_pallas=on_tpu, tile_b=512, tile_n=1024,
-            interpret=not on_tpu,
-        )
-
-    q_np = rng.standard_normal((block, dim), dtype=np.float32)
-    queries = jnp.asarray(q_np).astype(jnp.bfloat16)
-
+def _timed_run(run, queries, docs, iters):
     # warmup/compile — force a scalar device->host transfer: on the axon
     # relay platform block_until_ready can return before a pallas program
     # has actually compiled+run, which would push the compile into the
@@ -52,40 +32,84 @@ def main() -> None:
     _ = float(vals[0, 0])
     vals, idx = run(queries, docs)
     _ = float(vals[0, 0])
-
     # timed: force device completion AND host transfer each iteration so
     # async-dispatch platforms cannot under-report; MEDIAN of per-iteration
     # times (the relay adds occasional multi-hundred-ms outliers)
-    iters = 12 if on_tpu else 3
-    checksum = 0.0
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         vals, idx = run(queries, docs)
-        checksum += float(vals[0, 0])
+        _ = float(vals[0, 0])
         times.append(time.perf_counter() - t0)
     times.sort()
-    dt = times[len(times) // 2]
-    qps = block / dt
+    return times[len(times) // 2], idx
 
-    # sanity: exactness vs small oracle (guards against a fast-but-wrong kernel)
+
+def _overlap(idx, queries, docs, oracle_docs_f32, k_check):
+    """Exactness sanity vs the bf16-rounded f32 oracle (guards against a
+    fast-but-wrong kernel)."""
     from codemix_dense_retrieval_tpu.ops.topk import topk_ip_oracle
 
-    sub = np.asarray(docs[:4096].astype(jnp.float32))
-    v, i = run(queries, docs)
-    rv, ri = topk_ip_oracle(
-        np.asarray(queries.astype(jnp.float32))[:8], np.asarray(docs.astype(jnp.float32)), 20
+    _, ri = topk_ip_oracle(
+        np.asarray(queries[:8]).astype(np.float32), oracle_docs_f32, k_check
     )
-    got = np.asarray(i)[:8, :20]
-    ref_sets = [set(r.tolist()) for r in ri[:, :20]]
-    overlap = np.mean([len(set(g.tolist()) & s) / 20 for g, s in zip(got, ref_sets)])
+    got = np.asarray(idx)[:8, :k_check]
+    return float(np.mean([
+        len(set(g.tolist()) & set(r.tolist())) / k_check for g, r in zip(got, ri)
+    ]))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.ops.topk import (
+        topk_ip_bins,
+        topk_ip_bins_two_level,
+    )
+
+    n, dim, block = 1_100_000, 1024, 1024
+    k, k_deep = 100, 1000
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:  # keep the CPU smoke honest but fast
+        n, block, k_deep = 20_000, 256, 300
+
+    rng = np.random.default_rng(0)
+    docs_np = rng.standard_normal((n, dim), dtype=np.float32)
+    docs = jnp.asarray(docs_np).astype(jnp.bfloat16)
+    del docs_np
+    queries = jnp.asarray(
+        rng.standard_normal((block, dim), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+    # the oracle must see the bf16-ROUNDED values the kernel scores
+    oracle_docs = np.asarray(docs.astype(jnp.float32))
+
+    run_100 = jax.jit(functools.partial(
+        topk_ip_bins, k=k, bin_size=16, use_pallas=on_tpu, tile_b=512,
+        tile_n=1024, interpret=not on_tpu,
+    ))
+    iters = 12 if on_tpu else 3
+    dt, idx = _timed_run(run_100, queries, docs, iters)
+    qps = block / dt
+    overlap = _overlap(idx, queries, docs, oracle_docs, 20)
+
+    # deep-k (two-level cover, measured defaults)
+    run_deep = jax.jit(functools.partial(
+        topk_ip_bins_two_level, k=k_deep, tile_b=512, tile_n=1024,
+        interpret=not on_tpu,
+    ))
+    dt_deep, idx_deep = _timed_run(run_deep, queries, docs, max(3, iters // 2))
+    qps_deep = block / dt_deep
+    overlap_deep = _overlap(idx_deep, queries, docs, oracle_docs, min(k_deep, 200))
 
     result = {
         "metric": f"search_qps_{n}x{dim}_bf16_k{k}",
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / 10_000.0, 3),
-        "exact_overlap_at_20": round(float(overlap), 4),
+        "exact_overlap_at_20": round(overlap, 4),
+        f"search_qps_k{k_deep}": round(qps_deep, 1),
+        f"exact_overlap_k{k_deep}": round(overlap_deep, 4),
         "block": block,
         "backend": jax.default_backend(),
     }

@@ -44,15 +44,15 @@ def maxsim_scores_xla(
     return best.sum(axis=-1)
 
 
-def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, k):
-    """One batch-row program: for each of the k candidates, score =
-    sum_i max_j q_i . d_j, written into the (1, k) output block (a full
-    -k block satisfies Mosaic's last-dim rule where per-pair scalar
-    blocks do not)."""
+def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, chunk):
+    """One (batch-row, candidate-chunk) program: for each candidate in the
+    chunk, score = sum_i max_j q_i . d_j, written into the (1, chunk)
+    output block (a full-chunk block satisfies Mosaic's last-dim rule
+    where per-pair scalar blocks do not)."""
     q = q_ref[0].astype(jnp.float32)  # (Tq, dim)
     qmask = qm_ref[0, 0].astype(jnp.float32)  # (Tq,)
     sums = []
-    for j in range(k):  # static rerank depth
+    for j in range(chunk):  # static chunk depth
         d = d_ref[0, j].astype(jnp.float32)  # (Td, dim)
         sim = lax.dot_general(
             q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -62,8 +62,29 @@ def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, k):
         best = jnp.max(sim, axis=1)
         best = jnp.where((qmask > 0) & jnp.isfinite(best), best, 0.0)
         sums.append(jnp.sum(best).reshape(1, 1))
-    # single vector store (scalar VMEM stores are not lowerable)
-    o_ref[0] = jnp.concatenate(sums, axis=1)
+    # single vector store (scalar VMEM stores are not lowerable); chunk
+    # rides the SECOND-to-last output dim (8-aligned) with a trailing
+    # singleton, because Mosaic's last-dim rule would demand 128-aligned
+    # chunks otherwise
+    o_ref[0] = jnp.concatenate(sums, axis=0)
+
+
+# VMEM budget for the candidate block (~half of the ~16MB/core VMEM,
+# leaving room for the query block, similarity tile, and double buffering)
+_MAXSIM_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _auto_candidate_chunk(k: int, td: int, dim: int, itemsize: int) -> int:
+    """Largest chunk <= k whose (chunk, Td, dim) candidate block fits the
+    VMEM budget (>= 1: a single candidate must always fit)."""
+    per_cand = td * dim * itemsize
+    chunk = max(1, min(k, _MAXSIM_VMEM_BUDGET // max(per_cand, 1)))
+    # Mosaic sublane rule: the chunk is the second-to-last dim of the
+    # mask/output blocks, so it must be 8-aligned (unless it covers the
+    # whole padded candidate axis). 8 may overshoot the budget for huge
+    # per-candidate blocks; VMEM headroom (~16MB/core vs the 6MB budget)
+    # absorbs that.
+    return chunk if chunk >= k else max(8, chunk - chunk % 8)
 
 
 def maxsim_scores_pallas(
@@ -72,31 +93,46 @@ def maxsim_scores_pallas(
     d_tokens: jnp.ndarray,
     d_mask: jnp.ndarray,
     *,
+    candidate_chunk: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused MaxSim; grid = (B,); each program streams its k candidates'
-    (Tq x Td) similarity tiles through VMEM and reduces them without an
-    HBM round-trip. VMEM bound: k * Td * dim * itemsize must fit (~12 MB);
-    chunk candidates for very deep reranks."""
+    """Fused MaxSim; grid = (B, K/chunk); each program streams one chunk of
+    candidates' (Tq x Td) similarity tiles through VMEM and reduces them
+    without an HBM round-trip. Rerank depth is NOT VMEM-bound: candidates
+    are processed in chunks sized to the VMEM budget (``candidate_chunk``
+    overrides the automatic choice). Candidates are padded to a chunk
+    multiple with zero-mask rows, which score exactly 0 and are sliced off.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, tq, dim = q_tokens.shape
     _, k, td, _ = d_tokens.shape
-    kernel = functools.partial(_maxsim_kernel, k=k)
+    if candidate_chunk is None:
+        candidate_chunk = _auto_candidate_chunk(k, td, dim, d_tokens.dtype.itemsize)
+    chunk = max(1, min(candidate_chunk, k))
+    if chunk < k:
+        chunk = max(8, chunk - chunk % 8)  # sublane rule, see _auto_candidate_chunk
+    k_pad = ((k + chunk - 1) // chunk) * chunk
+    if k_pad != k:
+        d_tokens = jnp.pad(d_tokens, ((0, 0), (0, k_pad - k), (0, 0), (0, 0)))
+        d_mask = jnp.pad(d_mask, ((0, 0), (0, k_pad - k), (0, 0)))
+    kernel = functools.partial(_maxsim_kernel, chunk=chunk)
     # Mosaic checks the LAST TWO dims of every block: 2-D operands with a
     # (1, X) block fail the sublane rule, so masks/output carry a singleton
     # middle axis making their trailing dims block-complete.
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, k_pad // chunk),
         in_specs=[
-            pl.BlockSpec((1, 1, tq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, td), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, td, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, td), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, dim), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, chunk, td, dim), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        out_specs=pl.BlockSpec((1, chunk, 1), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k_pad, 1), jnp.float32),
         interpret=interpret,
     )(
         q_mask.astype(jnp.float32)[:, None, :],
@@ -104,7 +140,7 @@ def maxsim_scores_pallas(
         q_tokens,
         d_tokens,
     )
-    return out[:, 0, :]
+    return out[:, :k, 0]
 
 
 def maxsim_rerank(
@@ -115,12 +151,16 @@ def maxsim_rerank(
     candidate_ids: jnp.ndarray,  # (B, K) global ids from the dense stage
     *,
     use_pallas: bool = True,
+    candidate_chunk: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rerank dense-stage candidates by MaxSim; returns (scores sorted desc,
     reordered candidate ids), ties broken by lower id."""
     if use_pallas:
-        scores = maxsim_scores_pallas(q_tokens, q_mask, d_tokens, d_mask, interpret=interpret)
+        scores = maxsim_scores_pallas(
+            q_tokens, q_mask, d_tokens, d_mask,
+            candidate_chunk=candidate_chunk, interpret=interpret,
+        )
     else:
         scores = maxsim_scores_xla(q_tokens, q_mask, d_tokens, d_mask)
     neg, ids = lax.sort((-scores, candidate_ids.astype(jnp.int32)), num_keys=2)

@@ -468,6 +468,111 @@ def _topk_from_bins(
 
 
 # --------------------------------------------------------------------------
+# deep-k: two-level bin-max cover
+# --------------------------------------------------------------------------
+
+def _auto_super_size(k: int) -> int:
+    """Measured on v5e (BENCH_NOTES round 2): the k*M bin-max gather grows
+    with M while the super top_k domain shrinks; M=8 wins at k<=500,
+    M=4 deeper."""
+    return 8 if k <= 500 else 4
+
+
+def topk_ip_bins_two_level(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    bin_size: int = 8,
+    super_size: Optional[int] = None,
+    tile_b: int = 512,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    n_valid=None,
+    score_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact deep-k (k >= ~300) top-k via a TWO-LEVEL bin-max cover.
+
+    The single-level path pays one ``lax.top_k`` over N/G bin maxima —
+    at k=1000 on 1.1M rows that sort (137k elements/query) costs ~70% of
+    the wall (measured, BENCH_NOTES round 2). Adding super-bins of M
+    bins shrinks every selection domain:
+
+    1. fused kernel: scores (N, B) + bin maxima (N/G, B)    [1 HBM pass]
+    2. super maxima (N/(G*M), B) by an XLA reshape-max      [tiny]
+    3. ``top_k`` over N/(G*M) supers -> k super-bins
+    4. gather the k*M covered bin maxima -> ``top_k`` -> k bins
+    5. gather the k*G covered element scores -> final ``top_k``
+
+    **Exactness (transitive cover).** For any true top-k element x in
+    bin b inside super-bin S: every super ranked above S has max >
+    score(x) (or ties with a lower id, whose max element then outranks x
+    under (score desc, id asc)) — so it contains one of the <= k-1
+    elements outranking x; distinct supers contribute distinct elements,
+    hence S is selected. The same argument at the bin level keeps b
+    among the k bins chosen from the gathered k*M, and x is in the k*G
+    candidates. Ties: selected ids are re-sorted ascending at each level
+    so ``lax.top_k``'s lower-position preference IS the id-ascending
+    (FAISS) tie-break.
+    """
+    n_rows = docs.shape[0]
+    if super_size is None:
+        super_size = _auto_super_size(k)
+    if n_valid is None:
+        n_valid = n_rows
+    if isinstance(n_valid, int) and k > n_valid:
+        raise ValueError(f"k={k} > num docs {n_valid}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    chunk = bin_size * super_size
+    lcm_tile = tile_n if tile_n % chunk == 0 else tile_n * chunk // math.gcd(tile_n, chunk)
+    n_pad = _ceil_to(n_rows, lcm_tile)
+    if n_pad != n_rows:
+        docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
+        if isinstance(n_valid, int):
+            n_valid = min(n_valid, n_rows)
+    b = queries.shape[0]
+    if b <= tile_b:
+        eff_tile_b, b_pad = b, b
+    else:
+        eff_tile_b = tile_b
+        b_pad = _ceil_to(b, tile_b)
+        if b_pad != b:
+            queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    scores_t, bin_max_t = _bin_scores_pallas(
+        queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
+        interpret=interpret, score_dtype=score_dtype,
+    )
+    nb = bin_max_t.shape[0]
+    ns = nb // super_size
+    super_max = jnp.max(bin_max_t.reshape(ns, super_size, b_pad), axis=1).T  # (B, ns)
+    if b_pad != b:
+        super_max = super_max[:b]
+        scores_t = scores_t[:, :b]
+        bin_max_t = bin_max_t[:, :b]
+    ks = min(k, ns)
+    _, sup_ids = lax.top_k(super_max, ks)
+    sup_ids = lax.sort(sup_ids, dimension=1)
+    # gather the selected supers' bin maxima: (B, ks*M)
+    bin_idx = (
+        sup_ids[:, :, None] * super_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, super_size), 2)
+    ).reshape(b, ks * super_size)
+    cand_binmax = jnp.take_along_axis(bin_max_t, bin_idx.T, axis=0).T
+    kb = min(k, cand_binmax.shape[1])
+    _, pos = lax.top_k(cand_binmax, kb)
+    bin_ids = jnp.take_along_axis(bin_idx, pos, axis=1)
+    bin_ids = lax.sort(bin_ids, dimension=1)
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    cand_scores = _gather_bins_transposed(scores_t, cand_idx).astype(jnp.float32)
+    vals, p2 = lax.top_k(cand_scores, k)
+    return vals, jnp.take_along_axis(cand_idx, p2, axis=1)
+
+
+# --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
 
@@ -551,7 +656,14 @@ def topk_ip(
     """
     n = docs.shape[0]
     if method == "auto":
-        method = "bins_pallas" if n >= 16384 else "full"
+        if n < 16384:
+            method = "full"
+        elif k > 200 and n // _auto_bin_size(k) >= 32768:
+            # deep k over a big shard: the single-level bin-max top_k
+            # dominates — use the two-level cover (measured crossover)
+            method = "bins_two_level"
+        else:
+            method = "bins_pallas"
     if method == "full":
         k_eff = min(k, n)
         if k_eff < k:
@@ -561,6 +673,10 @@ def topk_ip(
         return topk_ip_bins(queries, docs, k, bin_size=bin_size, use_pallas=False, **kwargs)
     if method == "bins_pallas":
         return topk_ip_bins(queries, docs, k, bin_size=bin_size, use_pallas=True, **kwargs)
+    if method == "bins_two_level":
+        if bin_size is not None:
+            kwargs["bin_size"] = bin_size
+        return topk_ip_bins_two_level(queries, docs, k, **kwargs)
     if method == "bins_rescore":
         return topk_ip_bins_rescore(queries, docs, k, bin_size=bin_size, **kwargs)
     raise ValueError(f"unknown method {method!r}")

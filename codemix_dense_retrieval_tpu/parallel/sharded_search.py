@@ -87,7 +87,7 @@ def sharded_topk_ip(
     mesh: Mesh,
     axis: str = "shard",
     bin_size: Optional[int] = None,
-    method: str = "bins_pallas",
+    method: str = "auto",
     tile_n: int = 1024,
     tile_b: int = 256,
     interpret: Optional[bool] = None,
@@ -110,6 +110,18 @@ def sharded_topk_ip(
         )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    int8_for_auto = docs_sharded.dtype == jnp.int8
+    if method == "auto":
+        # deep k over a big float shard: two-level cover (the per-shard
+        # analog of ops.topk.topk_ip's routing; int8 keeps the fused
+        # single-level kernel)
+        from codemix_dense_retrieval_tpu.ops.topk import _auto_bin_size as _abs
+
+        if (not int8_for_auto and k > 200
+                and rows_per_shard // _abs(k) >= 32768):
+            method = "bins_two_level"
+        else:
+            method = "bins_pallas"
     if bin_size is None:
         from codemix_dense_retrieval_tpu.ops.topk import _auto_bin_size
 
@@ -150,6 +162,11 @@ def sharded_topk_ip(
                 vals, idx = topk_ops._topk_from_bins(scores, bin_max, k, bin_size)
             else:
                 vals, idx = lax.top_k(scores, k)
+        elif method == "bins_two_level":
+            vals, idx = topk_ops.topk_ip_bins_two_level(
+                q, d, k, bin_size=bin_size, tile_b=tile_b, tile_n=tile_n,
+                interpret=interpret, n_valid=n_valid,
+            )
         else:
             vals, idx = topk_ops.topk_ip_bins(
                 q,

@@ -117,3 +117,47 @@ def test_token_embeddings_feed_maxsim(rng):
         jnp.asarray(mask_d[None]),
     ))
     assert scores[0].argmax() == 1  # the query's own text wins
+
+
+def test_pallas_chunked_matches_xla(data):
+    """Candidate chunking (incl. a non-divisible chunk forcing zero-mask
+    padding) is invisible in the scores — rerank depth is not VMEM-bound."""
+    qt, qm, dt, dm = data  # k = 5
+    ref = np.asarray(maxsim_scores_xla(*map(jnp.asarray, (qt, qm, dt, dm))))
+    for chunk in (1, 2, 3, 5, 64):
+        got = np.asarray(maxsim_scores_pallas(
+            *map(jnp.asarray, (qt, qm, dt, dm)), candidate_chunk=chunk))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5, err_msg=f"chunk={chunk}")
+
+
+def test_auto_chunk_bounds_vmem():
+    from codemix_dense_retrieval_tpu.ops.maxsim import (
+        _MAXSIM_VMEM_BUDGET, _auto_candidate_chunk,
+    )
+
+    # deep rerank at ColBERT-ish shapes: chunk must bound the block size
+    k, td, dim = 1000, 256, 128
+    chunk = _auto_candidate_chunk(k, td, dim, 4)
+    assert 8 <= chunk < k
+    assert chunk % 8 == 0  # Mosaic sublane rule (second-to-last block dim)
+    assert chunk * td * dim * 4 <= _MAXSIM_VMEM_BUDGET
+    # shallow rerank: one chunk (covers the whole axis, no alignment needed)
+    assert _auto_candidate_chunk(4, 16, 32, 4) == 4
+    # a single huge candidate: floor at the 8-sublane minimum, never 0
+    assert _auto_candidate_chunk(8, 8192, 1024, 4) == 8
+
+
+def test_deep_rerank_previously_vmem_bound(data, rng):
+    """k*Td*dim*4 = 48 MB here — far beyond VMEM; chunking makes it run.
+    Verified against the XLA reference on a spot-check of candidates."""
+    b, tq, k, td, d = 1, 4, 768, 128, 128
+    qt = rng.standard_normal((b, tq, d)).astype(np.float32)
+    dt = rng.standard_normal((b, k, td, d)).astype(np.float32)
+    qm = np.ones((b, tq), np.int32)
+    dm = np.ones((b, k, td), np.int32)
+    got = np.asarray(maxsim_scores_pallas(*map(jnp.asarray, (qt, qm, dt, dm))))
+    assert got.shape == (b, k)
+    sub = slice(0, 32)
+    ref = np.asarray(maxsim_scores_xla(
+        jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt[:, sub]), jnp.asarray(dm[:, sub])))
+    np.testing.assert_allclose(got[:, sub], ref, rtol=1e-4, atol=1e-4)

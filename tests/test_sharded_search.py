@@ -90,3 +90,28 @@ def test_single_device_mesh(rng):
     )
     _, ref_idx = topk_ip_oracle(qs, docs, k)
     np.testing.assert_array_equal(np.asarray(gids), ref_idx)
+
+
+def test_sharded_two_level_deep_k(eight_cpu_devices, rng):
+    """Deep-k per-shard two-level cover + all-gather merge matches the
+    global oracle exactly."""
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.ops.topk import topk_ip_oracle
+    from codemix_dense_retrieval_tpu.parallel import make_mesh
+    from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+        shard_rows, sharded_topk_ip,
+    )
+
+    mesh = make_mesh(shard=4, tp=1, devices=eight_cpu_devices[:4])
+    n, d, b, k = 5000, 32, 3, 400
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((b, d)).astype(np.float32)
+    sharded, counts, _rps = shard_rows(docs, mesh)
+    vals, gids = sharded_topk_ip(
+        jnp.asarray(qs), sharded, counts, k, mesh=mesh,
+        method="bins_two_level", bin_size=8, tile_n=128, tile_b=4,
+    )
+    ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(gids), ref_idx)

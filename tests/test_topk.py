@@ -223,3 +223,71 @@ def test_fuzz_shapes_vs_oracle(rng):
             jnp.asarray(qs), jnp.asarray(docs), k, bin_size=g, tile_n=tn, tile_b=8
         )
         _assert_topk_matches(vals2, idx2, ref_vals, ref_idx, "rescore " + msg)
+
+
+class TestTwoLevel:
+    """Deep-k two-level bin-max cover (exactness incl. ties/padding)."""
+
+    def test_exact_vs_oracle_deep_k(self, rng):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_two_level
+
+        qs, docs = make_data(rng, 6000, 64, 6)
+        k = 500
+        vals, idx = topk_ip_bins_two_level(
+            jnp.asarray(qs), jnp.asarray(docs), k,
+            bin_size=8, super_size=8, tile_n=128, tile_b=8,
+        )
+        ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+        _assert_topk_matches(vals, idx, ref_vals, ref_idx, "two_level k=500")
+
+    def test_auto_routes_deep_k(self, rng):
+        qs, docs = make_data(rng, 40_000, 32, 3)
+        k = 300
+        vals, idx = topk_ip(jnp.asarray(qs), jnp.asarray(docs), k, method="auto")
+        ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+        _assert_topk_matches(vals, idx, ref_vals, ref_idx, "auto deep k")
+
+    def test_ties_break_to_lower_id(self, rng):
+        """Duplicate rows straddling bin/super boundaries: the winner must
+        be the LOWEST id copy (FAISS parity), exercising tie handling at
+        every cover level."""
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_two_level
+
+        d = 32
+        base = rng.standard_normal((512, d)).astype(np.float32)
+        docs = np.concatenate([base, base, base])  # ids i, i+512, i+1024
+        q = base[7:8] * 2.0  # top hit: row 7 (and its copies)
+        vals, idx = topk_ip_bins_two_level(
+            jnp.asarray(q), jnp.asarray(docs), 9,
+            bin_size=8, super_size=4, tile_n=128, tile_b=1,
+        )
+        idx = np.asarray(idx)[0]
+        # the three tied copies of the best row appear lowest-id first
+        top3 = idx[:3]
+        assert top3[0] == 7 and set(top3) == {7, 519, 1031}, top3
+        assert list(top3) == sorted(top3)
+
+    def test_padding_and_nonaligned_n(self, rng):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_two_level
+
+        qs, docs = make_data(rng, 3333, 32, 4)  # not a tile/chunk multiple
+        k = 257
+        vals, idx = topk_ip_bins_two_level(
+            jnp.asarray(qs), jnp.asarray(docs), k,
+            bin_size=8, super_size=8, tile_n=128, tile_b=4,
+        )
+        assert np.asarray(idx).max() < 3333
+        ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
+        _assert_topk_matches(vals, idx, ref_vals, ref_idx, "two_level padded")
+
+    def test_query_batch_padding(self, rng):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_two_level
+
+        qs, docs = make_data(rng, 2048, 32, 5)  # b=5 > tile_b=2 -> pad
+        vals, idx = topk_ip_bins_two_level(
+            jnp.asarray(qs), jnp.asarray(docs), 300,
+            bin_size=8, super_size=4, tile_n=128, tile_b=2,
+        )
+        assert vals.shape == (5, 300)
+        ref_vals, ref_idx = topk_ip_oracle(qs, docs, 300)
+        _assert_topk_matches(vals, idx, ref_vals, ref_idx, "two_level qpad")
