@@ -173,6 +173,8 @@ def cmd_encode_corpus(args) -> None:
         max_docs=args.max_docs,
         storage_dtype=args.storage_dtype,
         force=args.force,
+        tokens_per_doc=args.tokens_per_doc,
+        token_dtype=args.token_dtype,
     )
     print(json.dumps({lang: str(d) for lang, d in dirs.items()}, indent=2))
 
@@ -188,6 +190,30 @@ def cmd_run_mono(args) -> None:
         sets = {k: v[: args.max_queries] for k, v in sets.items()}
     runs = run_word_mix_search(
         index, encoder, sets, args.outdir, k=args.k, query_block=args.qblock
+    )
+    print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
+
+
+def cmd_run_rerank(args) -> None:
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+    from codemix_dense_retrieval_tpu.io.token_shards import TokenShardStore
+    from codemix_dense_retrieval_tpu.pipeline.rerank import run_two_stage_search
+
+    encoder = _build_encoder(args)
+    tok_dir = pathlib.Path(args.index) / "tokens"
+    if not TokenShardStore.exists(tok_dir):
+        raise SystemExit(
+            f"[ERROR] {tok_dir} is not a token store — re-run encode-corpus "
+            "with --tokens_per_doc"
+        )
+    index = _device_index(DenseFlatIndex.load(args.index), args)
+    store = TokenShardStore.open(tok_dir)
+    sets = _load_query_sets(args)
+    if args.max_queries:
+        sets = {k: v[: args.max_queries] for k, v in sets.items()}
+    runs = run_two_stage_search(
+        index, store, encoder, sets, args.outdir,
+        k=args.k, k_dense=args.k_dense or None, query_block=args.qblock,
     )
     print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
 
@@ -588,6 +614,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--max_docs", type=int, default=0)
     p.add_argument("--storage_dtype", default="bfloat16")
+    p.add_argument("--tokens_per_doc", type=int, default=0,
+                   help="also write a <lang>/tokens store for two-stage MaxSim serving")
+    p.add_argument("--token_dtype", default="int8")
     p.add_argument("--force", action="store_true")
     p.set_defaults(fn=cmd_encode_corpus)
 
@@ -605,6 +634,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qblock", type=int, default=256)
     p.add_argument("--max_queries", type=int, default=0)
     p.set_defaults(fn=cmd_run_mono)
+
+    p = sub.add_parser(
+        "run-rerank",
+        help="two-stage search: dense recall + MaxSim token rerank "
+        "(needs a token store from encode-corpus --tokens_per_doc)",
+    )
+    _add_common(p)
+    p.add_argument("--index", required=True, help="shard dir with a tokens/ substore")
+    p.add_argument("--queries", nargs="+", help="band dir or TSV files")
+    p.add_argument("--queries_repo", help="HF dataset repo (streaming query mode)")
+    p.add_argument("--queries_config", default=None)
+    p.add_argument("--queries_split", default="dev")
+    p.add_argument("--qid_field", default="id")
+    p.add_argument("--qtext_field", default="text")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--k_dense", type=int, default=0,
+                   help="dense recall depth (0 = max(4k, 100))")
+    p.add_argument("--qblock", type=int, default=256)
+    p.add_argument("--max_queries", type=int, default=0)
+    p.set_defaults(fn=cmd_run_rerank)
 
     p = sub.add_parser("run-mix", help="vector-mix alpha sweep over one index")
     _add_common(p)

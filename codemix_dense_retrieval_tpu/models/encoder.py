@@ -79,9 +79,34 @@ class TextEncoder:
                 in_shardings=(rep, data_sh, data_sh, rep),
                 out_shardings=data_sh,
             )
+            tok_sh = NamedSharding(mesh, P(mesh_axis, None, None))
+            self._fwd_tokens = jax.jit(
+                lambda p, ids, mask, task: self.model.apply(
+                    p, ids, mask, task, method="token_embeddings"
+                ),
+                in_shardings=(rep, data_sh, data_sh, rep),
+                out_shardings=tok_sh,
+            )
+            self._fwd_both = jax.jit(
+                lambda p, ids, mask, task: self.model.apply(
+                    p, ids, mask, task, method="embed_with_tokens"
+                ),
+                in_shardings=(rep, data_sh, data_sh, rep),
+                out_shardings=(data_sh, tok_sh),
+            )
         else:
             self._fwd = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(p, ids, mask, task)
+            )
+            self._fwd_tokens = jax.jit(
+                lambda p, ids, mask, task: self.model.apply(
+                    p, ids, mask, task, method="token_embeddings"
+                )
+            )
+            self._fwd_both = jax.jit(
+                lambda p, ids, mask, task: self.model.apply(
+                    p, ids, mask, task, method="embed_with_tokens"
+                )
             )
 
     @classmethod
@@ -151,6 +176,110 @@ class TextEncoder:
             np.asarray(dev)[:n].astype(np.float32) for dev, n in zip(pending, sizes)
         ]
         return np.concatenate(out, axis=0)
+
+    def _encode_tokens(
+        self,
+        texts: Sequence[str],
+        batch_size: int,
+        prefix: str,
+        max_length: Optional[int],
+        task_id: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-token embeddings for multi-vector serving: (tokens
+        (n, T, d) f32 — T = the longest bucketed batch length, shorter
+        batches zero-padded — and valid-token lengths (n,))."""
+        pending: List = []
+        sizes: List[int] = []
+        lengths: List[np.ndarray] = []
+        ml = max_length or (self.cfg.max_position_embeddings - 2)
+        task = jnp.asarray(task_id, jnp.int32)
+        batch_size = ((batch_size + self._dp - 1) // self._dp) * self._dp
+        for start in range(0, len(texts), batch_size):
+            chunk = [prefix + t for t in texts[start : start + batch_size]]
+            ids, mask = self.tokenizer.encode_batch(chunk, ml)
+            s = bucket_length(ids.shape[1], self.length_buckets)
+            b = batch_size
+            ids_p = np.full((b, s), getattr(self.tokenizer, "pad_id", 1), np.int32)
+            mask_p = np.zeros((b, s), np.int32)
+            ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
+            mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
+            pending.append(self._fwd_tokens(self.params, ids_p, mask_p, task))
+            sizes.append(len(chunk))
+            lengths.append(mask_p[: len(chunk)].sum(axis=1).astype(np.int32))
+        if not pending:
+            return np.zeros((0, 0, self.cfg.hidden_size), np.float32), np.zeros(0, np.int32)
+        t_max = max(int(p.shape[1]) for p in pending)
+        out = np.zeros((sum(sizes), t_max, self.cfg.hidden_size), np.float32)
+        pos = 0
+        for dev, n in zip(pending, sizes):
+            arr = np.asarray(dev)[:n].astype(np.float32)
+            out[pos : pos + n, : arr.shape[1]] = arr
+            pos += n
+        return out, np.concatenate(lengths)
+
+    def encode_documents_with_tokens(
+        self,
+        texts: Sequence[str],
+        batch_size: int = 64,
+        max_length: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One forward pass -> (dense (n, d) f32, tokens (n, T, d) f32,
+        lengths (n,)) — the encode+index path for two-stage serving builds
+        the flat index and the token store together."""
+        prefix = dialects.doc_prefix(self.name)
+        task = jnp.asarray(self._task_id("passage"), jnp.int32)
+        ml = max_length or (self.cfg.max_position_embeddings - 2)
+        pending: List = []
+        sizes: List[int] = []
+        lengths: List[np.ndarray] = []
+        batch_size = ((batch_size + self._dp - 1) // self._dp) * self._dp
+        for start in range(0, len(texts), batch_size):
+            chunk = [prefix + t for t in texts[start : start + batch_size]]
+            ids, mask = self.tokenizer.encode_batch(chunk, ml)
+            s = bucket_length(ids.shape[1], self.length_buckets)
+            b = batch_size
+            ids_p = np.full((b, s), getattr(self.tokenizer, "pad_id", 1), np.int32)
+            mask_p = np.zeros((b, s), np.int32)
+            ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
+            mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
+            pending.append(self._fwd_both(self.params, ids_p, mask_p, task))
+            sizes.append(len(chunk))
+            lengths.append(mask_p[: len(chunk)].sum(axis=1).astype(np.int32))
+        if not pending:
+            d = self.cfg.hidden_size
+            return (
+                np.zeros((0, d), np.float32),
+                np.zeros((0, 0, d), np.float32),
+                np.zeros(0, np.int32),
+            )
+        t_max = max(int(t.shape[1]) for _, t in pending)
+        dense = np.zeros((sum(sizes), self.cfg.hidden_size), np.float32)
+        toks = np.zeros((sum(sizes), t_max, self.cfg.hidden_size), np.float32)
+        pos = 0
+        for (dv, tv), n in zip(pending, sizes):
+            dense[pos : pos + n] = np.asarray(dv)[:n].astype(np.float32)
+            arr = np.asarray(tv)[:n].astype(np.float32)
+            toks[pos : pos + n, : arr.shape[1]] = arr
+            pos += n
+        return dense, toks, np.concatenate(lengths)
+
+    def encode_queries_tokens(
+        self, texts: Sequence[str], batch_size: int = 64,
+        max_length: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        return self._encode_tokens(
+            texts, batch_size, dialects.query_prefix(self.name), max_length,
+            task_id=self._task_id("query"),
+        )
+
+    def encode_documents_tokens(
+        self, texts: Sequence[str], batch_size: int = 64,
+        max_length: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        return self._encode_tokens(
+            texts, batch_size, dialects.doc_prefix(self.name), max_length,
+            task_id=self._task_id("passage"),
+        )
 
     def _task_id(self, role: str) -> int:
         """LoRA task id for jina-v3 (retrieval.query=0 / retrieval.passage=1,

@@ -118,6 +118,22 @@ class GTEEncoder(nn.Module):
         x = self.hidden_states(input_ids, attention_mask)
         return pool_and_normalize(x, attention_mask, self.cfg.pooling, self.cfg.normalize)
 
+    def token_embeddings(self, input_ids, attention_mask, task_id=None):
+        """Per-token L2-normalized embeddings (multi-vector late interaction;
+        same contract as ``XLMREncoder.token_embeddings``); pads zeroed."""
+        x = self.hidden_states(input_ids, attention_mask).astype(jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return x * attention_mask.astype(jnp.float32)[..., None]
+
+    def embed_with_tokens(self, input_ids, attention_mask, task_id=None):
+        """One backbone pass -> (pooled, per-token normalized) — see
+        ``XLMREncoder.embed_with_tokens``."""
+        x = self.hidden_states(input_ids, attention_mask)
+        pooled = pool_and_normalize(x, attention_mask, self.cfg.pooling, self.cfg.normalize)
+        t = x.astype(jnp.float32)
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+        return pooled, t * attention_mask.astype(jnp.float32)[..., None]
+
 
 def convert_gte_state_dict(state_dict: Mapping[str, "object"], cfg: GTEConfig, prefix: str = "") -> Dict:
     """Best-effort HF NewModel state-dict mapping (see module NOTE)."""

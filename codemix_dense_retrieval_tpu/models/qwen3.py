@@ -204,6 +204,26 @@ class Qwen3Encoder(nn.Module):
         x = self.hidden_states(input_ids, attention_mask)
         return pool_and_normalize(x, attention_mask, "last_token", self.cfg.normalize)
 
+    def token_embeddings(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
+    ) -> jnp.ndarray:
+        """Per-token L2-normalized embeddings (multi-vector late interaction;
+        same contract as ``XLMREncoder.token_embeddings``); pads zeroed."""
+        x = self.hidden_states(input_ids, attention_mask).astype(jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return x * attention_mask.astype(jnp.float32)[..., None]
+
+    def embed_with_tokens(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
+    ):
+        """One backbone pass -> (pooled, per-token normalized) — see
+        ``XLMREncoder.embed_with_tokens``."""
+        x = self.hidden_states(input_ids, attention_mask)
+        pooled = pool_and_normalize(x, attention_mask, "last_token", self.cfg.normalize)
+        t = x.astype(jnp.float32)
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+        return pooled, t * attention_mask.astype(jnp.float32)[..., None]
+
 
 def convert_qwen3_state_dict(
     state_dict: Mapping[str, "object"], cfg: Qwen3Config, prefix: str = ""

@@ -228,6 +228,20 @@ class XLMREncoder(nn.Module):
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
         return x * attention_mask.astype(jnp.float32)[..., None]
 
+    def embed_with_tokens(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
+    ):
+        """One backbone pass -> (pooled sentence embedding, per-token
+        normalized embeddings) for building the dense index and the token
+        store together (two-stage serving) without doubling the forward."""
+        x = self.hidden_states(input_ids, attention_mask, task_id)
+        pooled = pool_and_normalize(
+            x, attention_mask, self.cfg.pooling, self.cfg.normalize
+        )
+        t = x.astype(jnp.float32)
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+        return pooled, t * attention_mask.astype(jnp.float32)[..., None]
+
 
 def pool_and_normalize(
     hidden: jnp.ndarray,

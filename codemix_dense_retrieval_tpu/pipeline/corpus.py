@@ -27,6 +27,7 @@ from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence,
 import numpy as np
 
 from codemix_dense_retrieval_tpu.io.shards import ShardStore, ShardWriter
+from codemix_dense_retrieval_tpu.io.token_shards import TokenShardStore, TokenShardWriter
 from codemix_dense_retrieval_tpu.utils.logging import get_logger
 
 log = get_logger("corpus")
@@ -148,6 +149,47 @@ def _batched(it: Iterable, n: int) -> Iterator[List]:
         yield buf
 
 
+def _backfill_tokens(
+    encoder,
+    source: Iterable[Doc],
+    lang: str,
+    lang_dir: pathlib.Path,
+    existing: ShardStore,
+    tokens_per_doc: int,
+    token_dtype: str,
+    batch_size: int,
+    enc_batch: int,
+) -> None:
+    """Token store for a language whose dense index is already complete:
+    a token-only encode pass over exactly the docids the index kept."""
+    log.info("backfilling token store for already-indexed language %s", lang)
+    wanted = set(existing.docids)
+    tok_writer, tok_written = TokenShardWriter.resume_partial(
+        lang_dir / "tokens",
+        token_dim=encoder.dim,
+        tokens_per_doc=tokens_per_doc,
+        dtype=token_dtype,
+        lang=lang,
+        encoder=getattr(encoder, "name", None),
+    )
+    done = len(tok_written)
+    for batch in _batched(iter(source), batch_size):
+        if done >= len(wanted):
+            break
+        keep = [
+            (d, t) for d, t in batch if d in wanted and d not in tok_written
+        ]
+        if not keep:
+            continue
+        ids = [d for d, _ in keep]
+        toks, lens = encoder.encode_documents_tokens(
+            [t for _, t in keep], batch_size=enc_batch
+        )
+        tok_writer.append(toks, lens, ids, [f"{d}#{lang}" for d in ids])
+        done += len(ids)
+    tok_writer.finalize()
+
+
 def encode_corpus(
     encoder,
     sources: Dict[str, Iterable[Doc]],
@@ -160,6 +202,8 @@ def encode_corpus(
     storage_dtype: str = "bfloat16",
     force: bool = False,
     progress: Optional[Callable[[str, int], None]] = None,
+    tokens_per_doc: int = 0,
+    token_dtype: str = "int8",
 ) -> Dict[str, pathlib.Path]:
     """Encode per-language corpora into ShardStore directories.
 
@@ -167,6 +211,15 @@ def encode_corpus(
     selection, later ones mirror (reference `:419-421`). Languages whose
     manifest already exists are skipped (resume, `:342-344`).
     Returns {lang: shard_dir}.
+
+    ``tokens_per_doc > 0`` additionally writes a per-language
+    :class:`~codemix_dense_retrieval_tpu.io.token_shards.TokenShardStore`
+    at ``<lang>/tokens`` for two-stage MaxSim serving — one backbone pass
+    produces both the dense row and the token block
+    (``encode_documents_with_tokens``). Each store resumes independently,
+    so a crash between the two appends self-heals on restart; a language
+    whose dense index is already complete gets its token store backfilled
+    with a token-only encode pass.
     """
     out_root = pathlib.Path(out_root)
     out_root.mkdir(parents=True, exist_ok=True)
@@ -189,6 +242,11 @@ def encode_corpus(
                     1 for d in existing.docids if d not in selection.rel_ids
                 )
             base_ids_global.update(existing.docids)
+            if tokens_per_doc and not TokenShardStore.exists(lang_dir / "tokens"):
+                _backfill_tokens(
+                    encoder, source, lang, lang_dir, existing,
+                    tokens_per_doc, token_dtype, batch_size, enc_batch,
+                )
             continue
 
         # mid-language resume: reopen partial shard files and skip docids
@@ -205,6 +263,17 @@ def encode_corpus(
             log.info(
                 "resuming language %s mid-encode: %d vectors already on disk",
                 lang, len(already_written),
+            )
+        tok_writer = None
+        tok_written: Set[str] = set()
+        if tokens_per_doc:
+            tok_writer, tok_written = TokenShardWriter.resume_partial(
+                lang_dir / "tokens",
+                token_dim=encoder.dim,
+                tokens_per_doc=tokens_per_doc,
+                dtype=token_dtype,
+                lang=lang,
+                encoder=getattr(encoder, "name", None),
             )
         seen_rel: Set[str] = set()
         kept = writer.count
@@ -224,17 +293,39 @@ def encode_corpus(
                         seen_rel.add(docid)
                 else:
                     ok = selection.select_mirror(docid)
-                if ok and docid not in already_written:
+                needed = docid not in already_written or (
+                    tok_writer is not None and docid not in tok_written
+                )
+                if ok and needed:
                     keep_ids.append(docid)
                     keep_texts.append(text)
             if not keep_ids:
                 if max_docs and kept >= max_docs:
                     break
                 continue
-            vecs = encoder.encode_documents(keep_texts, batch_size=enc_batch)
-            writer.append(vecs, keep_ids, [f"{d}#{lang}" for d in keep_ids])
-            kept += len(keep_ids)
-            base_ids_global.update(keep_ids)
+            if tok_writer is None:
+                vecs = encoder.encode_documents(keep_texts, batch_size=enc_batch)
+                toks = lens = None
+            else:
+                vecs, toks, lens = encoder.encode_documents_with_tokens(
+                    keep_texts, batch_size=enc_batch
+                )
+            # each store skips only its OWN already-written rows, so a
+            # crash between the dense and token appends self-heals here
+            dense_new = [i for i, d in enumerate(keep_ids) if d not in already_written]
+            if dense_new:
+                ids_n = [keep_ids[i] for i in dense_new]
+                writer.append(vecs[dense_new], ids_n, [f"{d}#{lang}" for d in ids_n])
+                kept += len(ids_n)
+                base_ids_global.update(ids_n)
+            if tok_writer is not None:
+                tok_new = [i for i, d in enumerate(keep_ids) if d not in tok_written]
+                if tok_new:
+                    ids_t = [keep_ids[i] for i in tok_new]
+                    tok_writer.append(
+                        toks[tok_new], lens[tok_new], ids_t,
+                        [f"{d}#{lang}" for d in ids_t],
+                    )
             if progress:
                 progress(lang, kept)
             if max_docs and kept >= max_docs:
@@ -246,6 +337,8 @@ def encode_corpus(
                 "rel_ids": len(selection.rel_ids),
             }
         )
+        if tok_writer is not None:
+            tok_writer.finalize()
         log.info("saved %d vectors for language %s -> %s", kept, lang, lang_dir)
 
     # root-level artifacts (reference `:513-531`)
@@ -263,6 +356,8 @@ def encode_corpus(
         "rel_ids": len(selection.rel_ids),
         "saved_dir": str(out_root),
         "dimension": encoder.dim,
+        "tokens_per_doc": tokens_per_doc,
+        "token_dtype": token_dtype if tokens_per_doc else None,
         "indexes": [
             {"lang": lang, "path": str(path)} for lang, path in results.items()
         ],

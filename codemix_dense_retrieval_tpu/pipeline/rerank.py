@@ -1,0 +1,189 @@
+"""Two-stage multi-vector serving: dense recall -> MaxSim rerank.
+
+The corpus-scale late-interaction path the reference does not have (it
+serves BGE-M3's dense CLS head only, `onepass_dense_run.py:94-143`);
+BGE-M3's colbert head makes this the natural beyond-parity extension:
+
+    1. dense stage — exact top-``k_dense`` over the flat index
+       (`index/flat.py`, bin-max-cover kernel, sharded + batched);
+    2. gather — the candidates' token blocks are fancy-indexed out of the
+       memory-mapped :class:`TokenShardStore` (touches only candidate
+       pages, never the full token matrix: 1.1M docs x 16 KB stays on
+       disk, a 100-candidate gather moves ~1.6 MB/query);
+    3. rerank — int8 blocks + per-token scales ship to the device, are
+       dequantized to bf16 in-graph, and scored by the chunked MaxSim
+       Pallas kernel (`ops/maxsim.py`); ties break to the lower global
+       row id (FAISS convention, same as the dense stage).
+
+Stage 1 dispatches all query blocks before stage 2 materializes any of
+them, so the host gather of block i overlaps the device search of block
+i+1 (the same async-dispatch overlap the dense path uses,
+`index/flat.py:167-186`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codemix_dense_retrieval_tpu.index.flat import DenseFlatIndex
+from codemix_dense_retrieval_tpu.io.token_shards import TokenShardStore
+from codemix_dense_retrieval_tpu.ops.maxsim import maxsim_rerank
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas", "interpret"))
+def _rerank_block(
+    q_tokens: jnp.ndarray,  # (B, Tq, d) f32
+    q_mask: jnp.ndarray,  # (B, Tq)
+    d_tokens: jnp.ndarray,  # (B, K, Td, d) int8 | bf16 | f32
+    d_scales: Optional[jnp.ndarray],  # (B, K, Td) f32 per-token, or None
+    d_mask: jnp.ndarray,  # (B, K, Td)
+    cand_ids: jnp.ndarray,  # (B, K) global row ids
+    *,
+    k: int,
+    use_pallas: bool,
+    interpret: Optional[bool],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if d_scales is not None:
+        # in-graph dequant: int8 rides the PCIe/DMA at 1 byte/elem, bf16
+        # keeps the kernel's HBM reads at half of f32
+        d_tokens = (d_tokens.astype(jnp.float32) * d_scales[..., None]).astype(
+            jnp.bfloat16
+        )
+    scores, ids = maxsim_rerank(
+        q_tokens, q_mask, d_tokens, d_mask, cand_ids, use_pallas=use_pallas,
+        interpret=interpret,
+    )
+    return scores[:, :k], ids[:, :k]
+
+
+class TwoStageSearcher:
+    """Dense recall + MaxSim rerank over a (index, token store) pair.
+
+    The store and index must describe the same corpus in the same row
+    order (both are written by the encode pipeline in corpus order).
+    """
+
+    def __init__(
+        self,
+        index: DenseFlatIndex,
+        token_store: TokenShardStore,
+        *,
+        use_pallas: bool = True,
+        interpret: Optional[bool] = None,
+    ) -> None:
+        if index.count != token_store.count:
+            raise ValueError(
+                f"index count {index.count} != token store count "
+                f"{token_store.count} (not the same corpus?)"
+            )
+        self.index = index
+        self.tokens = token_store
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+
+    def search(
+        self,
+        q_vecs: np.ndarray,  # (B, dim) dense query embeddings
+        q_tokens: np.ndarray,  # (B, Tq, token_dim) query token embeddings
+        q_lengths: np.ndarray,  # (B,) valid query tokens
+        k: int,
+        *,
+        k_dense: Optional[int] = None,
+        query_block: int = 0,
+        return_docids: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-``k`` by MaxSim among the dense stage's top-``k_dense``
+        (default ``max(4*k, 100)`` — ColBERTv2's rerank-depth convention).
+        Returns (scores (B, k) f32, docids object / global row ids)."""
+        if k_dense is None:
+            k_dense = max(4 * k, 100)
+        k_dense = max(k_dense, k)
+        q_tokens = np.asarray(q_tokens, np.float32)
+        b, tq, _ = q_tokens.shape
+        q_mask = (np.arange(tq)[None, :] < np.asarray(q_lengths)[:, None]).astype(
+            np.int32
+        )
+        _, gids = self.index.search(
+            q_vecs, k_dense, return_docids=False, query_block=query_block
+        )
+        k_got = gids.shape[1]  # index may clamp k_dense on tiny corpora
+        k = min(k, k_got)
+        blocks = [np.arange(b)] if not query_block else [
+            np.arange(i, min(i + query_block, b)) for i in range(0, b, query_block)
+        ]
+        pending = []
+        for rows in blocks:
+            sub = gids[rows]
+            toks, scales, mask = self.tokens.gather_quantized(sub.ravel())
+            kb = sub.shape[1]
+            toks = toks.reshape(len(rows), kb, *toks.shape[1:])
+            mask = mask.reshape(len(rows), kb, -1)
+            pending.append(
+                _rerank_block(
+                    jnp.asarray(q_tokens[rows]),
+                    jnp.asarray(q_mask[rows]),
+                    jnp.asarray(toks),
+                    None if scales is None else jnp.asarray(
+                        scales.reshape(len(rows), kb, -1)
+                    ),
+                    jnp.asarray(mask),
+                    jnp.asarray(sub, dtype=jnp.int32),
+                    k=k,
+                    use_pallas=self.use_pallas,
+                    interpret=self.interpret,
+                )
+            )
+        scores = np.concatenate([np.asarray(s) for s, _ in pending], axis=0)
+        ids = np.concatenate([np.asarray(i) for _, i in pending], axis=0)
+        if not return_docids:
+            return scores, ids
+        return scores, self.index.docids[ids]
+
+
+def run_two_stage_search(
+    index: DenseFlatIndex,
+    token_store: TokenShardStore,
+    encoder,
+    query_sets,
+    outdir,
+    *,
+    k: int = 100,
+    k_dense: Optional[int] = None,
+    batch_size: int = 64,
+    query_block: int = 256,
+    tag: str = "twostage",
+    max_queries: int = 0,
+):
+    """Encode + two-stage search each query set; one ``<set>.trec`` per
+    set (same run-file contract as the dense runners,
+    `pipeline/runs.py:33-61` / reference `onepass_dense_run.py:382-466`)."""
+    import pathlib
+
+    from codemix_dense_retrieval_tpu.io.trec import write_run
+    from codemix_dense_retrieval_tpu.utils.logging import get_logger
+
+    log = get_logger("rerank")
+    outdir = pathlib.Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    searcher = TwoStageSearcher(index, token_store)
+    out = {}
+    for set_name, rows in query_sets.items():
+        if max_queries:
+            rows = rows[:max_queries]
+        qids = [q for q, _ in rows]
+        texts = [t for _, t in rows]
+        qvecs = encoder.encode_queries(texts, batch_size=batch_size)
+        qtoks, qlens = encoder.encode_queries_tokens(texts, batch_size=batch_size)
+        scores, docids = searcher.search(
+            qvecs, qtoks, qlens, k, k_dense=k_dense, query_block=query_block
+        )
+        run_path = outdir / f"{set_name}.trec"
+        write_run(run_path, qids, docids, scores, tag=tag)
+        out[set_name] = run_path
+        log.info("two-stage run saved: %s (%d queries)", run_path, len(qids))
+    return out

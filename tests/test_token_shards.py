@@ -1,0 +1,332 @@
+"""Token shard store + two-stage searcher: roundtrip, quantization bound,
+crash-resume, pipeline integration, dense-then-backfill."""
+
+import numpy as np
+import pytest
+
+from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+from codemix_dense_retrieval_tpu.io.token_shards import (
+    TokenShardStore,
+    TokenShardWriter,
+    _quantize_tokens_np,
+)
+from codemix_dense_retrieval_tpu.parallel import make_mesh
+from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+
+def _normed_tokens(rng, n, t, d):
+    x = rng.standard_normal((n, t, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _write_store(tmp_path, toks, lengths, dtype="int8", td=None):
+    n, t, d = toks.shape
+    td = td or t
+    w = TokenShardWriter(tmp_path, d, td, dtype, lang="xx")
+    w.append(toks, lengths, [f"d{i}" for i in range(n)])
+    w.finalize()
+    return TokenShardStore.open(tmp_path)
+
+
+def test_roundtrip_int8_error_bound(rng, tmp_path):
+    toks = _normed_tokens(rng, 10, 12, 32)
+    lengths = rng.integers(1, 13, size=10)
+    store = _write_store(tmp_path / "s", toks, lengths)
+    assert store.count == 10 and store.tokens_per_doc == 12 and store.token_dim == 32
+    got, mask = store.gather(np.arange(10))
+    want_mask = (np.arange(12)[None] < lengths[:, None]).astype(np.int32)
+    np.testing.assert_array_equal(mask, want_mask)
+    # per-token symmetric int8: |err| <= scale/2 = amax/254 per component
+    masked = toks * want_mask[..., None]
+    assert np.abs(got - masked).max() <= np.abs(masked).max(-1).max() / 254 + 1e-7
+    # padded tokens must be exactly zero (scale 1.0, values 0)
+    assert np.all(got[~want_mask.astype(bool)] == 0)
+
+
+def test_roundtrip_bf16(rng, tmp_path):
+    toks = _normed_tokens(rng, 6, 8, 16)
+    lengths = np.full(6, 8)
+    store = _write_store(tmp_path / "s", toks, lengths, dtype="bfloat16")
+    got, _ = store.gather(np.arange(6))
+    np.testing.assert_allclose(got, toks, rtol=1e-2, atol=1e-2)
+
+
+def test_pad_truncate_to_store_td(rng, tmp_path):
+    # batch T=20 > store Td=8: truncated; lengths clamped
+    toks = _normed_tokens(rng, 4, 20, 16)
+    lengths = np.array([3, 8, 15, 20])
+    store = _write_store(tmp_path / "s", toks, lengths, td=8)
+    got, mask = store.gather(np.arange(4))
+    assert got.shape == (4, 8, 16)
+    np.testing.assert_array_equal(store.lengths, [3, 8, 8, 8])
+    assert np.all(got[0, 3:] == 0)
+
+
+def test_open_rejects_non_token_store(tmp_path):
+    from codemix_dense_retrieval_tpu.io.shards import ShardWriter
+
+    w = ShardWriter(tmp_path / "plain", dim=8)
+    w.append(np.zeros((2, 8), np.float32), ["a", "b"])
+    w.finalize()
+    with pytest.raises(ValueError, match="not a token shard store"):
+        TokenShardStore.open(tmp_path / "plain")
+    assert not TokenShardStore.exists(tmp_path / "plain")
+
+
+def test_crash_resume_reconciles_sidecars(rng, tmp_path):
+    """Crash after the sidecar appends but before the vector write: resume
+    truncates lengths/token_scales to the stored row count, finalize gives
+    an openable store (the int8-resume fix class from round-1 VERDICT)."""
+    d, td = 16, 8
+    toks = _normed_tokens(rng, 6, td, d)
+    lengths = np.full(6, td)
+    w = TokenShardWriter(tmp_path / "s", d, td, "int8", lang="xx")
+    w.append(toks[:4], lengths[:4], [f"d{i}" for i in range(4)])
+    # simulate the torn batch: sidecars run ahead of the vector file
+    with open(w.dir / "lengths.bin", "ab") as fh:
+        fh.write(np.full(2, td, np.int32).tobytes())
+    with open(w.dir / "token_scales.bin", "ab") as fh:
+        fh.write(np.ones(2 * td, np.float32).tobytes())
+    with open(w.dir / "docids.partial.txt", "a") as fh:
+        fh.write("d4\nd5\n")
+    del w
+
+    w2, written = TokenShardWriter.resume_partial(tmp_path / "s", d, td, "int8", lang="xx")
+    assert written == {"d0", "d1", "d2", "d3"}
+    assert w2.count == 4
+    w2.append(toks[4:], lengths[4:], ["d4", "d5"])
+    w2.finalize()
+    store = TokenShardStore.open(tmp_path / "s")
+    assert store.count == 6
+    got, _ = store.gather(np.arange(6))
+    assert np.abs(got - toks).max() < 1e-2
+
+
+def test_quantize_tokens_zero_row():
+    q, s = _quantize_tokens_np(np.zeros((1, 4, 8)))
+    assert np.all(q == 0) and np.all(s == 1.0)
+
+
+# ---------------------------------------------------------------------------
+# two-stage searcher
+
+
+def _corpus(rng, n=64, td=8, d=32, tq=4):
+    doc_toks = _normed_tokens(rng, n, td, d)
+    doc_lens = rng.integers(1, td + 1, size=n)
+    doc_lens[:4] = td
+    mask = np.arange(td)[None] < doc_lens[:, None]
+    doc_toks *= mask[..., None]
+    dense = doc_toks.sum(axis=1)
+    dense /= np.linalg.norm(dense, axis=-1, keepdims=True)
+    q_toks = _normed_tokens(rng, 5, tq, d)
+    q_lens = np.array([tq, tq, 2, 3, 1])
+    q_dense = q_toks.sum(axis=1)
+    q_dense /= np.linalg.norm(q_dense, axis=-1, keepdims=True)
+    return dense, doc_toks, doc_lens, q_dense, q_toks, q_lens
+
+
+def _brute_force_top(q_toks, q_lens, doc_toks, doc_lens, cand, k):
+    """numpy MaxSim over the candidate set, ties to the lower row id."""
+    tq = q_toks.shape[1]
+    td = doc_toks.shape[1]
+    out = []
+    for qi in range(len(q_toks)):
+        scores = []
+        for c in cand[qi]:
+            total = 0.0
+            for i in range(int(q_lens[qi])):
+                sims = [
+                    float(q_toks[qi, i] @ doc_toks[c, j])
+                    for j in range(int(doc_lens[c]))
+                ]
+                total += max(sims) if sims else 0.0
+            scores.append((total, int(c)))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        out.append([c for _, c in scores[:k]])
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_two_stage_searcher_matches_brute_force(rng, tmp_path, eight_cpu_devices, dtype):
+    dense, doc_toks, doc_lens, q_dense, q_toks, q_lens = _corpus(rng)
+    n = len(dense)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens, dtype=dtype)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(n)], dtype="float32")
+    index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
+
+    searcher = TwoStageSearcher(index, store)
+    k, k_dense = 5, 16
+    scores, ids = searcher.search(
+        q_dense, q_toks, q_lens, k, k_dense=k_dense, return_docids=False
+    )
+    assert scores.shape == (5, k) and ids.shape == (5, k)
+    # oracle over the SAME dense candidates, scored on the dequantized store
+    _, cand = index.search(q_dense, k_dense, return_docids=False)
+    stored, stored_mask = store.gather(np.arange(n))
+    stored_lens = stored_mask.sum(axis=1)
+    want = _brute_force_top(q_toks, q_lens, stored, stored_lens, cand, k)
+    np.testing.assert_array_equal(ids, want)
+    # scores are sorted desc
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+    # docid mapping
+    _, docids = searcher.search(q_dense, q_toks, q_lens, k, k_dense=k_dense)
+    assert docids[0][0] == f"d{ids[0][0]}"
+
+
+def test_two_stage_query_block_equivalence(rng, tmp_path, eight_cpu_devices):
+    dense, doc_toks, doc_lens, q_dense, q_toks, q_lens = _corpus(rng)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(len(dense))], dtype="float32")
+    index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
+    s = TwoStageSearcher(index, store)
+    one = s.search(q_dense, q_toks, q_lens, 4, k_dense=12, return_docids=False)
+    blk = s.search(q_dense, q_toks, q_lens, 4, k_dense=12, query_block=2, return_docids=False)
+    np.testing.assert_array_equal(one[1], blk[1])
+    np.testing.assert_allclose(one[0], blk[0], rtol=1e-5, atol=1e-5)
+
+
+def test_two_stage_count_mismatch_rejected(rng, tmp_path):
+    dense, doc_toks, doc_lens, *_ = _corpus(rng)
+    store = _write_store(tmp_path / "tok", doc_toks[:10], doc_lens[:10])
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(len(dense))], dtype="float32")
+    with pytest.raises(ValueError, match="token store count"):
+        TwoStageSearcher(index, store)
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration: encode-with-tokens, crash resume, backfill
+
+
+@pytest.fixture(scope="module")
+def tiny_encoder():
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer
+    from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
+
+    cfg = XLMRConfig.tiny(vocab_size=8000, hidden_size=64, num_heads=4, use_flash=False)
+    return TextEncoder(
+        "BAAI/bge-m3", cfg, tokenizer=HashTokenizer(vocab_size=8000, max_length=32),
+        seed=3,
+    )
+
+
+def _src(lang, n=24):
+    return [(str(i), f"{lang} passage number {i} tok{i % 7}") for i in range(n)]
+
+
+def test_encode_corpus_writes_token_store(tiny_encoder, tmp_path):
+    from codemix_dense_retrieval_tpu.io.shards import ShardStore
+    from codemix_dense_retrieval_tpu.pipeline.corpus import encode_corpus
+
+    dirs = encode_corpus(
+        tiny_encoder, {"en": _src("en")}, tmp_path / "idx",
+        storage_dtype="float32", tokens_per_doc=16,
+    )
+    dense = ShardStore.open(dirs["en"])
+    toks = TokenShardStore.open(dirs["en"] / "tokens")
+    assert toks.count == dense.count == 24
+    assert toks.docids == dense.docids  # same corpus order: rows align
+    assert toks.tokens_per_doc == 16 and toks.token_dim == 64
+    # token blocks are per-token L2-normalized where valid
+    got, mask = toks.gather(np.arange(4))
+    norms = np.linalg.norm(got, axis=-1)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(norms[valid], 1.0, atol=0.02)
+    assert np.all(norms[~valid] == 0)
+
+
+def test_encode_corpus_backfills_tokens_for_complete_language(tiny_encoder, tmp_path):
+    from codemix_dense_retrieval_tpu.io.shards import ShardStore
+    from codemix_dense_retrieval_tpu.pipeline.corpus import encode_corpus
+
+    # round 1: dense only
+    encode_corpus(
+        tiny_encoder, {"en": _src("en")}, tmp_path / "idx", storage_dtype="float32",
+    )
+    assert not TokenShardStore.exists(tmp_path / "idx" / "en" / "tokens")
+    # round 2: same run with tokens requested -> backfill, dense untouched
+    dirs = encode_corpus(
+        tiny_encoder, {"en": _src("en")}, tmp_path / "idx",
+        storage_dtype="float32", tokens_per_doc=16,
+    )
+    dense = ShardStore.open(dirs["en"])
+    toks = TokenShardStore.open(dirs["en"] / "tokens")
+    assert toks.count == dense.count and toks.docids == dense.docids
+
+
+def test_encode_corpus_token_crash_resume(tiny_encoder, tmp_path):
+    """Kill the run after the dense store has more rows than the token
+    store; the rerun must top up only the token side and finish aligned."""
+    from codemix_dense_retrieval_tpu.io.shards import ShardStore
+    from codemix_dense_retrieval_tpu.pipeline.corpus import encode_corpus
+
+    src = _src("en")
+    calls = {"n": 0}
+    real = tiny_encoder.encode_documents_with_tokens
+
+    def crashing(texts, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return real(texts, **kw)
+
+    tiny_encoder.encode_documents_with_tokens = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            encode_corpus(
+                tiny_encoder, {"en": iter(src)}, tmp_path / "idx",
+                storage_dtype="float32", tokens_per_doc=16, batch_size=8,
+            )
+    finally:
+        tiny_encoder.encode_documents_with_tokens = real
+    dirs = encode_corpus(
+        tiny_encoder, {"en": iter(src)}, tmp_path / "idx",
+        storage_dtype="float32", tokens_per_doc=16, batch_size=8,
+    )
+    dense = ShardStore.open(dirs["en"])
+    toks = TokenShardStore.open(dirs["en"] / "tokens")
+    assert dense.count == len(src)
+    assert toks.count == dense.count and toks.docids == dense.docids
+
+
+def test_cli_encode_tokens_then_run_rerank(tmp_path, capsys):
+    """CLI surface: encode-corpus --tokens_per_doc -> run-rerank writes a
+    TREC run; queries that are exact copies of passages retrieve their
+    source doc at rank 1 (dense recall AND MaxSim agree on self-match)."""
+    from codemix_dense_retrieval_tpu.cli import main as cli_main
+
+    rows = [f"{i}\ten passage number {i} tok{i % 5} tok{i % 9}" for i in range(40)]
+    (tmp_path / "corpus.tsv").write_text("\n".join(rows) + "\n")
+    cli_main([
+        "encode-corpus",
+        "--corpus_tsv", f"en={tmp_path/'corpus.tsv'}",
+        "--out", str(tmp_path / "idx"),
+        "--storage_dtype", "float32",
+        "--tokens_per_doc", "16",
+        "--smoke_dim", "32",
+    ])
+    assert TokenShardStore.exists(tmp_path / "idx" / "en" / "tokens")
+
+    qids = [f"q{i}" for i in range(6)]
+    rel = [str(5 * i) for i in range(6)]
+    docs = {r.split("\t")[0]: r.split("\t")[1] for r in rows}
+    (tmp_path / "queries.tsv").write_text(
+        "\n".join(f"{q}\t{docs[d]}" for q, d in zip(qids, rel)) + "\n"
+    )
+    cli_main([
+        "run-rerank",
+        "--index", str(tmp_path / "idx" / "en"),
+        "--queries", str(tmp_path / "queries.tsv"),
+        "--outdir", str(tmp_path / "runs"),
+        "--k", "10", "--k_dense", "20",
+        "--smoke_dim", "32",
+    ])
+    run_path = tmp_path / "runs" / "queries.trec"
+    assert run_path.exists()
+    top = {}
+    for line in run_path.read_text().splitlines():
+        qid, _, docid, rank = line.split()[:4]
+        if rank == "1":
+            top[qid] = docid
+    assert top == {q: f"{d}#en" for q, d in zip(qids, rel)}
