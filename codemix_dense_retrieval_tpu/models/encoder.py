@@ -139,25 +139,52 @@ class TextEncoder:
 
     # ------------------------------------------------------------------
 
-    def _encode(
+    _PREFETCH_DEPTH = 3
+
+    @staticmethod
+    def _length_order(texts: Sequence[str]) -> np.ndarray:
+        """Batch-homogenizing permutation: longest texts first (char length
+        as the token-count proxy, the sentence-transformers convention).
+        Sorted batches land in the smallest possible length bucket instead
+        of every mixed batch paying the longest member's bucket — measured
+        ~40% of the e2e encode wall on mMARCO-like length spreads
+        (BENCH_NOTES round 2). Stable, so equal-length texts keep stream
+        order. Callers restore output order with the inverse permutation."""
+        return np.argsort([-len(t) for t in texts], kind="stable")
+
+    @staticmethod
+    def _inverse(order: np.ndarray) -> np.ndarray:
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return inv
+
+    def _batch_inputs(
         self,
         texts: Sequence[str],
         batch_size: int,
         prefix: str,
         max_length: Optional[int],
-        task_id: int = 0,
-    ) -> np.ndarray:
-        # JAX dispatch is asynchronous: by deferring the device->host
-        # materialization until all batches are enqueued, host tokenization
-        # of batch i+1 overlaps the device forward of batch i (the
-        # host-tokenization wall flagged in SURVEY §7 "hard parts").
-        pending: List = []
-        sizes: List[int] = []
+    ):
+        """Yield padded (ids, mask, n_valid) batches with tokenization
+        running on a prefetch thread.
+
+        JAX async dispatch alone does NOT hide the host tokenization wall
+        here: on the axon relay each dispatch blocks until the device
+        accepts the program (measured overlap efficiency 0.56,
+        BENCH_NOTES round 2), so batch i+1 is tokenized on a worker
+        thread while the main thread dispatches batch i. HF fast
+        tokenizers release the GIL in ``encode_batch``; the pure-Python
+        HashTokenizer simply gains nothing.
+        """
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         ml = max_length or (self.cfg.max_position_embeddings - 2)
-        task = jnp.asarray(task_id, jnp.int32)
         # the global batch must split evenly over the data-parallel axis
         batch_size = ((batch_size + self._dp - 1) // self._dp) * self._dp
-        for start in range(0, len(texts), batch_size):
+
+        def prep(start: int):
             chunk = [prefix + t for t in texts[start : start + batch_size]]
             ids, mask = self.tokenizer.encode_batch(chunk, ml)
             # pad to (bucketed length, full batch) for stable jit shapes
@@ -167,15 +194,48 @@ class TextEncoder:
             mask_p = np.zeros((b, s), np.int32)
             ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
             mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
+            return ids_p, mask_p, len(chunk)
+
+        starts = iter(range(0, len(texts), batch_size))
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = deque(
+                ex.submit(prep, s)
+                for s in itertools.islice(starts, self._PREFETCH_DEPTH)
+            )
+            while futs:
+                out = futs.popleft().result()
+                nxt = next(starts, None)
+                if nxt is not None:
+                    futs.append(ex.submit(prep, nxt))
+                yield out
+
+    def _encode(
+        self,
+        texts: Sequence[str],
+        batch_size: int,
+        prefix: str,
+        max_length: Optional[int],
+        task_id: int = 0,
+    ) -> np.ndarray:
+        # device->host materialization is deferred until all batches are
+        # enqueued; tokenization rides the prefetch thread (_batch_inputs);
+        # batches are length-sorted (bucket-homogeneous) and the output
+        # restored to input order
+        order = self._length_order(texts)
+        texts = [texts[i] for i in order]
+        pending: List = []
+        sizes: List[int] = []
+        task = jnp.asarray(task_id, jnp.int32)
+        for ids_p, mask_p, n in self._batch_inputs(texts, batch_size, prefix, max_length):
             pending.append(self._fwd(self.params, ids_p, mask_p, task))
-            sizes.append(len(chunk))
+            sizes.append(n)
         if not pending:
             dim = self.cfg.hidden_size
             return np.zeros((0, dim), np.float32)
         out = [
             np.asarray(dev)[:n].astype(np.float32) for dev, n in zip(pending, sizes)
         ]
-        return np.concatenate(out, axis=0)
+        return np.concatenate(out, axis=0)[self._inverse(order)]
 
     def _encode_tokens(
         self,
@@ -188,24 +248,16 @@ class TextEncoder:
         """Per-token embeddings for multi-vector serving: (tokens
         (n, T, d) f32 — T = the longest bucketed batch length, shorter
         batches zero-padded — and valid-token lengths (n,))."""
+        order = self._length_order(texts)
+        texts = [texts[i] for i in order]
         pending: List = []
         sizes: List[int] = []
         lengths: List[np.ndarray] = []
-        ml = max_length or (self.cfg.max_position_embeddings - 2)
         task = jnp.asarray(task_id, jnp.int32)
-        batch_size = ((batch_size + self._dp - 1) // self._dp) * self._dp
-        for start in range(0, len(texts), batch_size):
-            chunk = [prefix + t for t in texts[start : start + batch_size]]
-            ids, mask = self.tokenizer.encode_batch(chunk, ml)
-            s = bucket_length(ids.shape[1], self.length_buckets)
-            b = batch_size
-            ids_p = np.full((b, s), getattr(self.tokenizer, "pad_id", 1), np.int32)
-            mask_p = np.zeros((b, s), np.int32)
-            ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
-            mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
+        for ids_p, mask_p, n in self._batch_inputs(texts, batch_size, prefix, max_length):
             pending.append(self._fwd_tokens(self.params, ids_p, mask_p, task))
-            sizes.append(len(chunk))
-            lengths.append(mask_p[: len(chunk)].sum(axis=1).astype(np.int32))
+            sizes.append(n)
+            lengths.append(mask_p[:n].sum(axis=1).astype(np.int32))
         if not pending:
             return np.zeros((0, 0, self.cfg.hidden_size), np.float32), np.zeros(0, np.int32)
         t_max = max(int(p.shape[1]) for p in pending)
@@ -215,7 +267,8 @@ class TextEncoder:
             arr = np.asarray(dev)[:n].astype(np.float32)
             out[pos : pos + n, : arr.shape[1]] = arr
             pos += n
-        return out, np.concatenate(lengths)
+        inv = self._inverse(order)
+        return out[inv], np.concatenate(lengths)[inv]
 
     def encode_documents_with_tokens(
         self,
@@ -228,23 +281,15 @@ class TextEncoder:
         the flat index and the token store together."""
         prefix = dialects.doc_prefix(self.name)
         task = jnp.asarray(self._task_id("passage"), jnp.int32)
-        ml = max_length or (self.cfg.max_position_embeddings - 2)
+        order = self._length_order(texts)
+        texts = [texts[i] for i in order]
         pending: List = []
         sizes: List[int] = []
         lengths: List[np.ndarray] = []
-        batch_size = ((batch_size + self._dp - 1) // self._dp) * self._dp
-        for start in range(0, len(texts), batch_size):
-            chunk = [prefix + t for t in texts[start : start + batch_size]]
-            ids, mask = self.tokenizer.encode_batch(chunk, ml)
-            s = bucket_length(ids.shape[1], self.length_buckets)
-            b = batch_size
-            ids_p = np.full((b, s), getattr(self.tokenizer, "pad_id", 1), np.int32)
-            mask_p = np.zeros((b, s), np.int32)
-            ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
-            mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
+        for ids_p, mask_p, n in self._batch_inputs(texts, batch_size, prefix, max_length):
             pending.append(self._fwd_both(self.params, ids_p, mask_p, task))
-            sizes.append(len(chunk))
-            lengths.append(mask_p[: len(chunk)].sum(axis=1).astype(np.int32))
+            sizes.append(n)
+            lengths.append(mask_p[:n].sum(axis=1).astype(np.int32))
         if not pending:
             d = self.cfg.hidden_size
             return (
@@ -261,7 +306,8 @@ class TextEncoder:
             arr = np.asarray(tv)[:n].astype(np.float32)
             toks[pos : pos + n, : arr.shape[1]] = arr
             pos += n
-        return dense, toks, np.concatenate(lengths)
+        inv = self._inverse(order)
+        return dense[inv], toks[inv], np.concatenate(lengths)[inv]
 
     def encode_queries_tokens(
         self, texts: Sequence[str], batch_size: int = 64,

@@ -116,28 +116,48 @@ class TwoStageSearcher:
         blocks = [np.arange(b)] if not query_block else [
             np.arange(i, min(i + query_block, b)) for i in range(0, b, query_block)
         ]
-        pending = []
-        for rows in blocks:
+
+        # the memmap gather of block i+1 runs on a prefetch thread while
+        # the main thread dispatches the rerank of block i (dispatch
+        # blocks on the axon relay, so async dispatch alone cannot hide
+        # the host gather — same pattern as TextEncoder._batch_inputs)
+        def gather(rows):
             sub = gids[rows]
             toks, scales, mask = self.tokens.gather_quantized(sub.ravel())
             kb = sub.shape[1]
-            toks = toks.reshape(len(rows), kb, *toks.shape[1:])
-            mask = mask.reshape(len(rows), kb, -1)
-            pending.append(
-                _rerank_block(
-                    jnp.asarray(q_tokens[rows]),
-                    jnp.asarray(q_mask[rows]),
-                    jnp.asarray(toks),
-                    None if scales is None else jnp.asarray(
-                        scales.reshape(len(rows), kb, -1)
-                    ),
-                    jnp.asarray(mask),
-                    jnp.asarray(sub, dtype=jnp.int32),
-                    k=k,
-                    use_pallas=self.use_pallas,
-                    interpret=self.interpret,
-                )
+            return (
+                rows, sub,
+                toks.reshape(len(rows), kb, *toks.shape[1:]),
+                None if scales is None else scales.reshape(len(rows), kb, -1),
+                mask.reshape(len(rows), kb, -1),
             )
+
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = []
+        block_it = iter(blocks)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = deque(ex.submit(gather, r) for r in itertools.islice(block_it, 2))
+            while futs:
+                rows, sub, toks, scales, mask = futs.popleft().result()
+                nxt = next(block_it, None)
+                if nxt is not None:
+                    futs.append(ex.submit(gather, nxt))
+                pending.append(
+                    _rerank_block(
+                        jnp.asarray(q_tokens[rows]),
+                        jnp.asarray(q_mask[rows]),
+                        jnp.asarray(toks),
+                        None if scales is None else jnp.asarray(scales),
+                        jnp.asarray(mask),
+                        jnp.asarray(sub, dtype=jnp.int32),
+                        k=k,
+                        use_pallas=self.use_pallas,
+                        interpret=self.interpret,
+                    )
+                )
         scores = np.concatenate([np.asarray(s) for s, _ in pending], axis=0)
         ids = np.concatenate([np.asarray(i) for _, i in pending], axis=0)
         if not return_docids:

@@ -401,3 +401,33 @@ class TestDataParallelEncode:
         # params replicated
         leaf = jax.tree.leaves(enc.params)[0]
         assert leaf.sharding.is_equivalent_to(NamedSharding(mesh, P()), leaf.ndim)
+
+
+def test_length_sorted_batching_restores_order():
+    """Encode with wildly mixed lengths: length-sorted batching must return
+    rows in INPUT order, matching a one-text-at-a-time encode."""
+    import numpy as np
+
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer
+    from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
+
+    cfg = XLMRConfig.tiny(vocab_size=2000, hidden_size=32, use_flash=False)
+    enc = TextEncoder("BAAI/bge-m3", cfg,
+                      tokenizer=HashTokenizer(vocab_size=2000, max_length=64))
+    texts = [
+        " ".join(f"w{i}{j}" for j in range(1 + (i * 7) % 40)) for i in range(17)
+    ]
+    batched = enc.encode_documents(texts, batch_size=4)
+    singles = np.stack([enc.encode_documents([t])[0] for t in texts])
+    np.testing.assert_allclose(batched, singles, rtol=2e-4, atol=2e-4)
+
+    toks, lens = enc.encode_documents_tokens(texts, batch_size=4)
+    assert toks.shape[0] == 17
+    # per-text token lengths must line up with input order
+    ids_i, _ = enc.tokenizer.encode_batch([texts[3]], 64)
+    assert lens[3] == ids_i.shape[1]
+
+    dense, toks2, lens2 = enc.encode_documents_with_tokens(texts, batch_size=4)
+    np.testing.assert_allclose(dense, batched, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(lens2, lens)

@@ -143,8 +143,8 @@ def _brute_force_top(q_toks, q_lens, doc_toks, doc_lens, cand, k):
                 total += max(sims) if sims else 0.0
             scores.append((total, int(c)))
         scores.sort(key=lambda x: (-x[0], x[1]))
-        out.append([c for _, c in scores[:k]])
-    return np.asarray(out)
+        out.append(scores[:k])
+    return out
 
 
 @pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
@@ -164,9 +164,27 @@ def test_two_stage_searcher_matches_brute_force(rng, tmp_path, eight_cpu_devices
     # oracle over the SAME dense candidates, scored on the dequantized store
     _, cand = index.search(q_dense, k_dense, return_docids=False)
     stored, stored_mask = store.gather(np.arange(n))
+    if dtype == "int8":
+        # the device path rounds dequantized candidates through bf16
+        # (halves kernel HBM traffic; int8 already bounds precision)
+        import ml_dtypes
+
+        stored = stored.astype(ml_dtypes.bfloat16).astype(np.float32)
     stored_lens = stored_mask.sum(axis=1)
     want = _brute_force_top(q_toks, q_lens, stored, stored_lens, cand, k)
-    np.testing.assert_array_equal(ids, want)
+    # tie-aware comparison: the python oracle accumulates in f64, the
+    # kernel in f32, so adjacent candidates within float tolerance may
+    # legitimately swap — require id equality only where the score gap
+    # to both neighbors exceeds the tolerance, scores always close
+    tol = 1e-4
+    for qi in range(len(want)):
+        w_scores = np.asarray([s for s, _ in want[qi]])
+        np.testing.assert_allclose(scores[qi], w_scores, atol=tol, rtol=1e-5)
+        for j in range(k):
+            gap_up = j == 0 or w_scores[j - 1] - w_scores[j] > tol
+            gap_dn = j == k - 1 or w_scores[j] - w_scores[j + 1] > tol
+            if gap_up and gap_dn:
+                assert ids[qi, j] == want[qi][j][1], (qi, j)
     # scores are sorted desc
     assert np.all(np.diff(scores, axis=1) <= 1e-6)
     # docid mapping
