@@ -67,6 +67,9 @@ def main() -> None:
         topk_ip_bins,
         topk_ip_bins_two_level,
     )
+    from codemix_dense_retrieval_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     n, dim, block = 1_100_000, 1024, 1024
     k, k_deep = 100, 1000

@@ -214,6 +214,7 @@ def cmd_run_rerank(args) -> None:
     runs = run_two_stage_search(
         index, store, encoder, sets, args.outdir,
         k=args.k, k_dense=args.k_dense or None, query_block=args.qblock,
+        cache_root=args.query_cache,
     )
     print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
 
@@ -654,6 +655,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dense recall depth (0 = max(4k, 100))")
     p.add_argument("--qblock", type=int, default=256)
     p.add_argument("--max_queries", type=int, default=0)
+    p.add_argument("--query_cache",
+                   help="dir for per-set dense+token query embedding caches")
     p.set_defaults(fn=cmd_run_rerank)
 
     p = sub.add_parser("run-mix", help="vector-mix alpha sweep over one index")
@@ -781,6 +784,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    from codemix_dense_retrieval_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     # passthrough for `evaluate` (keeps the reference CLI intact)
     if argv and argv[0] == "evaluate":

@@ -270,9 +270,13 @@ def topk_ip_bins_int8(
     interpret: Optional[bool] = None,
     n_valid=None,
     score_dtype=jnp.float32,
+    super_size: Optional[int] = None,
+    two_level: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bin-max-cover top-k over an int8 index (per-row scales): the fused
-    int8 MXU path of the quantized index (`ops.quant`)."""
+    int8 MXU path of the quantized index (`ops.quant`). ``two_level``
+    finishes with the super-bin cover (deep k — same selection tail as
+    ``topk_ip_bins_two_level``)."""
     from codemix_dense_retrieval_tpu.ops.quant import quantize_rows
 
     n_rows = d_vals.shape[0]
@@ -282,7 +286,16 @@ def topk_ip_bins_int8(
         n_valid = n_rows
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    n_pad = _ceil_to(n_rows, tile_n)
+    if super_size is None:
+        super_size = _auto_super_size(k)
+    if two_level:
+        chunk = bin_size * super_size
+        eff_tile = tile_n if tile_n % chunk == 0 else (
+            tile_n * chunk // math.gcd(tile_n, chunk)
+        )
+        n_pad = _ceil_to(n_rows, eff_tile)
+    else:
+        n_pad = _ceil_to(n_rows, tile_n)
     if n_pad != n_rows:
         d_vals = jnp.pad(d_vals, ((0, n_pad - n_rows), (0, 0)))
         d_scales = jnp.pad(d_scales, (0, n_pad - n_rows))
@@ -303,10 +316,12 @@ def topk_ip_bins_int8(
         tile_b=eff_tile_b, tile_n=tile_n, interpret=interpret,
         score_dtype=score_dtype,
     )
-    bin_max = bin_max_t.T
     if b_pad != b:
-        scores_t, bin_max = scores_t[:, :b], bin_max[:b]
-    return _topk_from_bins(scores_t, bin_max, k, bin_size, scores_transposed=True)
+        scores_t = scores_t[:, :b]
+        bin_max_t = bin_max_t[:, :b]
+    if two_level:
+        return _topk_from_bins_two_level(scores_t, bin_max_t, k, bin_size, super_size)
+    return _topk_from_bins(scores_t, bin_max_t.T, k, bin_size, scores_transposed=True)
 
 
 def _binmax_only_pallas_kernel(nv_ref, qt_ref, d_ref, binmax_ref, *, bin_size, tile_n):
@@ -478,6 +493,41 @@ def _auto_super_size(k: int) -> int:
     return 8 if k <= 500 else 4
 
 
+def _topk_from_bins_two_level(
+    scores_t: jnp.ndarray,  # (N, B) transposed scores
+    bin_max_t: jnp.ndarray,  # (nb, B) transposed bin maxima
+    k: int,
+    bin_size: int,
+    super_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level selection tail shared by the f32 and int8 fused kernels:
+    super-max reduce -> super top_k -> covered-bin gather+top_k ->
+    element gather+top_k (exactness proof in ``topk_ip_bins_two_level``).
+    ``nb`` must divide by ``super_size``; pad rows carry NEG_INF maxima."""
+    nb, b = bin_max_t.shape
+    ns = nb // super_size
+    super_max = jnp.max(bin_max_t.reshape(ns, super_size, b), axis=1).T  # (B, ns)
+    ks = min(k, ns)
+    _, sup_ids = lax.top_k(super_max, ks)
+    sup_ids = lax.sort(sup_ids, dimension=1)
+    bin_idx = (
+        sup_ids[:, :, None] * super_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, super_size), 2)
+    ).reshape(b, ks * super_size)
+    cand_binmax = jnp.take_along_axis(bin_max_t, bin_idx.T, axis=0).T
+    kb = min(k, cand_binmax.shape[1])
+    _, pos = lax.top_k(cand_binmax, kb)
+    bin_ids = jnp.take_along_axis(bin_idx, pos, axis=1)
+    bin_ids = lax.sort(bin_ids, dimension=1)
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    cand_scores = _gather_bins_transposed(scores_t, cand_idx).astype(jnp.float32)
+    vals, p2 = lax.top_k(cand_scores, k)
+    return vals, jnp.take_along_axis(cand_idx, p2, axis=1)
+
+
 def topk_ip_bins_two_level(
     queries: jnp.ndarray,
     docs: jnp.ndarray,
@@ -543,33 +593,10 @@ def topk_ip_bins_two_level(
         queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
         interpret=interpret, score_dtype=score_dtype,
     )
-    nb = bin_max_t.shape[0]
-    ns = nb // super_size
-    super_max = jnp.max(bin_max_t.reshape(ns, super_size, b_pad), axis=1).T  # (B, ns)
     if b_pad != b:
-        super_max = super_max[:b]
         scores_t = scores_t[:, :b]
         bin_max_t = bin_max_t[:, :b]
-    ks = min(k, ns)
-    _, sup_ids = lax.top_k(super_max, ks)
-    sup_ids = lax.sort(sup_ids, dimension=1)
-    # gather the selected supers' bin maxima: (B, ks*M)
-    bin_idx = (
-        sup_ids[:, :, None] * super_size
-        + lax.broadcasted_iota(jnp.int32, (1, 1, super_size), 2)
-    ).reshape(b, ks * super_size)
-    cand_binmax = jnp.take_along_axis(bin_max_t, bin_idx.T, axis=0).T
-    kb = min(k, cand_binmax.shape[1])
-    _, pos = lax.top_k(cand_binmax, kb)
-    bin_ids = jnp.take_along_axis(bin_idx, pos, axis=1)
-    bin_ids = lax.sort(bin_ids, dimension=1)
-    cand_idx = (
-        bin_ids[:, :, None] * bin_size
-        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
-    ).reshape(b, kb * bin_size)
-    cand_scores = _gather_bins_transposed(scores_t, cand_idx).astype(jnp.float32)
-    vals, p2 = lax.top_k(cand_scores, k)
-    return vals, jnp.take_along_axis(cand_idx, p2, axis=1)
+    return _topk_from_bins_two_level(scores_t, bin_max_t, k, bin_size, super_size)
 
 
 # --------------------------------------------------------------------------

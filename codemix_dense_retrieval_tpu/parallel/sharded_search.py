@@ -110,15 +110,12 @@ def sharded_topk_ip(
         )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    int8_for_auto = docs_sharded.dtype == jnp.int8
     if method == "auto":
-        # deep k over a big float shard: two-level cover (the per-shard
-        # analog of ops.topk.topk_ip's routing; int8 keeps the fused
-        # single-level kernel)
+        # deep k over a big shard: two-level cover (the per-shard analog
+        # of ops.topk.topk_ip's routing; int8 shares the selection tail)
         from codemix_dense_retrieval_tpu.ops.topk import _auto_bin_size as _abs
 
-        if (not int8_for_auto and k > 200
-                and rows_per_shard // _abs(k) >= 32768):
+        if k > 200 and rows_per_shard // _abs(k) >= 32768:
             method = "bins_two_level"
         else:
             method = "bins_pallas"
@@ -143,11 +140,12 @@ def sharded_topk_ip(
     def local_search(q, d, cnt, scales):
         shard_id = lax.axis_index(axis)
         n_valid = cnt[0]
-        if int8_mode and method == "bins_pallas":
+        if int8_mode and method in ("bins_pallas", "bins_two_level"):
             # fused int8 MXU kernel: 1-byte index reads, f32 rescale in-kernel
             vals, idx = topk_ops.topk_ip_bins_int8(
                 q, d, scales, k, bin_size=bin_size, tile_b=tile_b, tile_n=tile_n,
                 interpret=interpret, n_valid=n_valid,
+                two_level=(method == "bins_two_level"),
             )
         elif method == "full" or int8_mode:
             # full-sort path / int8 XLA fallback: mask pad rows BEFORE select

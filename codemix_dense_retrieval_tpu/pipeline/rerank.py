@@ -178,6 +178,7 @@ def run_two_stage_search(
     query_block: int = 256,
     tag: str = "twostage",
     max_queries: int = 0,
+    cache_root=None,
 ):
     """Encode + two-stage search each query set; one ``<set>.trec`` per
     set (same run-file contract as the dense runners,
@@ -197,8 +198,32 @@ def run_two_stage_search(
             rows = rows[:max_queries]
         qids = [q for q, _ in rows]
         texts = [t for _, t in rows]
-        qvecs = encoder.encode_queries(texts, batch_size=batch_size)
-        qtoks, qlens = encoder.encode_queries_tokens(texts, batch_size=batch_size)
+        cached = None
+        cache_path = (
+            pathlib.Path(cache_root) / f"{set_name}.npz" if cache_root else None
+        )
+        if cache_path is not None and cache_path.exists():
+            from codemix_dense_retrieval_tpu.pipeline.query_cache import (
+                QueryCacheMismatch,
+                load_query_token_cache,
+            )
+
+            try:
+                _, qvecs, qtoks, qlens = load_query_token_cache(
+                    cache_path, expected_qids=qids
+                )
+                cached = True
+            except QueryCacheMismatch:
+                log.warning("stale query token cache %s; re-encoding", cache_path)
+        if not cached:
+            qvecs = encoder.encode_queries(texts, batch_size=batch_size)
+            qtoks, qlens = encoder.encode_queries_tokens(texts, batch_size=batch_size)
+            if cache_path is not None:
+                from codemix_dense_retrieval_tpu.pipeline.query_cache import (
+                    save_query_token_cache,
+                )
+
+                save_query_token_cache(cache_path, qids, qvecs, qtoks, qlens)
         scores, docids = searcher.search(
             qvecs, qtoks, qlens, k, k_dense=k_dense, query_block=query_block
         )

@@ -133,3 +133,82 @@ class TestInt8PallasKernel:
             len(set(gids[i].tolist()) & set(ref_idx[i].tolist())) / k for i in range(8)
         ]
         assert np.mean(recalls) > 0.9
+
+
+class TestInt8TwoLevel:
+    """int8 deep-k: the two-level selection tail shared with the f32 path."""
+
+    def test_int8_two_level_matches_single_level(self, rng):
+        import jax.numpy as jnp
+
+        from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_int8
+
+        n, d, b, k = 6000, 64, 4, 300
+        docs = normed(rng, n, d)
+        q = normed(rng, b, d)
+        dv, ds = quantize_rows_np(docs)
+        common = dict(bin_size=8, tile_n=256)
+        v1, i1 = topk_ip_bins_int8(
+            jnp.asarray(q), jnp.asarray(dv), jnp.asarray(ds), k, **common
+        )
+        v2, i2 = topk_ip_bins_int8(
+            jnp.asarray(q), jnp.asarray(dv), jnp.asarray(ds), k,
+            two_level=True, super_size=4, **common,
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5)
+
+    def test_int8_two_level_nonaligned_n_pad_masked(self, rng):
+        import jax.numpy as jnp
+
+        from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_int8
+
+        n, d, b, k = 3333, 32, 3, 250  # n not a multiple of tile or chunk
+        docs = normed(rng, n, d)
+        q = normed(rng, b, d)
+        dv, ds = quantize_rows_np(docs)
+        vals, idx = topk_ip_bins_int8(
+            jnp.asarray(q), jnp.asarray(dv), jnp.asarray(ds), k,
+            bin_size=8, tile_n=256, two_level=True, super_size=8,
+        )
+        assert int(np.asarray(idx).max()) < n
+        # exact vs dequantized-scores oracle
+        qv, qs = quantize_rows_np(q)
+        scores = (qv.astype(np.float32) * qs[:, None]) @ (
+            dv.astype(np.float32) * ds[:, None]
+        ).T
+        order = np.lexsort((np.arange(n)[None].repeat(b, 0), -scores), axis=1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(idx), order)
+
+    def test_sharded_int8_auto_routes_two_level(self, rng, eight_cpu_devices):
+        """auto method must pick the two-level tail for deep k on big int8
+        shards and stay exact vs the dequantized oracle."""
+        import jax.numpy as jnp
+
+        from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+        from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+            shard_row_sidecar,
+            shard_rows,
+            sharded_topk_ip,
+        )
+
+        mesh = make_mesh(shard=2, devices=eight_cpu_devices[:2])
+        n, d, b, k = 8192, 32, 4, 400
+        docs = normed(rng, n, d)
+        q = normed(rng, b, d)
+        dv, ds = quantize_rows_np(docs)
+        docs_dev, counts, rps = shard_rows(dv, mesh, pad_multiple=512)
+        scales_dev = shard_row_sidecar(ds, mesh, rps)
+        # force the deep-k branch regardless of the 32k-bin threshold
+        vals, gids = sharded_topk_ip(
+            q, docs_dev, counts, k, mesh=mesh, method="bins_two_level",
+            tile_n=512, doc_scales=scales_dev,
+        )
+        qv, qs = quantize_rows_np(q)
+        scores = (qv.astype(np.float32) * qs[:, None]) @ (
+            dv.astype(np.float32) * ds[:, None]
+        ).T
+        order = np.lexsort((np.arange(n)[None].repeat(b, 0), -scores), axis=1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(gids), order)

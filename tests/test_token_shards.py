@@ -348,3 +348,62 @@ def test_cli_encode_tokens_then_run_rerank(tmp_path, capsys):
         if rank == "1":
             top[qid] = docid
     assert top == {q: f"{d}#en" for q, d in zip(qids, rel)}
+
+
+def test_query_token_cache_roundtrip_and_mismatch(tmp_path, rng):
+    from codemix_dense_retrieval_tpu.pipeline.query_cache import (
+        QueryCacheMismatch,
+        load_query_token_cache,
+        save_query_token_cache,
+    )
+
+    qids = ["q1", "q2", "q3"]
+    vecs = rng.standard_normal((3, 16)).astype(np.float32)
+    toks = rng.standard_normal((3, 4, 16)).astype(np.float32)
+    lens = np.array([4, 2, 3], np.int32)
+    p = tmp_path / "cache" / "set.npz"
+    save_query_token_cache(p, qids, vecs, toks, lens)
+    got_q, got_v, got_t, got_l = load_query_token_cache(p, expected_qids=qids)
+    np.testing.assert_array_equal(got_q, qids)
+    np.testing.assert_allclose(got_v, vecs)
+    np.testing.assert_allclose(got_t, toks)  # f32: bit-exact
+    np.testing.assert_array_equal(got_l, lens)
+    with pytest.raises(QueryCacheMismatch):
+        load_query_token_cache(p, expected_qids=["q1", "qX", "q3"])
+
+
+def test_run_two_stage_uses_cache(tmp_path, rng, eight_cpu_devices):
+    """Second run with a cache must not call the encoder at all."""
+    from codemix_dense_retrieval_tpu.pipeline.rerank import run_two_stage_search
+
+    dense, doc_toks, doc_lens, q_dense, q_toks, q_lens = _corpus(rng)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(len(dense))], dtype="float32")
+    index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
+
+    calls = {"n": 0}
+
+    class FakeEnc:
+        def encode_queries(self, texts, batch_size=64):
+            calls["n"] += 1
+            return q_dense[: len(texts)]
+
+        def encode_queries_tokens(self, texts, batch_size=64):
+            calls["n"] += 1
+            return q_toks[: len(texts)], q_lens[: len(texts)]
+
+    sets = {"band": [(f"q{i}", f"text {i}") for i in range(len(q_dense))]}
+    r1 = run_two_stage_search(
+        index, store, FakeEnc(), sets, tmp_path / "runs1",
+        k=4, k_dense=12, cache_root=tmp_path / "qcache",
+    )
+    assert calls["n"] == 2
+    r2 = run_two_stage_search(
+        index, store, FakeEnc(), sets, tmp_path / "runs2",
+        k=4, k_dense=12, cache_root=tmp_path / "qcache",
+    )
+    assert calls["n"] == 2  # cache hit: no new encoder calls
+    assert (
+        (tmp_path / "runs1" / "band.trec").read_text()
+        == (tmp_path / "runs2" / "band.trec").read_text()
+    )
