@@ -177,12 +177,21 @@ class TokenShardStore:
         token_dim: int,
         lengths: np.ndarray,
         token_scales: Optional[np.ndarray],
+        parts: Optional[List[np.ndarray]] = None,
     ) -> None:
         self._inner = inner
         self.tokens_per_doc = tokens_per_doc
         self.token_dim = token_dim
         self.lengths = lengths
         self.token_scales = token_scales  # (count, Td) f32 for int8 stores
+        # per-file memmap views + cumulative row offsets: a corpus-scale
+        # token store spans many bin files (16 KB/row at (128,128) int8),
+        # and ShardStore.open CONCATENATES multi-file stores into RAM —
+        # gathering through the per-part maps keeps the store on disk
+        self._parts = parts
+        self._part_offsets = None
+        if parts is not None:
+            self._part_offsets = np.cumsum([0] + [p.shape[0] for p in parts])
 
     @property
     def count(self) -> int:
@@ -208,6 +217,15 @@ class TokenShardStore:
     @classmethod
     def open(cls, directory: PathLike, *, mmap: bool = True) -> "TokenShardStore":
         inner = ShardStore.open(directory, mmap=mmap)
+        parts = None
+        if mmap and len(inner.manifest.files) > 1:
+            dtype = storage_dtype(inner.manifest.dtype)
+            d = pathlib.Path(directory)
+            parts = [
+                np.memmap(d / f["name"], dtype=dtype, mode="r",
+                          shape=(f["rows"], inner.dim))
+                for f in inner.manifest.files
+            ]
         extra = inner.manifest.extra
         if extra.get("kind") != "token_store":
             raise ValueError(f"{directory} is not a token shard store")
@@ -234,7 +252,7 @@ class TokenShardStore:
                     f"{inner.count * td}"
                 )
             scales = scales.reshape(inner.count, td)
-        return cls(inner, td, d, lengths, scales)
+        return cls(inner, td, d, lengths, scales, parts=parts)
 
     # ---------------- gather ----------------
 
@@ -246,7 +264,15 @@ class TokenShardStore:
         The fancy index touches only the candidates' pages of the memmap —
         the rerank stage never loads the full token matrix."""
         rows = np.asarray(rows, np.int64)
-        flat = np.asarray(self._inner.vectors[rows])
+        if self._parts is not None:
+            flat = np.empty((len(rows), self._inner.dim),
+                            dtype=self._parts[0].dtype)
+            part_of = np.searchsorted(self._part_offsets, rows, side="right") - 1
+            for p in np.unique(part_of):
+                sel = part_of == p
+                flat[sel] = self._parts[p][rows[sel] - self._part_offsets[p]]
+        else:
+            flat = np.asarray(self._inner.vectors[rows])
         toks = flat.reshape(len(rows), self.tokens_per_doc, self.token_dim)
         scales = None if self.token_scales is None else np.asarray(self.token_scales[rows])
         mask = (

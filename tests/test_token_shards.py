@@ -407,3 +407,25 @@ def test_run_two_stage_uses_cache(tmp_path, rng, eight_cpu_devices):
         (tmp_path / "runs1" / "band.trec").read_text()
         == (tmp_path / "runs2" / "band.trec").read_text()
     )
+
+
+def test_multi_file_store_gathers_without_materializing(rng, tmp_path):
+    """Stores spanning several bin files must gather through per-part
+    memmaps (row order preserved across file boundaries)."""
+    d, td, n = 16, 4, 50
+    toks = _normed_tokens(rng, n, td, d)
+    lengths = np.full(n, td)
+    w = TokenShardWriter(tmp_path / "s", d, td, "int8", lang="xx",
+                         rows_per_file=16)  # -> 4 files
+    for s in range(0, n, 10):
+        w.append(toks[s : s + 10], lengths[s : s + 10],
+                 [f"d{i}" for i in range(s, min(s + 10, n))])
+    w.finalize()
+    store = TokenShardStore.open(tmp_path / "s")
+    assert store._parts is not None and len(store._parts) == 4
+    # rows straddling every file boundary, unsorted
+    rows = np.array([47, 0, 16, 15, 31, 32, 33, 48, 1])
+    got, mask = store.gather(rows)
+    ref = _write_store(tmp_path / "ref", toks, lengths).gather(rows)[0]
+    np.testing.assert_allclose(got, ref, atol=1e-7)
+    assert np.all(mask == 1)
