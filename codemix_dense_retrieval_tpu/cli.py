@@ -197,25 +197,37 @@ def cmd_run_mono(args) -> None:
 def cmd_run_rerank(args) -> None:
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex
     from codemix_dense_retrieval_tpu.io.token_shards import TokenShardStore
-    from codemix_dense_retrieval_tpu.pipeline.rerank import run_two_stage_search
+    from codemix_dense_retrieval_tpu.pipeline.rerank import (
+        run_two_stage_bilingual,
+        run_two_stage_search,
+    )
 
     encoder = _build_encoder(args)
-    tok_dir = pathlib.Path(args.index) / "tokens"
-    if not TokenShardStore.exists(tok_dir):
-        raise SystemExit(
-            f"[ERROR] {tok_dir} is not a token store — re-run encode-corpus "
-            "with --tokens_per_doc"
-        )
-    index = _device_index(DenseFlatIndex.load(args.index), args)
-    store = TokenShardStore.open(tok_dir)
+    indexes, stores = [], []
+    for ix_dir in args.index:
+        tok_dir = pathlib.Path(ix_dir) / "tokens"
+        if not TokenShardStore.exists(tok_dir):
+            raise SystemExit(
+                f"[ERROR] {tok_dir} is not a token store — re-run encode-corpus "
+                "with --tokens_per_doc"
+            )
+        indexes.append(_device_index(DenseFlatIndex.load(ix_dir), args))
+        stores.append(TokenShardStore.open(tok_dir))
     sets = _load_query_sets(args)
     if args.max_queries:
         sets = {k: v[: args.max_queries] for k, v in sets.items()}
-    runs = run_two_stage_search(
-        index, store, encoder, sets, args.outdir,
-        k=args.k, k_dense=args.k_dense or None, query_block=args.qblock,
-        cache_root=args.query_cache,
-    )
+    if len(indexes) == 1:
+        runs = run_two_stage_search(
+            indexes[0], stores[0], encoder, sets, args.outdir,
+            k=args.k, k_dense=args.k_dense or None, query_block=args.qblock,
+            cache_root=args.query_cache,
+        )
+    else:
+        # bilingual hub: per-language two-stage + score merge + collapse
+        runs = run_two_stage_bilingual(
+            indexes, stores, encoder, sets, args.outdir,
+            k=args.k, k_dense=args.k_dense or None, query_block=args.qblock,
+        )
     print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
 
 
@@ -642,7 +654,9 @@ def build_parser() -> argparse.ArgumentParser:
         "(needs a token store from encode-corpus --tokens_per_doc)",
     )
     _add_common(p)
-    p.add_argument("--index", required=True, help="shard dir with a tokens/ substore")
+    p.add_argument("--index", nargs="+", required=True,
+                   help="shard dir(s) with tokens/ substores; 2+ dirs = "
+                        "bilingual hub (merge + collapse)")
     p.add_argument("--queries", nargs="+", help="band dir or TSV files")
     p.add_argument("--queries_repo", help="HF dataset repo (streaming query mode)")
     p.add_argument("--queries_config", default=None)

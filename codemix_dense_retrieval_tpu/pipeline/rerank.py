@@ -165,6 +165,83 @@ class TwoStageSearcher:
         return scores, self.index.docids[ids]
 
 
+def run_two_stage_bilingual(
+    indexes,  # per-language DenseFlatIndex (device-resident)
+    token_stores,  # matching per-language TokenShardStore
+    encoder,
+    query_sets,
+    outdir,
+    *,
+    k: int = 500,
+    k_dense: Optional[int] = None,
+    batch_size: int = 64,
+    query_block: int = 256,
+    tag: str = "bilingual-twostage",
+    max_queries: int = 0,
+):
+    """Two-stage search over a bilingual hub, compositionally: each
+    language's (index, token store) pair is searched two-stage at depth
+    ``k``, the per-language results merge by (score desc, lang order, row
+    id) — the same tie order a concatenated hub index would give (lower
+    global row id = language order then row). Dense recall runs per
+    language at full ``k_dense`` depth, a superset of what a concat-hub
+    recall would allot each language, so merged results are never worse
+    than the concat formulation. Then ``docid#lang`` collapses to base
+    docids by max score
+    (`io/trec.py collapse_run_max`, reference
+    `onepass_bilingual_hub.py:123-138`). Writes ``<set>_raw.trec`` and
+    ``<set>_base.trec`` per set like the dense hub runner."""
+    import pathlib
+
+    from codemix_dense_retrieval_tpu.io.trec import collapse_run_max, write_run
+    from codemix_dense_retrieval_tpu.utils.logging import get_logger
+
+    log = get_logger("rerank")
+    outdir = pathlib.Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    searchers = [
+        TwoStageSearcher(ix, ts) for ix, ts in zip(indexes, token_stores)
+    ]
+    out = {}
+    for set_name, rows in query_sets.items():
+        if max_queries:
+            rows = rows[:max_queries]
+        qids = [q for q, _ in rows]
+        texts = [t for _, t in rows]
+        qvecs = encoder.encode_queries(texts, batch_size=batch_size)
+        qtoks, qlens = encoder.encode_queries_tokens(texts, batch_size=batch_size)
+        per_lang = []
+        for li, s in enumerate(searchers):
+            sc, ids = s.search(
+                qvecs, qtoks, qlens, k, k_dense=k_dense,
+                query_block=query_block, return_docids=False,
+            )
+            per_lang.append((sc, ids, li))
+        b = len(qids)
+        # merge: concat along candidates, sort by (-score, lang, row)
+        sc = np.concatenate([p[0] for p in per_lang], axis=1)
+        ids = np.concatenate([p[1] for p in per_lang], axis=1)
+        lang = np.concatenate(
+            [np.full_like(p[1], p[2]) for p in per_lang], axis=1
+        )
+        order = np.lexsort((ids, lang, -sc), axis=1)[:, :k]
+        top_sc = np.take_along_axis(sc, order, axis=1)
+        top_docids = np.empty((b, order.shape[1]), dtype=object)
+        for li, s in enumerate(searchers):
+            sel = np.take_along_axis(lang, order, axis=1) == li
+            rows_sel = np.take_along_axis(ids, order, axis=1)
+            for qi in range(b):
+                m = sel[qi]
+                top_docids[qi, m] = s.index.docids[rows_sel[qi, m]]
+        raw = outdir / f"{set_name}_raw.trec"
+        write_run(raw, qids, top_docids, top_sc, tag=tag)
+        base = outdir / f"{set_name}_base.trec"
+        collapse_run_max(raw, base, tag=tag)
+        out[set_name] = base
+        log.info("bilingual two-stage run saved: %s", base)
+    return out
+
+
 def run_two_stage_search(
     index: DenseFlatIndex,
     token_store: TokenShardStore,

@@ -429,3 +429,69 @@ def test_multi_file_store_gathers_without_materializing(rng, tmp_path):
     ref = _write_store(tmp_path / "ref", toks, lengths).gather(rows)[0]
     np.testing.assert_allclose(got, ref, atol=1e-7)
     assert np.all(mask == 1)
+
+
+def test_bilingual_two_stage_merge_and_collapse(tmp_path, rng, eight_cpu_devices):
+    """Per-language two-stage + merge must rank by MaxSim score with
+    concat-hub tie order (lang order, then row), and the collapse keeps
+    the max-scoring language variant per base docid."""
+    from codemix_dense_retrieval_tpu.io.trec import read_run
+    from codemix_dense_retrieval_tpu.pipeline.rerank import run_two_stage_bilingual
+
+    mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+    n, td, d, tq = 32, 6, 16, 4
+    stores, indexes = [], []
+    all_toks = {}
+    for lang in ("en", "zh"):
+        toks = _normed_tokens(rng, n, td, d)
+        lens = np.full(n, td)
+        dense = toks.mean(axis=1)
+        dense /= np.linalg.norm(dense, axis=-1, keepdims=True)
+        store = _write_store(tmp_path / f"tok_{lang}", toks, lens, dtype="bfloat16")
+        ix = DenseFlatIndex.build(
+            dense, [f"d{i}" for i in range(n)], dtype="float32", lang=lang,
+        )
+        # derived ids carry the lang tag, like encode_corpus writes them
+        ix.store.derived_ids = [f"d{i}#{lang}" for i in range(n)]
+        ix._docids = np.asarray(ix.store.derived_ids, dtype=object)
+        ix.to_device(mesh, pad_multiple=8)
+        stores.append(store)
+        indexes.append(ix)
+        all_toks[lang] = toks
+
+    q_toks = _normed_tokens(rng, 3, tq, d)
+    q_lens = np.full(3, tq)
+    q_dense = q_toks.mean(axis=1)
+    q_dense /= np.linalg.norm(q_dense, axis=-1, keepdims=True)
+
+    class FakeEnc:
+        def encode_queries(self, texts, batch_size=64):
+            return q_dense[: len(texts)]
+
+        def encode_queries_tokens(self, texts, batch_size=64):
+            return q_toks[: len(texts)], q_lens[: len(texts)]
+
+    sets = {"band": [(f"q{i}", f"t{i}") for i in range(3)]}
+    out = run_two_stage_bilingual(
+        indexes, stores, FakeEnc(), sets, tmp_path / "runs",
+        k=8, k_dense=16,
+    )
+    raw = read_run(tmp_path / "runs" / "band_raw.trec")
+    base = read_run(out["band"])
+    # raw has k rows per query, scores non-increasing, lang-tagged docids
+    per_q = {}
+    for e in raw:
+        per_q.setdefault(e.qid, []).append(e)
+    for qid, entries in per_q.items():
+        scores = [e.score for e in entries]
+        assert scores == sorted(scores, reverse=True)
+        assert all("#" in e.docid for e in entries)
+    # collapse: base docids unique per query, score = max over variants
+    for e in base:
+        assert "#" not in e.docid
+    raw_best = {}
+    for e in raw:
+        key = (e.qid, e.docid.split("#")[0])
+        raw_best[key] = max(raw_best.get(key, -1e9), e.score)
+    for e in base:
+        assert abs(raw_best[(e.qid, e.docid)] - e.score) < 1e-4
