@@ -124,6 +124,72 @@ def vector_mix_job(
     }
 
 
+def rerank_job(
+    *,
+    doc_langs: Sequence[str],  # one = mono two-stage, two = bilingual hub
+    queries: str,  # band dir or TSV path
+    index_root: str,
+    result_root: str,
+    encoder: str = "BAAI/bge-m3",
+    checkpoint: Optional[str] = None,
+    dataset: str = "mmarco",
+    size: int = 8_841_823,
+    qrels: Optional[str] = None,
+    k: int = 100,
+    k_dense: int = 0,
+    query_cache_root: Optional[str] = None,
+    band_names: Sequence[str] = ("cm0", "cm20-40", "cm40-60", "cm60-80", "cm100"),
+) -> Dict:
+    """One two-stage (dense recall + MaxSim rerank) job dict.
+
+    Beyond-parity job type: requires indexes built with
+    ``encode-corpus --tokens_per_doc``. Expected artifacts follow the
+    word-mix band naming; bilingual jobs expect the collapsed
+    ``*_base.trec`` runs."""
+    tag = encoder_tag(encoder)
+    bilingual = len(doc_langs) > 1
+    side = (
+        f"bilingual-{'-'.join(doc_langs)}" if bilingual
+        else LANG_NAMES.get(doc_langs[0], doc_langs[0])
+    )
+    exp = f"{dataset}-{size}-{side}-5bands-{tag}"
+    outdir = str(pathlib.Path(result_root) / exp / "rerank")
+    argv = [
+        "run-rerank",
+        "--index", *[str(pathlib.Path(index_root) / l) for l in doc_langs],
+        "--queries", queries,
+        "--outdir", outdir,
+        "--encoder", encoder,
+        "--k", str(k),
+    ]
+    if k_dense:
+        argv += ["--k_dense", str(k_dense)]
+    if checkpoint:
+        argv += ["--checkpoint", checkpoint]
+    if query_cache_root and not bilingual:
+        argv += ["--query_cache", str(pathlib.Path(query_cache_root) / side)]
+    suffix = "_base" if bilingual else ""
+    expected = [f"{b}{suffix}.trec" for b in band_names]
+    eval_after: List[List[str]] = []
+    if qrels:
+        for b in band_names:
+            eval_after.append([
+                "evaluate",
+                "--dataset", dataset,
+                "--run", str(pathlib.Path(outdir) / f"{b}{suffix}.trec"),
+                "--qrels", qrels,
+                "--outdir", outdir,
+            ])
+        expected += [f"{b}{suffix}_dev_*-agg.json" for b in band_names]
+    return {
+        "name": f"rerank-{side}-{tag}",
+        "argv": argv,
+        "outdir": outdir,
+        "expected": expected,
+        "eval_after": eval_after,
+    }
+
+
 def build_all_pairs_plan(
     *,
     index_root: str,

@@ -99,3 +99,27 @@ def test_enc_batch_overrides(monkeypatch):
     assert enc_batch_for("qwen3-embedding-8B") == 16
     monkeypatch.setenv("FOO_BAR_BAZ", "7")
     assert get_override("FOO", "bar-baz", 3) == 7
+
+
+def test_rerank_job_mono_and_bilingual(tmp_path):
+    from codemix_dense_retrieval_tpu.orchestrate.plans import rerank_job
+
+    j = rerank_job(
+        doc_langs=["zh"], queries="/data/bands", index_root="/idx",
+        result_root=str(tmp_path), qrels="/q.tsv", k=100, k_dense=400,
+        query_cache_root="/cache",
+    )
+    assert j["argv"][0] == "run-rerank"
+    assert "/idx/zh" in j["argv"]
+    assert "--k_dense" in j["argv"] and "400" in j["argv"]
+    assert "--query_cache" in j["argv"]
+    assert "cm0.trec" in j["expected"]
+    assert len(j["eval_after"]) == 5
+
+    jb = rerank_job(
+        doc_langs=["en", "zh"], queries="/data/bands", index_root="/idx",
+        result_root=str(tmp_path), k=500,
+    )
+    assert "/idx/en" in jb["argv"] and "/idx/zh" in jb["argv"]
+    assert "cm0_base.trec" in jb["expected"]  # collapsed bilingual runs
+    assert "--query_cache" not in jb["argv"]
