@@ -79,21 +79,31 @@ def main() -> None:
     q_dense /= np.linalg.norm(q_dense, axis=-1, keepdims=True)
 
     searcher = TwoStageSearcher(index, store)
-    # warmup (compiles dense + rerank programs)
-    searcher.search(q_dense[:8], q_toks[:8], q_lens[:8], args.k, k_dense=args.k_dense)
+    # warmup at the FULL query shape (a smaller warm batch would leave the
+    # timed run paying the compile) + warm the gather's page cache
+    searcher.search(q_dense, q_toks, q_lens, args.k, k_dense=args.k_dense)
 
-    # phase timings
-    t0 = time.perf_counter()
-    _, gids = index.search(q_dense, args.k_dense, return_docids=False)
-    t_dense = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    toks, scales, mask = store.gather_quantized(gids.ravel())
-    t_gather = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    scores, ids = searcher.search(
-        q_dense, q_toks, q_lens, args.k, k_dense=args.k_dense, return_docids=False
+    # phase timings (median of 3)
+    def med(fn):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[1], out
+
+    t_dense, gids = med(
+        lambda: index.search(q_dense, args.k_dense, return_docids=False)[1]
     )
-    t_e2e = time.perf_counter() - t0
+    t_gather, _ = med(lambda: store.gather_quantized(gids.ravel()))
+    t_e2e, pair = med(
+        lambda: searcher.search(
+            q_dense, q_toks, q_lens, args.k, k_dense=args.k_dense,
+            return_docids=False,
+        )
+    )
+    scores, ids = pair
 
     # correctness: rank-1 should be a sane candidate and scores sorted
     assert np.all(np.diff(scores, axis=1) <= 1e-5)

@@ -62,11 +62,16 @@ def test_tie_break_lower_id_wins(rng):
     for method in ("full", "bins_xla", "bins_pallas"):
         vals, idx = topk_ip(jnp.asarray(q), jnp.asarray(docs), k, method=method, bin_size=16)
         vals, idx = np.asarray(vals), np.asarray(idx)
+        # the invariant under test: among EQUAL computed scores, ids ascend
         for j in range(k - 1):
             if vals[0, j] == vals[0, j + 1]:
                 assert idx[0, j] < idx[0, j + 1]
         ref_vals, ref_idx = topk_ip_oracle(q, docs, k)
-        np.testing.assert_array_equal(idx, ref_idx)
+        # oracle comparison must be tie-aware: XLA's matmul can give
+        # byte-identical duplicate rows 1-ulp different scores depending
+        # on their column position (vector-lane vs tail accumulation), so
+        # exact duplicates legitimately reorder vs numpy
+        _assert_topk_matches(vals, idx, ref_vals, ref_idx, f"tie {method}")
 
 
 def test_padding_never_selected(rng):
