@@ -45,28 +45,37 @@ def maxsim_scores_xla(
 
 
 def _maxsim_kernel(qm_ref, dm_ref, q_ref, d_ref, o_ref, *, chunk):
-    """One (batch-row, candidate-chunk) program: for each candidate in the
-    chunk, score = sum_i max_j q_i . d_j, written into the (1, chunk)
-    output block (a full-chunk block satisfies Mosaic's last-dim rule
-    where per-pair scalar blocks do not)."""
+    """One (batch-row, candidate-chunk) program.
+
+    Iterates over DOC-TOKEN slots, not candidates: each step is one
+    (Tq, dim) x (chunk, dim)^T matmul scoring slot t of ALL chunk
+    candidates at once, with a running per-(query-token, candidate) max.
+    chunk >= Td in practice, so the static loop is shorter (smaller
+    Mosaic programs, faster compiles) and each matmul is chunk-wide on
+    the MXU; measured on-chip kernel time is comparable to the
+    candidate-loop formulation, marginally faster at rerank shapes
+    (A/B in BENCH_NOTES round 2 — the serving wall is the candidate
+    transfer, not this kernel)."""
     q = q_ref[0].astype(jnp.float32)  # (Tq, dim)
     qmask = qm_ref[0, 0].astype(jnp.float32)  # (Tq,)
-    sums = []
-    for j in range(chunk):  # static chunk depth
-        d = d_ref[0, j].astype(jnp.float32)  # (Td, dim)
+    td = d_ref.shape[1]  # d block is TOKEN-MAJOR: (1, Td, chunk, dim)
+    # one in-VMEM transpose of the mask so the loop slices sublane rows,
+    # not lane columns (lane slicing forced huge scoped-VMEM copies)
+    dmask_t = dm_ref[0].astype(jnp.float32).T  # (Td, chunk)
+    best = jnp.full((q.shape[0], chunk), -jnp.inf, jnp.float32)
+    for t in range(td):  # static doc-token depth
+        dt = d_ref[0, t].astype(jnp.float32)  # (chunk, dim) leading-axis slice
         sim = lax.dot_general(
-            q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Tq, Td)
-        dmask = dm_ref[0, j].astype(jnp.float32)
-        sim = jnp.where(dmask[None, :] > 0, sim, -jnp.inf)
-        best = jnp.max(sim, axis=1)
-        best = jnp.where((qmask > 0) & jnp.isfinite(best), best, 0.0)
-        sums.append(jnp.sum(best).reshape(1, 1))
+            q, dt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tq, chunk)
+        sim = jnp.where(dmask_t[t][None, :] > 0, sim, -jnp.inf)
+        best = jnp.maximum(best, sim)
+    best = jnp.where((qmask[:, None] > 0) & jnp.isfinite(best), best, 0.0)
     # single vector store (scalar VMEM stores are not lowerable); chunk
     # rides the SECOND-to-last output dim (8-aligned) with a trailing
     # singleton, because Mosaic's last-dim rule would demand 128-aligned
     # chunks otherwise
-    o_ref[0] = jnp.concatenate(sums, axis=0)
+    o_ref[0] = jnp.sum(best, axis=0)[:, None]
 
 
 # VMEM budget for the candidate block (~half of the ~16MB/core VMEM,
@@ -127,8 +136,10 @@ def maxsim_scores_pallas(
             pl.BlockSpec((1, 1, tq), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, td), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, dim), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            # candidate block TOKEN-MAJOR so the kernel's doc-token loop
+            # takes leading-axis slices (cheap) instead of lane slices
             pl.BlockSpec(
-                (1, chunk, td, dim), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM
+                (1, td, chunk, dim), lambda i, c: (i, 0, c, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((1, chunk, 1), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
@@ -138,7 +149,7 @@ def maxsim_scores_pallas(
         q_mask.astype(jnp.float32)[:, None, :],
         d_mask.astype(jnp.float32),
         q_tokens,
-        d_tokens,
+        d_tokens.transpose(0, 2, 1, 3),  # (B, Td, K, dim)
     )
     return out[:, :k, 0]
 

@@ -78,6 +78,96 @@ def shard_row_sidecar(
     return jax.device_put(padded, NamedSharding(mesh, P(axis)))
 
 
+@functools.lru_cache(maxsize=128)
+def _build_sharded_search(
+    mesh: Mesh,
+    axis: str,
+    k: int,
+    method: str,
+    bin_size: int,
+    tile_n: int,
+    tile_b: int,
+    interpret: bool,
+    int8_mode: bool,
+    rows_per_shard: int,
+):
+    """Compiled sharded-search program, cached by its static config.
+
+    The shard_map MUST be wrapped in jit: called eagerly it executes one
+    primitive per dispatch, which on the axon relay turns a ~30 ms search
+    into ~17 s of round trips (measured, BENCH_NOTES round 2). The cache
+    keys on every trace-relevant static so repeated searches (query
+    blocks, alpha sweeps) reuse one executable.
+    """
+
+    def _scores(q, d, scales):
+        if int8_mode:
+            from codemix_dense_retrieval_tpu.ops.quant import int8_ip_scores, quantize_rows
+
+            qv, qs = quantize_rows(q.astype(jnp.float32))
+            return int8_ip_scores(qv, qs, d, scales)
+        return lax.dot_general(
+            q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def local_search(q, d, cnt, scales):
+        shard_id = lax.axis_index(axis)
+        n_valid = cnt[0]
+        if int8_mode and method in ("bins_pallas", "bins_two_level"):
+            # fused int8 MXU kernel: 1-byte index reads, f32 rescale in-kernel
+            vals, idx = topk_ops.topk_ip_bins_int8(
+                q, d, scales, k, bin_size=bin_size, tile_b=tile_b, tile_n=tile_n,
+                interpret=interpret, n_valid=n_valid,
+                two_level=(method == "bins_two_level"),
+            )
+        elif method == "full" or int8_mode:
+            # full-sort path / int8 XLA fallback: mask pad rows BEFORE select
+            scores = _scores(q, d, scales)
+            col = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+            scores = jnp.where(col < n_valid, scores, topk_ops.NEG_INF)
+            if method in ("bins_xla", "bins_pallas"):
+                n_pad_b = (scores.shape[1] // bin_size) * bin_size
+                bin_max = scores[:, :n_pad_b].reshape(
+                    scores.shape[0], -1, bin_size
+                ).max(axis=-1)
+                vals, idx = topk_ops._topk_from_bins(scores, bin_max, k, bin_size)
+            else:
+                vals, idx = lax.top_k(scores, k)
+        elif method == "bins_two_level":
+            vals, idx = topk_ops.topk_ip_bins_two_level(
+                q, d, k, bin_size=bin_size, tile_b=tile_b, tile_n=tile_n,
+                interpret=interpret, n_valid=n_valid,
+            )
+        else:
+            vals, idx = topk_ops.topk_ip_bins(
+                q,
+                d,
+                k,
+                bin_size=bin_size,
+                use_pallas=(method == "bins_pallas"),
+                tile_b=tile_b,
+                tile_n=tile_n,
+                interpret=interpret,
+                n_valid=n_valid,
+            )
+        gids = idx + shard_id * rows_per_shard
+        # ICI collective: gather every shard's candidates, then local select
+        vals_all = lax.all_gather(vals, axis, axis=1, tiled=True)  # (B, S*k)
+        gids_all = lax.all_gather(gids, axis, axis=1, tiled=True)
+        neg, ids = lax.sort((-vals_all, gids_all), num_keys=2)
+        return -neg[:, :k], ids[:, :k]
+
+    return jax.jit(
+        shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_topk_ip(
     queries: jnp.ndarray,
     docs_sharded: jax.Array,
@@ -126,74 +216,13 @@ def sharded_topk_ip(
     int8_mode = docs_sharded.dtype == jnp.int8
     if int8_mode and doc_scales is None:
         raise ValueError("int8 index requires doc_scales")
-
-    def _scores(q, d, scales):
-        if int8_mode:
-            from codemix_dense_retrieval_tpu.ops.quant import int8_ip_scores, quantize_rows
-
-            qv, qs = quantize_rows(q.astype(jnp.float32))
-            return int8_ip_scores(qv, qs, d, scales)
-        return lax.dot_general(
-            q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    def local_search(q, d, cnt, scales):
-        shard_id = lax.axis_index(axis)
-        n_valid = cnt[0]
-        if int8_mode and method in ("bins_pallas", "bins_two_level"):
-            # fused int8 MXU kernel: 1-byte index reads, f32 rescale in-kernel
-            vals, idx = topk_ops.topk_ip_bins_int8(
-                q, d, scales, k, bin_size=bin_size, tile_b=tile_b, tile_n=tile_n,
-                interpret=interpret, n_valid=n_valid,
-                two_level=(method == "bins_two_level"),
-            )
-        elif method == "full" or int8_mode:
-            # full-sort path / int8 XLA fallback: mask pad rows BEFORE select
-            scores = _scores(q, d, scales)
-            col = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
-            scores = jnp.where(col < n_valid, scores, topk_ops.NEG_INF)
-            if method in ("bins_xla", "bins_pallas") :
-                n_pad_b = (scores.shape[1] // bin_size) * bin_size
-                bin_max = scores[:, :n_pad_b].reshape(
-                    scores.shape[0], -1, bin_size
-                ).max(axis=-1)
-                vals, idx = topk_ops._topk_from_bins(scores, bin_max, k, bin_size)
-            else:
-                vals, idx = lax.top_k(scores, k)
-        elif method == "bins_two_level":
-            vals, idx = topk_ops.topk_ip_bins_two_level(
-                q, d, k, bin_size=bin_size, tile_b=tile_b, tile_n=tile_n,
-                interpret=interpret, n_valid=n_valid,
-            )
-        else:
-            vals, idx = topk_ops.topk_ip_bins(
-                q,
-                d,
-                k,
-                bin_size=bin_size,
-                use_pallas=(method == "bins_pallas"),
-                tile_b=tile_b,
-                tile_n=tile_n,
-                interpret=interpret,
-                n_valid=n_valid,
-            )
-        gids = idx + shard_id * rows_per_shard
-        # ICI collective: gather every shard's candidates, then local select
-        vals_all = lax.all_gather(vals, axis, axis=1, tiled=True)  # (B, S*k)
-        gids_all = lax.all_gather(gids, axis, axis=1, tiled=True)
-        neg, ids = lax.sort((-vals_all, gids_all), num_keys=2)
-        return -neg[:, :k], ids[:, :k]
-
     if doc_scales is None:
-        # dummy replicated scalar so the shard_map signature is static
+        # dummy replicated scalar so the program signature is static
         doc_scales = jax.device_put(
             np.zeros(docs_sharded.shape[0], np.float32), NamedSharding(mesh, P(axis))
         )
-    fn = shard_map(
-        local_search,
-        mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    fn = _build_sharded_search(
+        mesh, axis, k, method, bin_size, tile_n, tile_b,
+        bool(interpret), int8_mode, rows_per_shard,
     )
     return fn(queries, docs_sharded, counts, doc_scales)
