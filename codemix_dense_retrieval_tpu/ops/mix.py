@@ -68,3 +68,22 @@ def mix_and_renorm(
     out = jnp.where(jnp.abs(a - 1.0) <= _EPS, s_end, out)
 
     return out[0] if scalar else out
+
+
+# Jitted entry for HOST callers (per-alpha loops in the runners): eager
+# execution costs ~10 relay dispatches per alpha on remote-TPU platforms
+# (the eager-dispatch class of bug fixed for sharded search, BENCH_NOTES
+# round 2). Inside an existing jit (pipeline/fused.py) call the plain
+# function. Scalar alphas trace as 0-d weak arrays: no per-value recompile.
+def mix_and_renorm_jit(primary, secondary, alpha, *, normalize_endpoints=False):
+    import jax
+
+    global _mix_jitted
+    try:
+        fn = _mix_jitted
+    except NameError:
+        fn = _mix_jitted = jax.jit(
+            mix_and_renorm, static_argnames=("normalize_endpoints",)
+        )
+    return fn(primary, secondary, jnp.asarray(alpha, jnp.float32),
+              normalize_endpoints=normalize_endpoints)

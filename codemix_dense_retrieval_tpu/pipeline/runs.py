@@ -24,7 +24,7 @@ import numpy as np
 from codemix_dense_retrieval_tpu.config import format_alpha
 from codemix_dense_retrieval_tpu.index import DenseFlatIndex
 from codemix_dense_retrieval_tpu.io.trec import write_run
-from codemix_dense_retrieval_tpu.ops.mix import mix_and_renorm
+from codemix_dense_retrieval_tpu.ops.mix import mix_and_renorm_jit
 from codemix_dense_retrieval_tpu.utils.logging import get_logger
 
 log = get_logger("runs")
@@ -89,7 +89,7 @@ def run_vector_mix_search(
     out: Dict[float, pathlib.Path] = {}
     for alpha in alphas:
         label = format_alpha(alpha)
-        q_matrix = np.asarray(mix_and_renorm(p, s, float(alpha)))
+        q_matrix = np.asarray(mix_and_renorm_jit(p, s, float(alpha)))
         vals, docids = index.search(q_matrix, k, query_block=query_block)
         run_path = outdir / f"{run_prefix}{label}.trec"
         write_run(run_path, list(qids), docids, vals, tag=tag)
