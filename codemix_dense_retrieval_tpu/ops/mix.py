@@ -15,6 +15,7 @@ Behavioral parity with the reference's ``safe_mix``
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple, Union
 
 import jax.numpy as jnp
@@ -76,14 +77,12 @@ def mix_and_renorm(
 # round 2). Inside an existing jit (pipeline/fused.py) call the plain
 # function. Scalar alphas trace as 0-d weak arrays: no per-value recompile.
 def mix_and_renorm_jit(primary, secondary, alpha, *, normalize_endpoints=False):
+    return _mix_jitted()(primary, secondary, jnp.asarray(alpha, jnp.float32),
+                         normalize_endpoints=normalize_endpoints)
+
+
+@functools.lru_cache(maxsize=1)
+def _mix_jitted():
     import jax
 
-    global _mix_jitted
-    try:
-        fn = _mix_jitted
-    except NameError:
-        fn = _mix_jitted = jax.jit(
-            mix_and_renorm, static_argnames=("normalize_endpoints",)
-        )
-    return fn(primary, secondary, jnp.asarray(alpha, jnp.float32),
-              normalize_endpoints=normalize_endpoints)
+    return jax.jit(mix_and_renorm, static_argnames=("normalize_endpoints",))
