@@ -167,3 +167,13 @@ class TestProfiling:
 
         out = timed_device_fn(lambda x: x * 2, jnp.ones((8, 8)), iters=2)
         assert out["mean_s"] > 0
+
+
+def test_compile_cache_enable(tmp_path):
+    from codemix_dense_retrieval_tpu.utils.compile_cache import enable_compile_cache
+
+    d = enable_compile_cache(str(tmp_path / "cc"))
+    assert (tmp_path / "cc").is_dir()
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
