@@ -517,6 +517,41 @@ def cmd_analyze(args) -> None:
     print(json.dumps({k: v for k, v in result.summary().items()}, indent=2, default=float))
 
 
+def cmd_profile(args) -> None:
+    """Capture a jax.profiler trace around a search workload — the
+    one-command observability entry (SURVEY §5 tracing; view the output
+    dir with TensorBoard/xprof)."""
+    import numpy as np
+
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+    from codemix_dense_retrieval_tpu.utils.profiling import maybe_trace, timed_device_fn
+
+    if args.index:
+        index = _device_index(DenseFlatIndex.load(args.index), args)
+    else:
+        rng = np.random.default_rng(args.seed)
+        vecs = rng.standard_normal((args.docs, args.dim)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        index = _device_index(
+            DenseFlatIndex.build(vecs, [str(i) for i in range(args.docs)]), args
+        )
+    rng = np.random.default_rng(args.seed + 1)
+    q = rng.standard_normal((args.queries, index.dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # compile outside the trace so the capture shows steady-state execution
+    index.search(q, args.k, return_docids=False)
+    with maybe_trace("search", args.trace_dir):
+        stats = timed_device_fn(
+            lambda: index.search(q, args.k, return_docids=False), iters=args.iters
+        )
+    stats.update(
+        queries=args.queries, k=args.k, docs=index.count,
+        qps=round(args.queries / stats["mean_s"], 1) if stats.get("mean_s") else None,
+        trace_dir=args.trace_dir,
+    )
+    print(json.dumps(stats))
+
+
 def cmd_convert(args) -> None:
     """Convert an HF checkpoint directory to framework params (.npz)."""
     import json as _json
@@ -672,6 +707,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query_cache",
                    help="dir for per-set dense+token query embedding caches")
     p.set_defaults(fn=cmd_run_rerank)
+
+    p = sub.add_parser("profile", help="capture a jax.profiler trace of a search workload")
+    _add_common(p)
+    p.add_argument("--index", help="shard dir (omit for a synthetic index)")
+    p.add_argument("--docs", type=int, default=100_000)
+    p.add_argument("--dim", type=int, default=1024)
+    p.add_argument("--queries", type=int, default=1024)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--trace_dir", help="profiler output dir (also CDR_PROFILE_DIR)")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("run-mix", help="vector-mix alpha sweep over one index")
     _add_common(p)

@@ -51,3 +51,18 @@ def test_bad_lang_path_spec():
         "en": __import__("pathlib").Path("/a"),
         "zh": __import__("pathlib").Path("/b"),
     }
+
+
+def test_profile_synthetic(tmp_path, capsys):
+    import json
+
+    from codemix_dense_retrieval_tpu.cli import main as cli_main
+
+    cli_main([
+        "profile", "--docs", "1000", "--dim", "32", "--queries", "8",
+        "--k", "5", "--iters", "1", "--trace_dir", str(tmp_path / "tr"),
+        "--smoke_dim", "32",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 1000 and out["k"] == 5 and out["qps"] > 0
+    assert (tmp_path / "tr" / "search").is_dir()
