@@ -495,3 +495,47 @@ def test_bilingual_two_stage_merge_and_collapse(tmp_path, rng, eight_cpu_devices
         raw_best[key] = max(raw_best.get(key, -1e9), e.score)
     for e in base:
         assert abs(raw_best[(e.qid, e.docid)] - e.score) < 1e-4
+
+
+def test_token_store_random_crash_point_fuzz(rng, tmp_path):
+    """Randomized crash-point fuzz: truncate the partial store's files at
+    arbitrary byte offsets (torn writes anywhere), resume, finish, and the
+    finalized store must open with aligned sidecars and correct data for
+    every surviving row."""
+    d, td, n = 16, 4, 30
+    toks = _normed_tokens(rng, n, td, d)
+    lengths = rng.integers(1, td + 1, size=n)
+    for trial in range(6):
+        root = tmp_path / f"t{trial}"
+        w = TokenShardWriter(root, d, td, "int8", lang="xx", rows_per_file=8)
+        half = 4 + int(rng.integers(0, 14))
+        for s in range(0, half, 5):
+            e = min(s + 5, half)
+            w.append(toks[s:e], lengths[s:e], [f"d{i}" for i in range(s, e)])
+        # simulate a torn crash: chop a random number of bytes off the
+        # LAST bin file and over-append garbage rows to the sidecars
+        bins = sorted(root.glob("emb.*.bin"))
+        with open(bins[-1], "r+b") as fh:
+            size = bins[-1].stat().st_size
+            fh.truncate(size - int(rng.integers(0, min(size, td * d + 3))))
+        with open(root / "lengths.bin", "ab") as fh:
+            fh.write(np.full(2, td, np.int32).tobytes())
+        with open(root / "token_scales.bin", "ab") as fh:
+            fh.write(np.ones(2 * td, np.float32).tobytes())
+        del w
+
+        w2, written = TokenShardWriter.resume_partial(root, d, td, "int8", lang="xx")
+        survived = w2.count
+        assert len(written) == survived <= half
+        todo = [i for i in range(n) if f"d{i}" not in written]
+        for s in range(0, len(todo), 7):
+            ids = todo[s : s + 7]
+            w2.append(toks[ids], lengths[ids], [f"d{i}" for i in ids])
+        w2.finalize()
+        store = TokenShardStore.open(root)
+        assert store.count == n
+        # surviving prefix rows must still decode to their original data
+        got, mask = store.gather(np.arange(survived))
+        want_mask = (np.arange(td)[None] < lengths[:survived, None]).astype(np.int32)
+        np.testing.assert_array_equal(mask, want_mask)
+        assert np.abs(got - toks[:survived] * want_mask[..., None]).max() < 1e-2
