@@ -217,9 +217,11 @@ def sharded_topk_ip(
     if int8_mode and doc_scales is None:
         raise ValueError("int8 index requires doc_scales")
     if doc_scales is None:
-        # dummy replicated scalar so the program signature is static
+        # dummy one-scalar-per-shard so the program signature is static;
+        # an N-sized dummy would be baked as a multi-MB HLO constant when
+        # this is called inside an outer jit (pipeline/fused.py)
         doc_scales = jax.device_put(
-            np.zeros(docs_sharded.shape[0], np.float32), NamedSharding(mesh, P(axis))
+            np.zeros(s, np.float32), NamedSharding(mesh, P(axis))
         )
     fn = _build_sharded_search(
         mesh, axis, k, method, bin_size, tile_n, tile_b,
