@@ -109,6 +109,7 @@ def main() -> None:
     assert np.all(np.diff(scores, axis=1) <= 1e-5)
     print(json.dumps({
         "bench": "two_stage_rerank",
+        "workload": "uniform",
         "docs": n, "td": td, "dim": d, "b": args.b,
         "k": args.k, "k_dense": args.k_dense,
         "dense_ms": round(t_dense * 1e3, 1),
@@ -116,6 +117,35 @@ def main() -> None:
         "e2e_ms": round(t_e2e * 1e3, 1),
         "e2e_qps": round(args.b / t_e2e, 1),
         "backend": jax.default_backend(),
+    }), flush=True)
+
+    # hot-doc workload: real query traffic clusters on popular documents,
+    # so a query block's candidate sets overlap heavily — the dedupe path
+    # then ships only the unique blocks host->device (the dominant cost
+    # on remote-attached TPUs)
+    hot = rng.integers(0, 16, size=args.b)  # 16 hot seeds -> heavy overlap
+    blk, _ = store.gather(hot)
+    qh_toks = blk[:, : args.tq].astype(np.float32) + 0.05 * rng.standard_normal(
+        (args.b, args.tq, d)
+    ).astype(np.float32)
+    qh_toks /= np.linalg.norm(qh_toks, axis=-1, keepdims=True)
+    qh_dense = qh_toks.mean(axis=1)
+    qh_dense /= np.linalg.norm(qh_dense, axis=-1, keepdims=True)
+    searcher.search(qh_dense, qh_toks, q_lens, args.k, k_dense=args.k_dense)
+    _, hot_gids = index.search(qh_dense, args.k_dense, return_docids=False)
+    dup = args.b * args.k_dense / max(1, len(np.unique(hot_gids)))
+    t_hot, _ = med(
+        lambda: searcher.search(
+            qh_dense, qh_toks, q_lens, args.k, k_dense=args.k_dense,
+            return_docids=False,
+        )
+    )
+    print(json.dumps({
+        "bench": "two_stage_rerank",
+        "workload": "hot_docs",
+        "duplication": round(float(dup), 1),
+        "e2e_ms": round(t_hot * 1e3, 1),
+        "e2e_qps": round(args.b / t_hot, 1),
     }), flush=True)
     if not args.out:
         shutil.rmtree(out, ignore_errors=True)

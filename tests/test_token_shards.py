@@ -539,3 +539,23 @@ def test_token_store_random_crash_point_fuzz(rng, tmp_path):
         want_mask = (np.arange(td)[None] < lengths[:survived, None]).astype(np.int32)
         np.testing.assert_array_equal(mask, want_mask)
         assert np.abs(got - toks[:survived] * want_mask[..., None]).max() < 1e-2
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_two_stage_dedupe_parity(rng, tmp_path, eight_cpu_devices, dtype):
+    """Candidate-dedup path must produce identical results to the direct
+    path — including under heavy duplication (few hot docs, k_dense deep
+    enough that every query recalls mostly the same candidates)."""
+    dense, doc_toks, doc_lens, q_dense, q_toks, q_lens = _corpus(rng, n=24)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens, dtype=dtype)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(24)], dtype="float32")
+    index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
+    on = TwoStageSearcher(index, store, dedupe=True)
+    off = TwoStageSearcher(index, store, dedupe=False)
+    for qb in (0, 2):
+        s1, i1 = on.search(q_dense, q_toks, q_lens, 5, k_dense=20,
+                           query_block=qb, return_docids=False)
+        s2, i2 = off.search(q_dense, q_toks, q_lens, 5, k_dense=20,
+                            query_block=qb, return_docids=False)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
