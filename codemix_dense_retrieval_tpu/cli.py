@@ -224,9 +224,11 @@ def cmd_run_rerank(args) -> None:
         )
     else:
         # bilingual hub: per-language two-stage + score merge + collapse
+        # (queries are shared across the hub's languages: one cache works)
         runs = run_two_stage_bilingual(
             indexes, stores, encoder, sets, args.outdir,
             k=args.k, k_dense=args.k_dense or None, query_block=args.qblock,
+            cache_root=args.query_cache,
         )
     print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
 
@@ -370,10 +372,17 @@ def cmd_run_bilingual_mix(args) -> None:
             from codemix_dense_retrieval_tpu.io.tsv import read_qrels
 
             qrels = read_qrels(args.qrels)
-        runs, metrics = run_bilingual_vector_mix_fused(
-            hub, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
-            qrels=qrels,
-        )
+        try:
+            runs, metrics = run_bilingual_vector_mix_fused(
+                hub, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
+                qrels=qrels,
+            )
+        except ValueError as e:
+            raise SystemExit(
+                f"[ERROR] --fused requires a parallel hub: {e}\n"
+                "        Re-run without --fused to use the host-side "
+                "collapse (handles non-parallel hubs)."
+            )
         payload = {
             str(a): {"run": str(p), **(metrics.get(format_alpha(a), {}) if metrics else {})}
             for a, p in runs.items()
@@ -754,7 +763,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qblock", type=int, default=1024)
     p.add_argument("--fused", action="store_true",
                    help="one-jit sweep: 2k-deep raw search + on-device "
-                        "collapse (parallel hubs only)")
+                        "collapse. PRECONDITION: the hub must be a PARALLEL "
+                        "two-language concat (both halves encode the same "
+                        "docid stream, mirrored order). Non-parallel hubs "
+                        "(different per-language subset selections) are "
+                        "rejected with an error; drop --fused to use the "
+                        "host-side collapse, which handles any hub")
     p.add_argument("--qrels", help="qrels file for --fused on-device metrics")
     p.set_defaults(fn=cmd_run_bilingual_mix)
 

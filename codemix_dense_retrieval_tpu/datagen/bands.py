@@ -406,8 +406,44 @@ def _best_effort_json_object(raw: str) -> Dict[str, str]:
     return {}
 
 
+# Models with fixed sampling (GPT-5 / o1 / o3 reject temperature/top_p) —
+# reference `generate_cm_bands.py:67,304-313`.
+_FIXED_SAMPLING_RE = None
+
+
+def _supports_sampling(model: str) -> bool:
+    """False for fixed-sampling models (gpt-5*/o1*/o3*), which reject
+    ``temperature``/``top_p`` (reference `generate_cm_bands.py:304-307`)."""
+    global _FIXED_SAMPLING_RE
+    if _FIXED_SAMPLING_RE is None:
+        import re as _re
+
+        _FIXED_SAMPLING_RE = _re.compile(r"^(gpt-5|o1|o3)", _re.IGNORECASE)
+    return _FIXED_SAMPLING_RE.match(model) is None
+
+
+def _sampling_kwargs(model: str, temp: float) -> Dict[str, float]:
+    """Sampling kwargs only for models that accept them
+    (reference `generate_cm_bands.py:309-313`)."""
+    if _supports_sampling(model):
+        return {"temperature": temp, "top_p": 0.8}
+    return {}
+
+
+def _is_nonretryable(e: Exception) -> bool:
+    """True for invalid-request-class API errors: retrying cannot help
+    (malformed params fail identically every attempt)."""
+    name = type(e).__name__
+    if name in ("BadRequestError", "InvalidRequestError", "UnprocessableEntityError",
+                "AuthenticationError", "PermissionDeniedError", "NotFoundError"):
+        return True
+    status = getattr(e, "status_code", None)
+    return status is not None and 400 <= int(status) < 500 and int(status) != 429
+
+
 def _retrying(call, attempts: int = 6, max_backoff: float = 20.0):
-    """Exponential-backoff retry (tenacity-equivalent, dependency-free)."""
+    """Exponential-backoff retry (tenacity-equivalent, dependency-free).
+    Non-transient invalid-request errors are raised immediately."""
     import random as _random
     import time as _time
 
@@ -416,6 +452,8 @@ def _retrying(call, attempts: int = 6, max_backoff: float = 20.0):
         try:
             return call()
         except Exception as e:  # network/API errors
+            if _is_nonretryable(e):
+                raise
             last = e
             _time.sleep(min(max_backoff, (2 ** i) * _random.uniform(0.5, 1.0)))
     raise last
@@ -457,7 +495,7 @@ def openai_band_generate_fn(
             model=model,
             instructions=instructions,
             input=[{"role": "user", "content": [{"type": "text", "text": user_text}]}],
-            temperature=temp,
+            **_sampling_kwargs(model, temp),
         )
         try:
             resp = client.responses.create(
@@ -482,7 +520,7 @@ def openai_band_generate_fn(
             model=model,
             messages=[{"role": "system", "content": system},
                       {"role": "user", "content": user_text}],
-            temperature=temp,
+            **_sampling_kwargs(model, temp),
         )
         try:
             resp = client.chat.completions.create(

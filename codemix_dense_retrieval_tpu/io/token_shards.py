@@ -138,7 +138,10 @@ class TokenShardWriter:
         if d != self.token_dim:
             raise ValueError(f"token dim {d} != store token_dim {self.token_dim}")
         td = self.tokens_per_doc
-        lengths = np.minimum(np.asarray(lengths, np.int32), td)
+        # clamp to BOTH the store's Td and the batch's actual token axis t:
+        # a length > t would mark zero-padded slots valid, and a valid
+        # all-zero token floors every query token's max-sim at 0 (advisor r2)
+        lengths = np.minimum(np.asarray(lengths, np.int32), min(t, td))
         # pad/truncate every block to the store's fixed Td; tokens past a
         # doc's valid length are zeroed so int8 scales stay exactly 1.0
         block = np.zeros((n, td, d), np.float32)

@@ -186,8 +186,20 @@ def _backfill_tokens(
             [t for _, t in keep], batch_size=enc_batch
         )
         tok_writer.append(toks, lens, ids, [f"{d}#{lang}" for d in ids])
+        tok_written.update(ids)
         done += len(ids)
     tok_writer.finalize()
+    # the backfill reconstructs row order by re-iterating the source; any
+    # source-order drift or duplicate docid would silently desync rows
+    # against the dense index (advisor r2) — verify before shipping
+    built = TokenShardStore.open(lang_dir / "tokens")
+    if list(built.docids) != list(existing.docids):
+        raise RuntimeError(
+            f"token-store backfill for {lang} produced a docid order that "
+            f"does not match the dense index ({built.count} vs "
+            f"{existing.count} rows) — source stream drifted since the "
+            f"index was built; re-encode with --force"
+        )
 
 
 def encode_corpus(

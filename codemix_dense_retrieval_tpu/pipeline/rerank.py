@@ -95,6 +95,32 @@ def _rerank_block(
     return scores[:, :k], ids[:, :k]
 
 
+def _check_row_alignment(index: DenseFlatIndex, token_store: TokenShardStore) -> None:
+    """Fail fast when the token store's rows are not the index's rows:
+    the rerank gathers token blocks BY ROW ID, so any docid/row-order
+    drift between the two artifacts silently scores the wrong blocks
+    (advisor r2). Full check up to 64k rows, deterministic 1k-row sample
+    beyond that (the corpus pipeline writes both in one pass, so drift
+    means a rebuilt/foreign artifact — a sample catches reorderings)."""
+    idx_ids = getattr(index.store, "docids", None)
+    tok_ids = token_store.docids
+    if idx_ids is None or tok_ids is None:
+        return
+    n = len(tok_ids)
+    if n <= 65536:
+        rows = range(n)
+    else:
+        step = max(1, n // 1024)
+        rows = sorted({0, n - 1, *range(0, n, step)})
+    for r in rows:
+        if idx_ids[r] != tok_ids[r]:
+            raise ValueError(
+                f"token store row {r} is docid {tok_ids[r]!r} but the index "
+                f"has {idx_ids[r]!r} — row orders desynced (rebuild the "
+                f"token store from the same encode pass as the index)"
+            )
+
+
 class TwoStageSearcher:
     """Dense recall + MaxSim rerank over a (index, token store) pair.
 
@@ -116,6 +142,7 @@ class TwoStageSearcher:
                 f"index count {index.count} != token store count "
                 f"{token_store.count} (not the same corpus?)"
             )
+        _check_row_alignment(index, token_store)
         self.index = index
         self.tokens = token_store
         self.use_pallas = use_pallas
@@ -123,6 +150,8 @@ class TwoStageSearcher:
         # ship only UNIQUE candidate blocks per query block (queries share
         # hot documents); identical results, much less host->device volume
         self.dedupe = dedupe
+        # effective depths of the most recent search() (k_dense may clamp)
+        self.last_depths: dict = {}
 
     def search(
         self,
@@ -150,7 +179,20 @@ class TwoStageSearcher:
             q_vecs, k_dense, return_docids=False, query_block=query_block
         )
         k_got = gids.shape[1]  # index may clamp k_dense on tiny corpora
+        if k_got < k_dense:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "rerank k_dense=%d clamped to %d by the dense index "
+                "(count=%d); final k=%d -> %d",
+                k_dense, k_got, self.index.count, k, min(k, k_got),
+            )
         k = min(k, k_got)
+        # surfaced in run meta by the runners (mirrors flat.py's clamp warn)
+        self.last_depths = {
+            "k_requested": int(k), "k_dense_requested": int(k_dense),
+            "k_dense_effective": int(k_got),
+        }
         blocks = [np.arange(b)] if not query_block else [
             np.arange(i, min(i + query_block, b)) for i in range(0, b, query_block)
         ]
@@ -164,15 +206,16 @@ class TwoStageSearcher:
             kb = sub.shape[1]
             if self.dedupe:
                 uniq, inv = np.unique(sub, return_inverse=True)
-            # low duplication makes dedupe pure overhead (the padded
-            # unique set would ship MORE bytes than the direct layout) —
-            # fall back to the direct path automatically
-            if self.dedupe and len(uniq) <= 0.9 * sub.size:
-                toks, scales, mask = self.tokens.gather_quantized(uniq)
                 # pad the unique axis to a bucket so jit shapes are stable
                 # (4096-row buckets: <=16% worst-case slop, vs up to ~2x
                 # for power-of-two buckets)
                 upad = -(-len(uniq) // 4096) * 4096
+            # low duplication makes dedupe pure overhead — the comparison
+            # must use the PADDED size: for small/remainder blocks the
+            # 4096-row bucket can ship more bytes than the direct layout
+            # (advisor r2)
+            if self.dedupe and upad <= 0.9 * sub.size:
+                toks, scales, mask = self.tokens.gather_quantized(uniq)
                 pad = upad - len(uniq)
                 if pad:
                     toks = np.concatenate(
@@ -244,6 +287,51 @@ class TwoStageSearcher:
         return scores, self.index.docids[ids]
 
 
+def _write_run_meta(path, tag, n_queries, depths) -> None:
+    """Per-run meta with the EFFECTIVE search depths (the dense index may
+    clamp ``k_dense`` on small corpora) — mirrors the reference's per-set
+    ``meta.json`` (`onepass_bilingual_hub.py:613-640`)."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"tag": tag, "n_queries": int(n_queries), **(depths or {})},
+                  f, indent=2)
+
+
+def _encode_or_load_queries(encoder, set_name, qids, texts, batch_size,
+                            cache_root, log):
+    """Query (dense, token) encode with an optional on-disk token cache —
+    the two-stage analog of the reference's ``.npz`` query cache
+    (`onepass_dense_mix_run_custom_lang.py:196-235`)."""
+    import pathlib
+
+    cache_path = (
+        pathlib.Path(cache_root) / f"{set_name}.npz" if cache_root else None
+    )
+    if cache_path is not None and cache_path.exists():
+        from codemix_dense_retrieval_tpu.pipeline.query_cache import (
+            QueryCacheMismatch,
+            load_query_token_cache,
+        )
+
+        try:
+            _, qvecs, qtoks, qlens = load_query_token_cache(
+                cache_path, expected_qids=qids
+            )
+            return qvecs, qtoks, qlens
+        except QueryCacheMismatch:
+            log.warning("stale query token cache %s; re-encoding", cache_path)
+    qvecs = encoder.encode_queries(texts, batch_size=batch_size)
+    qtoks, qlens = encoder.encode_queries_tokens(texts, batch_size=batch_size)
+    if cache_path is not None:
+        from codemix_dense_retrieval_tpu.pipeline.query_cache import (
+            save_query_token_cache,
+        )
+
+        save_query_token_cache(cache_path, qids, qvecs, qtoks, qlens)
+    return qvecs, qtoks, qlens
+
+
 def run_two_stage_bilingual(
     indexes,  # per-language DenseFlatIndex (device-resident)
     token_stores,  # matching per-language TokenShardStore
@@ -257,6 +345,7 @@ def run_two_stage_bilingual(
     query_block: int = 256,
     tag: str = "bilingual-twostage",
     max_queries: int = 0,
+    cache_root=None,
 ):
     """Two-stage search over a bilingual hub, compositionally: each
     language's (index, token store) pair is searched two-stage at depth
@@ -287,8 +376,12 @@ def run_two_stage_bilingual(
             rows = rows[:max_queries]
         qids = [q for q, _ in rows]
         texts = [t for _, t in rows]
-        qvecs = encoder.encode_queries(texts, batch_size=batch_size)
-        qtoks, qlens = encoder.encode_queries_tokens(texts, batch_size=batch_size)
+        # queries are shared across the hub's languages, so ONE token
+        # cache serves both sides (advisor r2: --query_cache was silently
+        # ignored on the bilingual path)
+        qvecs, qtoks, qlens = _encode_or_load_queries(
+            encoder, set_name, qids, texts, batch_size, cache_root, log
+        )
         per_lang = []
         for li, s in enumerate(searchers):
             sc, ids = s.search(
@@ -316,6 +409,10 @@ def run_two_stage_bilingual(
         write_run(raw, qids, top_docids, top_sc, tag=tag)
         base = outdir / f"{set_name}_base.trec"
         collapse_run_max(raw, base, tag=tag)
+        _write_run_meta(
+            outdir / f"{set_name}_meta.json", tag, len(qids),
+            searchers[0].last_depths,
+        )
         out[set_name] = base
         log.info("bilingual two-stage run saved: %s", base)
     return out
@@ -354,37 +451,17 @@ def run_two_stage_search(
             rows = rows[:max_queries]
         qids = [q for q, _ in rows]
         texts = [t for _, t in rows]
-        cached = None
-        cache_path = (
-            pathlib.Path(cache_root) / f"{set_name}.npz" if cache_root else None
+        qvecs, qtoks, qlens = _encode_or_load_queries(
+            encoder, set_name, qids, texts, batch_size, cache_root, log
         )
-        if cache_path is not None and cache_path.exists():
-            from codemix_dense_retrieval_tpu.pipeline.query_cache import (
-                QueryCacheMismatch,
-                load_query_token_cache,
-            )
-
-            try:
-                _, qvecs, qtoks, qlens = load_query_token_cache(
-                    cache_path, expected_qids=qids
-                )
-                cached = True
-            except QueryCacheMismatch:
-                log.warning("stale query token cache %s; re-encoding", cache_path)
-        if not cached:
-            qvecs = encoder.encode_queries(texts, batch_size=batch_size)
-            qtoks, qlens = encoder.encode_queries_tokens(texts, batch_size=batch_size)
-            if cache_path is not None:
-                from codemix_dense_retrieval_tpu.pipeline.query_cache import (
-                    save_query_token_cache,
-                )
-
-                save_query_token_cache(cache_path, qids, qvecs, qtoks, qlens)
         scores, docids = searcher.search(
             qvecs, qtoks, qlens, k, k_dense=k_dense, query_block=query_block
         )
         run_path = outdir / f"{set_name}.trec"
         write_run(run_path, qids, docids, scores, tag=tag)
+        _write_run_meta(
+            outdir / f"{set_name}_meta.json", tag, len(qids), searcher.last_depths
+        )
         out[set_name] = run_path
         log.info("two-stage run saved: %s (%d queries)", run_path, len(qids))
     return out

@@ -363,6 +363,41 @@ class TestFusedCli:
                     [e.score for e in f], [e.score for e in h], atol=6e-5
                 )
 
+    def test_fused_rejects_non_parallel_hub_with_pointer(self, tmp_path, capsys):
+        """--fused on a NON-parallel hub (different docid sets per
+        language) must fail with a message pointing at the host collapse
+        (VERDICT r2 item 9)."""
+        import pytest
+
+        write_corpus_tsv(tmp_path / "c.en.tsv", "en", 40)
+        # different docids: offset the zh corpus ids
+        rows = [f"z{i}\tzh passage {i} tok{i % 5}" for i in range(40)]
+        (tmp_path / "c.zh.tsv").write_text("\n".join(rows) + "\n")
+        for lang, tsv in (("en", "c.en.tsv"), ("zh", "c.zh.tsv")):
+            cli_main([
+                "encode-corpus", "--corpus_tsv", f"{lang}={tmp_path/tsv}",
+                "--out", str(tmp_path / f"idx_{lang}"),
+                "--storage_dtype", "float32", "--smoke_dim", "32",
+            ])
+        qids = [f"q{i}" for i in range(4)]
+        for lang in ("en", "zh"):
+            (tmp_path / f"q.{lang}.tsv").write_text(
+                "\n".join(f"{q}\t{lang} query {q}" for q in qids) + "\n"
+            )
+        capsys.readouterr()
+        with pytest.raises(SystemExit) as ei:
+            cli_main([
+                "run-bilingual-mix",
+                "--index", str(tmp_path / "idx_en" / "en"),
+                str(tmp_path / "idx_zh" / "zh"),
+                "--query_tsv", f"en={tmp_path/'q.en.tsv'}",
+                f"zh={tmp_path/'q.zh.tsv'}",
+                "--cm_alphas", "0.5", "--smoke_dim", "32", "--fused",
+                "--outdir", str(tmp_path / "out"),
+            ])
+        msg = str(ei.value)
+        assert "parallel hub" in msg and "without --fused" in msg
+
 
 class TestAnalyzeCli:
     def test_analyze_triplets(self, tmp_path, capsys):

@@ -301,3 +301,68 @@ class TestOpenAIFallback:
         assert out == {"40-60": "mix 三 words"}
         assert calls["responses"] >= 6  # retried with backoff, then fell back
         assert calls["chat_plain"] == 1
+
+    def test_fixed_sampling_models_omit_temperature(self):
+        """gpt-5*/o1*/o3* reject temperature/top_p — the backend must omit
+        them (advisor r2; reference `generate_cm_bands.py:67,304-313`)."""
+        from codemix_dense_retrieval_tpu.datagen.bands import (
+            _sampling_kwargs, _supports_sampling, openai_band_generate_fn,
+        )
+
+        assert not _supports_sampling("gpt-5-mini")
+        assert not _supports_sampling("o3-mini")
+        assert not _supports_sampling("O1")
+        assert _supports_sampling("gpt-4o-mini")
+        assert _sampling_kwargs("gpt-5-mini", 0.7) == {}
+        assert _sampling_kwargs("gpt-4o", 0.7) == {"temperature": 0.7, "top_p": 0.8}
+
+        seen = {}
+        outer = self
+
+        class Client:
+            class responses:
+                @staticmethod
+                def create(**kw):
+                    seen.update(kw)
+                    return outer._mk_responses_resp('{"0-20": "m"}')
+            class chat:
+                class completions:
+                    @staticmethod
+                    def create(**kw):
+                        raise AssertionError("chat should not be reached")
+
+        fn = openai_band_generate_fn(
+            model="gpt-5-mini", client=Client(), retry_attempts=1, max_backoff=0.01)
+        out = fn("one", "一", ["0-20"], {"0-20": 1}, 1)
+        assert out == {"0-20": "m"}
+        assert "temperature" not in seen and "top_p" not in seen
+
+    def test_nonretryable_errors_raise_immediately(self):
+        """Invalid-request API errors must not burn the backoff budget."""
+        from codemix_dense_retrieval_tpu.datagen.bands import _retrying
+
+        class BadRequestError(Exception):
+            status_code = 400
+
+        calls = {"n": 0}
+
+        def boom():
+            calls["n"] += 1
+            raise BadRequestError("temperature not supported")
+
+        import pytest
+        with pytest.raises(BadRequestError):
+            _retrying(boom, attempts=6, max_backoff=0.01)
+        assert calls["n"] == 1
+
+        # transient errors still retry
+        calls["n"] = 0
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise ConnectionError("reset")
+            return "ok"
+
+        assert _retrying(flaky, attempts=6, max_backoff=0.01) == "ok"
+        assert calls["n"] == 3

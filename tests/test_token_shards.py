@@ -559,3 +559,77 @@ def test_two_stage_dedupe_parity(rng, tmp_path, eight_cpu_devices, dtype):
                             query_block=qb, return_docids=False)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_two_stage_row_desync_rejected(rng, tmp_path):
+    """Same count, different docid order -> reject at construction
+    (advisor r2: a desynced store silently scores the wrong blocks)."""
+    dense, doc_toks, doc_lens, *_ = _corpus(rng)
+    n = len(dense)
+    td, d = doc_toks.shape[1], doc_toks.shape[2]
+    w = TokenShardWriter(tmp_path / "tok", d, td, "int8", lang="xx")
+    shuffled = [f"d{i}" for i in reversed(range(n))]
+    w.append(doc_toks, doc_lens, shuffled)
+    w.finalize()
+    store = TokenShardStore.open(tmp_path / "tok")
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(n)], dtype="float32")
+    with pytest.raises(ValueError, match="desync"):
+        TwoStageSearcher(index, store)
+
+
+def test_rerank_depth_clamp_warns_and_records(rng, tmp_path, eight_cpu_devices, caplog):
+    """k_dense beyond the corpus clamps with a warning and the effective
+    depths land in last_depths (VERDICT r2 item 7)."""
+    import logging
+
+    dense, doc_toks, doc_lens, q_dense, q_toks, q_lens = _corpus(rng, n=16)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(16)], dtype="float32")
+    index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
+    s = TwoStageSearcher(index, store)
+    with caplog.at_level(logging.WARNING):
+        s.search(q_dense, q_toks, q_lens, 5, k_dense=500, return_docids=False)
+    assert any("clamped" in r.message for r in caplog.records)
+    assert s.last_depths["k_dense_requested"] == 500
+    assert s.last_depths["k_dense_effective"] < 500
+    assert s.last_depths["k_requested"] == 5
+
+
+def test_dedupe_skipped_when_padded_size_larger(rng, tmp_path, eight_cpu_devices, monkeypatch):
+    """A tiny block with high duplication still must NOT dedupe when the
+    4096-row padded unique set would ship more bytes than the direct
+    layout (advisor r2)."""
+    dense, doc_toks, doc_lens, q_dense, q_toks, q_lens = _corpus(rng)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(len(dense))], dtype="float32")
+    index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
+    s = TwoStageSearcher(index, store, dedupe=True)
+
+    calls = {"rows": []}
+    orig = store.gather_quantized
+
+    def spy(rows):
+        calls["rows"].append(np.asarray(rows).size)
+        return orig(rows)
+
+    monkeypatch.setattr(store, "gather_quantized", spy)
+    # 5 queries x k_dense=16 = 80 candidate slots; unique <= 64 but the
+    # 4096 pad bucket >> 80 -> direct path must win
+    s.search(q_dense, q_toks, q_lens, 4, k_dense=16, return_docids=False)
+    assert calls["rows"], "gather_quantized never called"
+    assert max(calls["rows"]) <= 80  # never the 4096-padded unique set
+
+
+def test_writer_clamps_lengths_to_batch_token_axis(rng, tmp_path):
+    """lengths > the batch's token axis t must not mark zero-padded slots
+    valid (advisor r2: an all-zero valid token floors max-sim at 0)."""
+    n, t, d, td = 4, 6, 16, 12  # t < td: store pads the token axis
+    toks = _normed_tokens(rng, n, t, d)
+    w = TokenShardWriter(tmp_path / "s", d, td, "int8", lang="xx")
+    w.append(toks, [td] * n, [f"d{i}" for i in range(n)])  # lengths > t
+    w.finalize()
+    store = TokenShardStore.open(tmp_path / "s")
+    _, _, mask = store.gather_quantized(np.arange(n))
+    # only the t real tokens may be valid
+    assert mask.sum() == n * t
+    assert not mask[:, t:].any()
