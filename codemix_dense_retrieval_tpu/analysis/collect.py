@@ -46,6 +46,31 @@ def mix_ratio_from_runstem(stem: str) -> Optional[Tuple[str, float]]:
     return None
 
 
+def doc_mix_label(exp) -> str:
+    """The reference's human doc-side label (`collect_results.py:171-183`):
+    ``bilingual-ar-zh`` -> "AR + ZH docs" (pair order), mono language name
+    -> "AR docs"."""
+    if exp.is_bilingual:
+        langs = exp.doc_side.split("-")[1:]
+        return " + ".join(l.upper() for l in langs) + " docs"
+    (code,) = exp.doc_langs
+    return f"{code.upper()} docs"
+
+
+# agg.json metric key -> reference export column (`collect_results.py:142-158`)
+_REF_METRIC_COLS = {
+    "nDCG@10": "ndcg10",
+    "nDCG@10_std": "ndcg10_std",
+    "nDCG@10_stderr": "ndcg10_stderr",
+    "nDCG@10_ci90_low": "ndcg10_ci90_low",
+    "nDCG@10_ci90_high": "ndcg10_ci90_high",
+    "nDCG@10_ci95_low": "ndcg10_ci95_low",
+    "nDCG@10_ci95_high": "ndcg10_ci95_high",
+    "RR@10": "mrr10",
+    "R@10": "r10",
+}
+
+
 def collect_results(results_root) -> List[Dict]:
     """Walk the tree; one row per latest agg.json."""
     root = pathlib.Path(results_root)
@@ -69,6 +94,12 @@ def collect_results(results_root) -> List[Dict]:
             exp = parse_experiment_dirname(p.name)
             if exp:
                 break
+        if exp is None:
+            # unparseable experiment dir (e.g. the ablation2 subtree's
+            # block-tagged names): the reference collector prunes these
+            # (`collect_results.py:620-626`); the ablation collector owns
+            # them
+            continue
         mix = mix_ratio_from_runstem(runstem)
         if mix is None:
             continue
@@ -81,24 +112,38 @@ def collect_results(results_root) -> List[Dict]:
         # vector_mix subdir forces embed mode (reference dir layout)
         if pathlib.Path(parent).name == "vector_mix":
             mix_mode = "embed"
+        # source_file points at the sibling agg CSV when present (the
+        # reference collector reads the CSVs, `collect_results.py:662`)
+        src = agg.with_name(agg.name[: -len(".json")] + ".csv")
+        if not src.exists():
+            src = agg
+        try:
+            source_file = str(src.relative_to(root))
+        except ValueError:
+            source_file = str(src)
         row = {
-            "experiment": exp.dirname() if exp else pathlib.Path(parent).name,
-            "dataset": exp.dataset if exp else None,
-            "docs_size": exp.size if exp else None,
-            "doc_side": exp.doc_side if exp else None,
-            "pair": f"{exp.qa.upper()}-{exp.qb.upper()}" if exp else None,
-            "model": exp.encoder_tag if exp else None,
+            "experiment": exp.dirname(),
+            "dataset": exp.dataset,
+            "docs_size": exp.size,
+            "doc_side": exp.doc_side,
+            "doc_mix": doc_mix_label(exp),
+            "pair": f"{exp.qa.upper()}-{exp.qb.upper()}",
+            "model": exp.encoder_tag,
             "split": split,
             "run": runstem,
             "mix_mode": mix_mode,
             "mix_ratio": ratio,
             "timestamp": ts,
+            "source_file": source_file,
             "ndcg10": metrics.get("nDCG@10"),
             "mrr10": metrics.get("RR@10"),
             "recall10": metrics.get("R@10"),
             "recall100": metrics.get("R@100"),
             "map": metrics.get("AP"),
         }
+        for key, col in _REF_METRIC_COLS.items():
+            if col not in ("ndcg10", "mrr10", "r10"):
+                row[col] = metrics.get(key)
         perquery = load_perquery_ndcg10(agg)
         if perquery:
             row["perquery"] = perquery
@@ -218,6 +263,104 @@ def compute_summary(rows: List[Dict]) -> List[Dict]:
     return out
 
 
+REFERENCE_EXPORT_COLUMNS = [
+    "pair", "doc_mix", "method", "mix_ratio",
+    "ndcg10", "ndcg10_std", "ndcg10_stderr",
+    "ndcg10_ci90_low", "ndcg10_ci90_high",
+    "ndcg10_ci95_low", "ndcg10_ci95_high",
+    "mrr10", "r10", "model", "source_file",
+]
+
+
+def reference_format_rows(rows: List[Dict]) -> List[Dict]:
+    """Rows in the reference's ``full_mmarco_results.csv`` vocabulary
+    (`collect_results.py:142-158`): metrics x100 rounded to 4 decimals,
+    ``method``/``doc_mix``/``source_file`` columns, sorted by
+    (pair, doc_mix, method, mix_ratio, model, source_file)."""
+    out: List[Dict] = []
+    for r in rows:
+        if r.get("ndcg10") is None:
+            continue
+        ref = {
+            "pair": r["pair"],
+            "doc_mix": r.get("doc_mix"),
+            "method": r["mix_mode"],
+            "mix_ratio": r["mix_ratio"],
+            "model": r["model"],
+            "source_file": r.get("source_file"),
+        }
+        scaled = {
+            "ndcg10": r.get("ndcg10"), "mrr10": r.get("mrr10"),
+            "r10": r.get("recall10"),
+        }
+        for col in REFERENCE_EXPORT_COLUMNS:
+            if col.startswith("ndcg10_"):
+                scaled[col] = r.get(col)
+        for col, v in scaled.items():
+            ref[col] = round(v * 100.0, 4) if v is not None else None
+        out.append(ref)
+    out.sort(key=lambda r: (
+        str(r["pair"]), str(r["doc_mix"]), str(r["method"]),
+        float(r["mix_ratio"]), str(r["model"]), str(r["source_file"]),
+    ))
+    return [{c: r.get(c) for c in REFERENCE_EXPORT_COLUMNS} for r in out]
+
+
+def compute_reference_summary(rows: List[Dict]) -> List[Dict]:
+    """The reference's processed summary (`compute_full_summary`,
+    `collect_results.py:362-403`): group by (pair, doc_mix) on the
+    x100-scaled nDCG@10, best endpoint (ratio 0/100) vs best interior,
+    delta, lambda*, plus the pair-factor / doc-regime columns of
+    ``full_mmarco_processed_results.csv``."""
+    from codemix_dense_retrieval_tpu.analysis.lang_factors import (
+        reference_pair_factors,
+    )
+
+    ref_rows = reference_format_rows(rows)
+    groups: Dict[Tuple[str, str], List[Dict]] = defaultdict(list)
+    for r in ref_rows:
+        if r["ndcg10"] is not None:
+            groups[(r["pair"], r["doc_mix"])].append(r)
+    out: List[Dict] = []
+    for (pair, doc_mix), grp in sorted(groups.items()):
+        endpoints = [g for g in grp if g["mix_ratio"] in (0.0, 100.0)]
+        interior = [g for g in grp if 0.0 < g["mix_ratio"] < 100.0]
+        best_endpoint = max((g["ndcg10"] for g in endpoints), default=math.nan)
+        if interior:
+            best = max(interior, key=lambda g: g["ndcg10"])
+            best_mixed = best["ndcg10"]
+            lambda_star = best["mix_ratio"]
+            delta = best_mixed - (
+                best_endpoint if not math.isnan(best_endpoint) else 0.0
+            )
+        else:
+            best_mixed, lambda_star, delta = math.nan, math.nan, 0.0
+        row = {
+            "pair": pair,
+            "doc_mix": doc_mix,
+            "best_endpoint_ndcg": best_endpoint,
+            "best_mixed_ndcg": best_mixed,
+            "delta_ndcg": delta,
+            "lambda_star_mid": lambda_star,
+        }
+        row.update(reference_pair_factors(str(pair)))
+        row["doc_type"] = "bi" if "+" in str(doc_mix) else "mono"
+        # doc regime relative to the query pair (L1/L2/L1+L2 docs)
+        la, lb = (p.strip().upper() for p in str(pair).split("-")[:2])
+        dm_langs = {
+            tok for tok in re.split(r"[^A-Z]+", str(doc_mix).upper()) if tok
+        }
+        has_a, has_b = la in dm_langs, lb in dm_langs
+        row["doc_regime"] = (
+            "L1+L2 docs" if has_a and has_b
+            else "L1 docs" if has_a
+            else "L2 docs" if has_b
+            else "other docs"
+        )
+        out.append(row)
+    return out
+
+
 def write_csv(path, rows: List[Dict]) -> None:
     import csv
 
@@ -240,9 +383,19 @@ def write_csv(path, rows: List[Dict]) -> None:
 def collect_cli(args) -> None:
     rows = collect_results(args.results_root)
     out = pathlib.Path(args.out)
-    # the long-form CSV drops the bulky per-query dicts
-    write_csv(out, [{k: v for k, v in r.items() if k != "perquery"} for r in rows])
-    summary = compute_summary(rows)
+    if getattr(args, "reference_format", False):
+        long_rows = reference_format_rows(rows)
+        summary = compute_reference_summary(rows)
+    else:
+        # the long-form CSV drops the bulky per-query dicts
+        long_rows = [
+            {k: v for k, v in r.items() if k != "perquery"} for r in rows
+        ]
+        summary = compute_summary(rows)
+    write_csv(out, long_rows)
     summary_path = out.with_name(out.stem + "_processed" + out.suffix)
     write_csv(summary_path, summary)
-    print(f"collected {len(rows)} rows -> {out}; {len(summary)} summary rows -> {summary_path}")
+    print(
+        f"collected {len(long_rows)} rows -> {out}; "
+        f"{len(summary)} summary rows -> {summary_path}"
+    )

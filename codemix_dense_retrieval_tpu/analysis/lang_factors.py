@@ -69,6 +69,45 @@ PAIR_DISTANCES: Dict[str, Dict[str, float]] = {
 }
 
 
+def reference_pair_factors(pair: str) -> Dict[str, object]:
+    """Pair features in the REFERENCE's processed-CSV vocabulary
+    (`collect_results.py:313-330`): categorical match labels and 0/1
+    distances rather than our boolean/graded forms. Used by the
+    reference-format summary export so the emitted CSV is directly
+    comparable to ``full_mmarco_processed_results.csv``."""
+    out: Dict[str, object] = {}
+    parts = pair.upper().split("-")
+    if len(parts) != 2:
+        return out
+    a, b = parts[0].lower(), parts[1].lower()
+    info_a, info_b = LANG_INFO.get(a, {}), LANG_INFO.get(b, {})
+    out["lang_a"], out["lang_b"] = a, b
+    out["script_match"] = (
+        "match" if info_a and info_a.get("script") == info_b.get("script")
+        else "mismatch"
+    )
+    out["family_dist"] = (
+        0 if info_a and info_a.get("family") == info_b.get("family") else 1
+    )
+    out["typology_dist"] = (
+        0 if info_a and info_a.get("typology") == info_b.get("typology") else 1
+    )
+
+    def res_class(info: Dict[str, str]) -> str:
+        try:
+            return "H" if int(info["resource"]) >= 5 else "L"
+        except (KeyError, ValueError):
+            return "U"
+
+    out["resource_pattern"] = f"{res_class(info_a)}-{res_class(info_b)}"
+    dist = PAIR_DISTANCES.get(f"{parts[0]}-{parts[1]}") or PAIR_DISTANCES.get(
+        f"{parts[1]}-{parts[0]}"
+    )
+    if dist:
+        out.update(dist)
+    return out
+
+
 def pair_factors(pair: str) -> Dict[str, object]:
     """Per-pair features: shared script/family flags + language metadata +
     published distances. ``pair`` like "EN-ZH" (order-insensitive lookup)."""

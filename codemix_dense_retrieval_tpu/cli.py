@@ -829,6 +829,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results_root", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--ablation", action="store_true")
+    p.add_argument("--reference_format", action="store_true",
+                   help="emit the reference collector's CSV schema "
+                        "(full_mmarco_results.csv columns, metrics x100)")
     p.set_defaults(fn=cmd_collect)
 
     p = sub.add_parser("paper-values", help="paper statistics report over a results tree")
