@@ -258,6 +258,144 @@ def plot_ablation_dumbbells(summary_rows: List[Dict], outdir) -> List[pathlib.Pa
 _SCALE_RE = None
 
 
+def plot_hub_examples(
+    summary_rows: List[Dict], outdir, doc_langs: Optional[List[str]] = None
+) -> List[pathlib.Path]:
+    """Per-doc-language partner panel (reference
+    `plot_diagram_2.py:182-320`): for each monolingual doc language,
+    grouped bars of delta(nDCG@10) with EN as the mixing partner vs the
+    top-2 non-EN partners, each bar labelled with its partner code."""
+    from codemix_dense_retrieval_tpu.io.naming import LANG_CODES
+
+    plt = _mpl()
+    # (doc_lang -> partner -> delta) over monolingual summary rows
+    per_doc: Dict[str, Dict[str, float]] = defaultdict(dict)
+    for r in _finite(summary_rows, "delta_ndcg"):
+        side = str(r.get("doc_side") or "")
+        if side.startswith("bilingual-"):
+            continue
+        code = LANG_CODES.get(side, side if len(side) == 2 else None)
+        if not code:
+            continue
+        pair = str(r.get("pair") or "")
+        parts = pair.lower().split("-")
+        if len(parts) != 2 or code not in parts:
+            continue
+        partner = parts[1] if parts[0] == code else parts[0]
+        per_doc[code.upper()][partner.upper()] = r["delta_ndcg"]
+
+    langs = doc_langs or sorted(
+        l for l, partners in per_doc.items() if "EN" in partners
+    )
+    entries = []
+    for lang in langs:
+        partners = per_doc.get(lang, {})
+        if "EN" not in partners:
+            continue
+        non_en = sorted(
+            ((p, d) for p, d in partners.items() if p != "EN"),
+            key=lambda x: -x[1],
+        )
+        entries.append((lang, partners["EN"], non_en[:2]))
+    if not entries:
+        return []
+
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    ax.axhline(0, color="black", lw=0.8)
+    x = np.arange(len(entries))
+    w = 0.26
+    colors = ["#4878a8", "#6aa86a", "#c88a4a"]
+    for slot in range(3):
+        heights, labels = [], []
+        for lang, en_delta, non_en in entries:
+            if slot == 0:
+                heights.append(en_delta)
+                labels.append("EN")
+            elif slot - 1 < len(non_en):
+                heights.append(non_en[slot - 1][1])
+                labels.append(non_en[slot - 1][0])
+            else:
+                heights.append(math.nan)
+                labels.append("")
+        bars = ax.bar(
+            x + (slot - 1) * w, heights, width=w, color=colors[slot],
+            alpha=0.85, edgecolor="#333",
+        )
+        # partner code inside (or just above) each bar replaces a legend
+        for bar, lab, h in zip(bars, labels, heights):
+            if not lab or math.isnan(h):
+                continue
+            xc = bar.get_x() + bar.get_width() / 2
+            if abs(h) >= 0.0002:
+                ax.text(xc, h / 2, lab, ha="center", va="center",
+                        fontsize=8, fontweight="bold")
+            else:
+                ax.text(xc, h, lab, ha="center",
+                        va="bottom" if h >= 0 else "top", fontsize=8)
+    ax.set_xticks(x)
+    ax.set_xticklabels([e[0] for e in entries])
+    ax.set_xlabel("document language")
+    ax.set_ylabel("Δ nDCG@10")
+    ax.set_title("Partner effect: EN vs top-2 non-EN")
+    paths = _save(fig, pathlib.Path(outdir), "hub_examples")
+    plt.close(fig)
+    return paths
+
+
+def plot_mono_alignment_curve(rows: List[Dict], outdir) -> List[pathlib.Path]:
+    """Monolingual alignment curve (reference `plot_diagram_2.py:438-489`):
+    nDCG@10 (mean ± stderr) against p_doc — the query's share in the DOC
+    language (100-λ when docs are the pair's first language, λ when the
+    second), pooling every monolingual setting."""
+    from codemix_dense_retrieval_tpu.io.naming import LANG_CODES
+
+    plt = _mpl()
+    by_p: Dict[int, List[float]] = defaultdict(list)
+    for r in rows:
+        if r.get("ndcg10") is None or r.get("mix_ratio") is None:
+            continue
+        side = str(r.get("doc_side") or "")
+        if side.startswith("bilingual-"):
+            continue
+        code = LANG_CODES.get(side, side if len(side) == 2 else None)
+        parts = str(r.get("pair") or "").lower().split("-")
+        if not code or len(parts) != 2:
+            continue
+        lam = float(r["mix_ratio"])
+        if code == parts[0]:
+            p_doc = 100.0 - lam
+        elif code == parts[1]:
+            p_doc = lam
+        else:
+            continue
+        by_p[int(round(p_doc))].append(float(r["ndcg10"]))
+    if not by_p:
+        return []
+    ps = sorted(by_p)
+    means = [sum(by_p[p]) / len(by_p[p]) for p in ps]
+    errs = []
+    for p in ps:
+        vals = by_p[p]
+        if len(vals) < 2:
+            errs.append(0.0)
+            continue
+        m = sum(vals) / len(vals)
+        var = sum((v - m) ** 2 for v in vals) / (len(vals) - 1)
+        errs.append(math.sqrt(var / len(vals)))
+    fig, ax = plt.subplots(figsize=(5.5, 3.5))
+    ax.errorbar(ps, means, yerr=errs, marker="o", ms=4, lw=1.2,
+                color="#4878a8", ecolor="#333", capsize=2,
+                label="mean nDCG@10")
+    ax.set_xlabel("p_doc (query share in doc language, %)")
+    ax.set_ylabel("nDCG@10")
+    ax.set_title("Monolingual alignment curve")
+    ax.set_xlim(-2, 102)
+    ax.legend(frameon=False, fontsize=8)
+    paths = _save(fig, pathlib.Path(outdir), "mono_alignment_curve")
+    plt.close(fig)
+    return paths
+
+
 def _model_size_b(tag: str) -> Optional[float]:
     """Parse a parameter count (in billions) out of a model tag
     ("qwen3-embedding-0.6b" -> 0.6)."""
@@ -410,4 +548,6 @@ def generate_all(rows: List[Dict], summary_rows: List[Dict], outdir) -> List[pat
     out += plot_headroom(summary_rows, outdir)
     out += plot_ablation_dumbbells(summary_rows, outdir)
     out += plot_model_scale(summary_rows, outdir)
+    out += plot_hub_examples(summary_rows, outdir)
+    out += plot_mono_alignment_curve(rows, outdir)
     return out

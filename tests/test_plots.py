@@ -108,3 +108,51 @@ def test_projection_html(tmp_path, rng):
     # self-contained: all 90 points embedded, no external scripts
     assert html.count("[") >= 90
     assert "http" not in html.lower().replace("http-equiv", "")
+
+
+def test_hub_examples_panel(tmp_path):
+    """Per-doc-lang partner panel (reference `plot_diagram_2.py:182-320`):
+    EN vs top-2 non-EN partner bars for each monolingual doc language."""
+    from codemix_dense_retrieval_tpu.analysis.plots import plot_hub_examples
+
+    summary = [
+        {"pair": "EN-ZH", "doc_side": "chinese", "delta_ndcg": 1.7},
+        {"pair": "AR-ZH", "doc_side": "chinese", "delta_ndcg": 0.9},
+        {"pair": "ID-ZH", "doc_side": "chinese", "delta_ndcg": 1.1},
+        {"pair": "ZH-RU", "doc_side": "chinese", "delta_ndcg": 0.5},
+        {"pair": "EN-AR", "doc_side": "arabic", "delta_ndcg": 2.9},
+        {"pair": "AR-ZH", "doc_side": "arabic", "delta_ndcg": 1.5},
+        # bilingual + partnerless rows must be ignored
+        {"pair": "EN-ZH", "doc_side": "bilingual-en-zh", "delta_ndcg": 0.3},
+        {"pair": "DE-FR", "doc_side": "german", "delta_ndcg": 0.8},
+    ]
+    paths = plot_hub_examples(summary, tmp_path)
+    assert paths and all(p.exists() and p.stat().st_size > 500 for p in paths)
+    assert any(p.stem == "hub_examples" for p in paths)
+    # no EN partner anywhere -> no figure
+    assert plot_hub_examples(
+        [{"pair": "DE-FR", "doc_side": "german", "delta_ndcg": 0.8}], tmp_path
+    ) == []
+
+
+def test_mono_alignment_curve(tmp_path):
+    """Mono alignment curve (reference `plot_diagram_2.py:438-489`):
+    p_doc pooling across mono settings, bilingual rows excluded."""
+    from codemix_dense_retrieval_tpu.analysis.plots import (
+        plot_mono_alignment_curve,
+    )
+
+    paths = plot_mono_alignment_curve(_rows(), tmp_path)
+    assert paths and all(p.exists() and p.stat().st_size > 500 for p in paths)
+    assert any(p.stem == "mono_alignment_curve" for p in paths)
+    # bilingual-only rows -> no curve
+    bi = [r for r in _rows() if str(r["doc_side"]).startswith("bilingual")]
+    assert plot_mono_alignment_curve(bi, tmp_path / "none") == []
+
+
+def test_generate_all_includes_new_families(tmp_path):
+    paths = generate_all(_rows(), _summary(), tmp_path)
+    names = {p.stem for p in paths}
+    assert "mono_alignment_curve" in names
+    # _summary has no EN-partner mono rows with EN... hub panel presence
+    # depends on data; the dedicated test covers it
