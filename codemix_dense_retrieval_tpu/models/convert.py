@@ -111,13 +111,76 @@ def detect_prefix(state_dict: Mapping[str, "object"]) -> str:
     raise KeyError("no XLM-R embeddings found in state dict")
 
 
+def _read_safetensors(path) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    sd: Dict[str, np.ndarray] = {}
+    with safe_open(str(path), framework="np") as f:
+        for k in f.keys():
+            sd[k] = f.get_tensor(k)
+    return sd
+
+
+def load_state_dict(checkpoint_dir) -> Dict[str, np.ndarray]:
+    """Load an HF-format state dict from a local directory, in any of the
+    layouts real checkpoints ship (reference loads these through
+    `from_pretrained`, `onepass_dense_run.py:155-215`):
+
+    - ``model.safetensors.index.json`` + N shard files (large encoders:
+      Qwen3-4B/8B ship sharded)
+    - single ``model.safetensors``
+    - ``pytorch_model.bin.index.json`` + N torch shards
+    - single ``pytorch_model.bin``
+    """
+    import json
+
+    d = pathlib.Path(checkpoint_dir)
+    st_index = d / "model.safetensors.index.json"
+    if st_index.exists():
+        weight_map = json.loads(st_index.read_text())["weight_map"]
+        sd: Dict[str, np.ndarray] = {}
+        for shard_name in sorted(set(weight_map.values())):
+            shard = _read_safetensors(d / shard_name)
+            missing = [k for k, v in weight_map.items()
+                       if v == shard_name and k not in shard]
+            if missing:
+                raise KeyError(
+                    f"weight_map names {missing[:3]}... in {shard_name} "
+                    "but the shard does not contain them"
+                )
+            sd.update(shard)
+        absent = set(weight_map) - set(sd)
+        if absent:
+            raise KeyError(f"index lists missing weights: {sorted(absent)[:3]}")
+        return sd
+    st_path = d / "model.safetensors"
+    if st_path.exists():
+        return _read_safetensors(st_path)
+    bin_index = d / "pytorch_model.bin.index.json"
+    if bin_index.exists():
+        import torch
+
+        weight_map = json.loads(bin_index.read_text())["weight_map"]
+        sd = {}
+        for shard_name in sorted(set(weight_map.values())):
+            sd.update(torch.load(d / shard_name, map_location="cpu",
+                                 weights_only=True))
+        return sd
+    bin_path = d / "pytorch_model.bin"
+    if bin_path.exists():
+        import torch
+
+        return torch.load(bin_path, map_location="cpu", weights_only=True)
+    raise FileNotFoundError(f"no model weights under {d}")
+
+
 def load_hf_checkpoint(
     checkpoint_dir,
     cfg: Optional[XLMRConfig] = None,
     **cfg_overrides,
 ):
     """Load (config, params) from an HF-format local directory
-    (config.json + pytorch_model.bin / model.safetensors)."""
+    (config.json + torch / single- or sharded-safetensors weights)."""
     import json
 
     d = pathlib.Path(checkpoint_dir)
@@ -125,21 +188,7 @@ def load_hf_checkpoint(
         hf_cfg = json.loads((d / "config.json").read_text())
         cfg = XLMRConfig.from_hf_config(hf_cfg, **cfg_overrides)
 
-    st_path = d / "model.safetensors"
-    bin_path = d / "pytorch_model.bin"
-    if st_path.exists():
-        from safetensors import safe_open
-
-        sd = {}
-        with safe_open(st_path, framework="np") as f:
-            for k in f.keys():
-                sd[k] = f.get_tensor(k)
-    elif bin_path.exists():
-        import torch
-
-        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
-    else:
-        raise FileNotFoundError(f"no model weights under {d}")
+    sd = load_state_dict(d)
     params = convert_xlmr_state_dict(sd, cfg, prefix=detect_prefix(sd))
     return cfg, params
 

@@ -29,21 +29,10 @@ log = get_logger("registry")
 
 
 def _load_state_dict(d: pathlib.Path):
-    st_path = d / "model.safetensors"
-    bin_path = d / "pytorch_model.bin"
-    if st_path.exists():
-        from safetensors import safe_open
+    # single-file or index.json-sharded safetensors/torch layouts
+    from codemix_dense_retrieval_tpu.models.convert import load_state_dict
 
-        sd = {}
-        with safe_open(st_path, framework="np") as f:
-            for k in f.keys():
-                sd[k] = f.get_tensor(k)
-        return sd
-    if bin_path.exists():
-        import torch
-
-        return torch.load(bin_path, map_location="cpu", weights_only=True)
-    raise FileNotFoundError(f"no model weights under {d}")
+    return load_state_dict(d)
 
 
 def load_encoder(
