@@ -108,12 +108,6 @@ def main():
     rng = np.random.default_rng(0)
     # realistic score magnitudes
     scores = rng.standard_normal((B, N), dtype=np.float32) * 0.3
-    s_b = jnp.asarray(scores)                      # (B, N) bin-major base
-    s_t = jnp.asarray(np.ascontiguousarray(scores.T))  # (N, B) current layout
-    s_b3 = s_b.reshape(B, NB, G)
-    s_s3 = s_b.reshape(B, NS, G * M)
-    binmax = s_b3.max(axis=2)                      # (B, nb)
-    sync(binmax); sync(s_t); sync(s_s3)
 
     bin_ids = np.sort(
         rng.choice(NB, size=(B, K), replace=False).astype(np.int32), axis=1
@@ -128,8 +122,19 @@ def main():
     ).reshape(B, K * G).astype(np.int32)
     cand_idx_j = jnp.asarray(cand_idx)
 
+    # --- variant A on the (N, B) layout, then free it (HBM budget) ---
+    s_t = jnp.asarray(np.ascontiguousarray(scores.T))
+    sync(s_t)
     t = bench(elem_gather, s_t, cand_idx_j)
     print(f"A element gather (N,B) k*G={K*G}/q:        {t:8.1f} ms", flush=True)
+    del s_t
+
+    # --- bin-major variants ---
+    s_b = jnp.asarray(scores)
+    s_b3 = s_b.reshape(B, NB, G)
+    s_s3 = s_b.reshape(B, NS, G * M)
+    binmax = s_b3.max(axis=2)
+    sync(binmax)
     t = bench(bin_slice_gather, s_b3, bin_ids_j)
     print(f"B bin-slice gather (B,nb,G) k={K}/q:       {t:8.1f} ms", flush=True)
     t = bench(bin_slice_topk, s_b3, bin_ids_j)
