@@ -57,14 +57,45 @@ def build_bpe_tokenizer(corpus, vocab_size=32_000):
     return tok
 
 
-def synth_passages(n, seed=0):
-    """mMARCO-like passage lengths (~40-90 words) over a zipfian vocab."""
+def synth_vocab(n_words, seed=1):
+    """Multilingual word soup across six scripts — enough lexical
+    diversity for a 250k-piece byte-level BPE (the XLM-R vocab scale;
+    VERDICT r2 item 4)."""
     rng = random.Random(seed)
-    stems = [f"word{i}" for i in range(20_000)]
+    scripts = [
+        (0x61, 26, 3, 10),      # latin
+        (0x410, 32, 3, 10),     # cyrillic
+        (0x627, 20, 3, 8),      # arabic
+        (0x905, 30, 3, 8),      # devanagari
+        (0x4E00, 6000, 1, 4),   # han
+        (0x3041, 50, 2, 6),     # kana
+    ]
+    words = set()
+    while len(words) < n_words:
+        base, span, lo, hi = scripts[rng.randrange(len(scripts))]
+        ln = rng.randint(lo, hi)
+        words.add("".join(chr(base + rng.randrange(span)) for _ in range(ln)))
+    out = sorted(words)
+    rng.shuffle(out)
+    return out
+
+
+def synth_passages(n, seed=0, vocab=None):
+    """mMARCO-like passage lengths (~40-90 words): zipfian head plus a
+    20% uniform tail (natural corpora expose the long tail across
+    passages — without it a BPE trainer can only learn the head's
+    merges)."""
+    rng = random.Random(seed)
+    stems = vocab or [f"word{i}" for i in range(20_000)]
+    top = len(stems) - 1
     out = []
     for _ in range(n):
         length = rng.randint(40, 90)
-        words = [stems[min(int(rng.paretovariate(1.1)), 19_999)] for _ in range(length)]
+        words = [
+            stems[rng.randint(0, top)] if rng.random() < 0.2
+            else stems[min(int(rng.paretovariate(1.1)), top)]
+            for _ in range(length)
+        ]
         out.append(" ".join(words))
     return out
 
@@ -74,6 +105,10 @@ def main() -> None:
     ap.add_argument("--passages", type=int, default=20_000)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--layers", type=int, default=24)
+    ap.add_argument("--vocab_size", type=int, default=32_000,
+                    help="BPE vocab to train (250_000 = XLM-R scale)")
+    ap.add_argument("--train_texts", type=int, default=5_000,
+                    help="passages used to train the BPE")
     args = ap.parse_args()
 
     import jax
@@ -84,9 +119,16 @@ def main() -> None:
     from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
 
     on_tpu = jax.default_backend() != "cpu"
-    texts = synth_passages(args.passages)
+    # at XLM-R vocab scale, the training corpus needs matching lexical
+    # diversity (a 20k-stem corpus caps the learnable merge count)
+    vocab = (
+        synth_vocab(max(150_000, args.vocab_size // 2))
+        if args.vocab_size > 50_000 else None
+    )
+    texts = synth_passages(args.passages, vocab=vocab)
     t0 = time.perf_counter()
-    raw_tok = build_bpe_tokenizer(texts[:5000])
+    n_train = max(args.train_texts, 20_000 if args.vocab_size > 50_000 else 0)
+    raw_tok = build_bpe_tokenizer(texts[:n_train], vocab_size=args.vocab_size)
     train_s = time.perf_counter() - t0
     tok = HFTokenizer(raw_tok, pad_id=raw_tok.token_to_id("<pad>"))
 
@@ -99,8 +141,10 @@ def main() -> None:
 
     layers = args.layers if on_tpu else 2
     hidden = 1024 if on_tpu else 64
+    vocab_actual = raw_tok.get_vocab_size()
     cfg = XLMRConfig(
-        vocab_size=32_000, hidden_size=hidden, num_layers=layers,
+        vocab_size=max(32_000, vocab_actual + 2), hidden_size=hidden,
+        num_layers=layers,
         num_heads=16 if on_tpu else 4, intermediate_size=4 * hidden,
         max_position_embeddings=8194,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
@@ -143,6 +187,7 @@ def main() -> None:
         "batch": args.batch,
         "layers": layers,
         "bpe_train_s": round(train_s, 1),
+        "vocab_size": vocab_actual,
         "backend": jax.default_backend(),
     }))
 

@@ -109,12 +109,14 @@ def main():
     # realistic score magnitudes
     scores = rng.standard_normal((B, N), dtype=np.float32) * 0.3
 
-    bin_ids = np.sort(
-        rng.choice(NB, size=(B, K), replace=False).astype(np.int32), axis=1
-    )
-    sup_ids = np.sort(
-        rng.choice(NS, size=(B, K), replace=False).astype(np.int32), axis=1
-    )
+    def sample_rows(pop, k):
+        # per-query distinct sorted ids (replace=False per ROW)
+        r = rng.random((B, pop))
+        part = np.argpartition(r, k, axis=1)[:, :k]
+        return np.sort(part.astype(np.int32), axis=1)
+
+    bin_ids = sample_rows(NB, K)
+    sup_ids = sample_rows(NS, K)
     bin_ids_j = jnp.asarray(bin_ids)
     sup_ids_j = jnp.asarray(sup_ids)
     cand_idx = (
