@@ -29,6 +29,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from codemix_dense_retrieval_tpu.index.flat import DenseFlatIndex
 from codemix_dense_retrieval_tpu.io.token_shards import TokenShardStore
@@ -65,6 +66,45 @@ def _rerank_block_unique(
     scores, ids = maxsim_rerank(
         q_tokens, q_mask, d_tokens, d_mask, cand_ids, use_pallas=use_pallas,
         interpret=interpret,
+    )
+    return scores[:, :k], ids[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas", "interpret"))
+def _rerank_block_resident(
+    q_tokens: jnp.ndarray,  # (B, Tq, d) f32
+    q_mask: jnp.ndarray,  # (B, Tq)
+    tok_dev: jnp.ndarray,  # (count, Td, d) HBM-resident token blocks
+    scales_dev: Optional[jnp.ndarray],  # (count, Td) f32 or None
+    lengths_dev: jnp.ndarray,  # (count,) int32
+    cand_ids: jnp.ndarray,  # (B, K) global row ids
+    *,
+    k: int,
+    use_pallas: bool,
+    interpret: Optional[bool],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rerank against a DEVICE-RESIDENT token store: the candidate gather
+    is a row gather in HBM (contiguous Td*d-byte slices at device
+    bandwidth) instead of a host memmap gather + PCIe/relay transfer —
+    the dominant serving cost of the host path (VERDICT r2 item 3).
+    ``tok_dev`` must be passed as an ARGUMENT (a captured array would be
+    baked into the HLO as a multi-GB constant)."""
+    b, kb = cand_ids.shape
+    flat = cand_ids.reshape(-1)
+    d_tok = jnp.take(tok_dev, flat, axis=0)
+    if scales_dev is not None:
+        sc = jnp.take(scales_dev, flat, axis=0)
+        d_tok = (d_tok.astype(jnp.float32) * sc[..., None]).astype(jnp.bfloat16)
+    td = tok_dev.shape[1]
+    lens = jnp.take(lengths_dev, flat)
+    mask = (
+        lax.broadcasted_iota(jnp.int32, (flat.shape[0], td), 1)
+        < lens[:, None]
+    ).astype(jnp.int32)
+    scores, ids = maxsim_rerank(
+        q_tokens, q_mask,
+        d_tok.reshape(b, kb, td, -1), mask.reshape(b, kb, td), cand_ids,
+        use_pallas=use_pallas, interpret=interpret,
     )
     return scores[:, :k], ids[:, :k]
 
@@ -136,6 +176,8 @@ class TwoStageSearcher:
         use_pallas: bool = True,
         interpret: Optional[bool] = None,
         dedupe: bool = True,
+        device_resident: Optional[bool] = None,
+        device_budget_bytes: int = 6 << 30,
     ) -> None:
         if index.count != token_store.count:
             raise ValueError(
@@ -152,6 +194,57 @@ class TwoStageSearcher:
         self.dedupe = dedupe
         # effective depths of the most recent search() (k_dense may clamp)
         self.last_depths: dict = {}
+        # HBM-resident token store (VERDICT r2 item 3): when the int8
+        # blocks (+ scales + lengths) fit the budget, upload ONCE and
+        # gather candidates on-device by row id — the per-query host
+        # gather + host->device transfer disappears. None = auto by size;
+        # the memmap path remains for stores beyond the budget.
+        if device_resident is None:
+            device_resident = self._store_bytes() <= device_budget_bytes
+        elif device_resident and self._store_bytes() > device_budget_bytes:
+            raise ValueError(
+                f"token store needs {self._store_bytes() / 2**30:.1f} GiB "
+                f"on device but the budget is "
+                f"{device_budget_bytes / 2**30:.1f} GiB"
+            )
+        self.device_resident = bool(device_resident)
+        self._tok_dev = None
+        self._scales_dev = None
+        self._lengths_dev = None
+        if self.device_resident:
+            self._upload_store()
+
+    def _store_bytes(self) -> int:
+        ts = self.tokens
+        n, td = ts.count, ts.tokens_per_doc
+        itemsize = 1 if ts.dtype == "int8" else 2
+        total = n * td * ts.token_dim * itemsize + n * 4  # blocks + lengths
+        if ts.dtype == "int8":
+            total += n * td * 4  # per-token scales
+        return total
+
+    def _upload_store(self) -> None:
+        ts = self.tokens
+        # chunked host read keeps peak host RSS at one chunk above the
+        # final array; one device_put ships the assembled store
+        n = ts.count
+        toks0, scales0, _ = ts.gather_quantized(np.arange(min(1, n)))
+        toks = np.empty((n, *toks0.shape[1:]), toks0.dtype)
+        scales = (
+            None if scales0 is None else np.empty((n, scales0.shape[1]), np.float32)
+        )
+        chunk = 65536
+        for start in range(0, n, chunk):
+            rows = np.arange(start, min(start + chunk, n))
+            t, s, _ = ts.gather_quantized(rows)
+            toks[start : start + len(rows)] = t
+            if scales is not None:
+                scales[start : start + len(rows)] = s
+        self._tok_dev = jnp.asarray(toks)
+        self._scales_dev = None if scales is None else jnp.asarray(scales)
+        self._lengths_dev = jnp.asarray(
+            np.asarray(ts.lengths, np.int32)
+        )
 
     def search(
         self,
@@ -196,6 +289,26 @@ class TwoStageSearcher:
         blocks = [np.arange(b)] if not query_block else [
             np.arange(i, min(i + query_block, b)) for i in range(0, b, query_block)
         ]
+
+        if self.device_resident:
+            # no host gather at all: candidates are row-gathered in HBM
+            pending = [
+                _rerank_block_resident(
+                    jnp.asarray(q_tokens[rows]),
+                    jnp.asarray(q_mask[rows]),
+                    self._tok_dev,
+                    self._scales_dev,
+                    self._lengths_dev,
+                    jnp.asarray(gids[rows], dtype=jnp.int32),
+                    k=k, use_pallas=self.use_pallas, interpret=self.interpret,
+                )
+                for rows in blocks
+            ]
+            scores = np.concatenate([np.asarray(s) for s, _ in pending], axis=0)
+            ids = np.concatenate([np.asarray(i) for _, i in pending], axis=0)
+            if not return_docids:
+                return scores, ids
+            return scores, self.index.docids[ids]
 
         # the memmap gather of block i+1 runs on a prefetch thread while
         # the main thread dispatches the rerank of block i (dispatch

@@ -603,7 +603,7 @@ def test_dedupe_skipped_when_padded_size_larger(rng, tmp_path, eight_cpu_devices
     store = _write_store(tmp_path / "tok", doc_toks, doc_lens)
     index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(len(dense))], dtype="float32")
     index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
-    s = TwoStageSearcher(index, store, dedupe=True)
+    s = TwoStageSearcher(index, store, dedupe=True, device_resident=False)
 
     calls = {"rows": []}
     orig = store.gather_quantized
@@ -633,3 +633,39 @@ def test_writer_clamps_lengths_to_batch_token_axis(rng, tmp_path):
     # only the t real tokens may be valid
     assert mask.sum() == n * t
     assert not mask[:, t:].any()
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_device_resident_matches_host_gather(rng, tmp_path, eight_cpu_devices, dtype):
+    """HBM-resident store (VERDICT r2 item 3): results bit-identical to
+    the host memmap-gather path on the same candidates."""
+    dense, doc_toks, doc_lens, q_dense, q_toks, q_lens = _corpus(rng)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens, dtype=dtype)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(len(dense))], dtype="float32")
+    index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
+
+    host = TwoStageSearcher(index, store, device_resident=False)
+    resident = TwoStageSearcher(index, store, device_resident=True)
+    assert resident.device_resident and not host.device_resident
+    for qb in (0, 2):
+        hs, hi = host.search(q_dense, q_toks, q_lens, 5, k_dense=16,
+                             query_block=qb, return_docids=False)
+        rs, ri = resident.search(q_dense, q_toks, q_lens, 5, k_dense=16,
+                                 query_block=qb, return_docids=False)
+        np.testing.assert_array_equal(hi, ri)
+        np.testing.assert_allclose(hs, rs, rtol=1e-6, atol=1e-6)
+
+
+def test_device_resident_auto_selection(rng, tmp_path):
+    """auto (None): resident when the store fits the budget, memmap
+    beyond it; explicit True over budget is an error."""
+    dense, doc_toks, doc_lens, *_ = _corpus(rng)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(len(dense))], dtype="float32")
+    auto = TwoStageSearcher(index, store)
+    assert auto.device_resident  # tiny store fits the default budget
+    tight = TwoStageSearcher(index, store, device_budget_bytes=16)
+    assert not tight.device_resident
+    with pytest.raises(ValueError, match="budget"):
+        TwoStageSearcher(index, store, device_resident=True,
+                         device_budget_bytes=16)
