@@ -113,6 +113,10 @@ def main() -> None:
         "exact_overlap_at_20": round(overlap, 4),
         f"search_qps_k{k_deep}": round(qps_deep, 1),
         f"exact_overlap_k{k_deep}": round(overlap_deep, 4),
+        # BASELINE.md's throughput row is ">=10k qps at EXACT IP
+        # top-1000" — report the ratio at that depth, not only at k=100
+        # (VERDICT r2 weak 1)
+        f"vs_baseline_k{k_deep}": round(qps_deep / 10_000.0, 3),
         "block": block,
         "backend": jax.default_backend(),
     }

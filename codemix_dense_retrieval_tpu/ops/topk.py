@@ -191,12 +191,91 @@ def _bin_scores_pallas(
     )(nv, queries, docs)
 
 
+def _bin_scores_pallas_bm_kernel(
+    nv_ref, qt_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n
+):
+    # BIN-MAJOR variant: scores land as (B, N) and bin maxima as (B, nb),
+    # so the two-level tail's candidate reads are CONTIGUOUS G-element
+    # slices instead of per-element gathers (measured 3.5x faster on v5e,
+    # probe_slice_gather r3). The matmul still runs in the Mosaic-friendly
+    # (tile_n, tile_b) orientation (bin reduce must split the sublane
+    # dim); both outputs are transposed in-kernel — an MXU transpose of
+    # the (tile_n, tile_b) tile costs ~15% of its matmul.
+    j = pl.program_id(1)
+    s = jax.lax.dot_general(
+        d_ref[:], qt_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (tile_n, tile_b)
+    n_valid = nv_ref[0]
+    row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * tile_n
+    s = jnp.where(row < n_valid, s, NEG_INF)
+    scores_ref[:] = s.T.astype(scores_ref.dtype)
+    binmax_ref[:] = jnp.max(
+        s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1
+    ).T
+
+
+def _bin_scores_pallas_bm(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    bin_size: int,
+    n_valid,
+    *,
+    tile_b: int = 512,
+    tile_n: int = 1024,
+    interpret: bool = False,
+    score_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused phase 1 emitting BIN-MAJOR outputs:
+    (scores (B, N_pad) in ``score_dtype``, bin_max (B, N_pad/G) f32)."""
+    b, dim = queries.shape
+    n_pad = docs.shape[0]
+    assert n_pad % tile_n == 0 and tile_n % bin_size == 0
+    tile_b = min(tile_b, b)
+    assert b % tile_b == 0, (b, tile_b)
+    grid = (b // tile_b, n_pad // tile_n)
+    kernel = functools.partial(
+        _bin_scores_pallas_bm_kernel, bin_size=bin_size, tile_n=tile_n
+    )
+    flops = 2 * b * n_pad * dim
+    bytes_accessed = (
+        b * dim * queries.dtype.itemsize
+        + n_pad * dim * docs.dtype.itemsize
+        + b * n_pad * jnp.dtype(score_dtype).itemsize
+    )
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_b, tile_n // bin_size), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad), score_dtype),
+            jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(nv, queries, docs)
+
+
 def _bin_scores_pallas_int8_kernel(
-    nv_ref, qv_ref, qs_ref, dv_ref, ds_ref, scores_ref, binmax_ref, *, bin_size, tile_n
+    nv_ref, qv_ref, qs_ref, dv_ref, ds_ref, scores_ref, binmax_ref,
+    *, bin_size, tile_n, bin_major=False,
 ):
     # int8 x int8 -> int32 on the MXU, rescaled to f32 by the per-row
     # symmetric scales (ops.quant); same transposed (T, B) layout as the
-    # bf16 kernel. Index reads drop to 1 byte/element.
+    # bf16 kernel. Index reads drop to 1 byte/element. ``bin_major``
+    # transposes both outputs in-kernel (see _bin_scores_pallas_bm).
     j = pl.program_id(1)
     acc = jax.lax.dot_general(
         dv_ref[:], qv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
@@ -207,8 +286,13 @@ def _bin_scores_pallas_int8_kernel(
     n_valid = nv_ref[0]
     row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * tile_n
     s = jnp.where(row < n_valid, s, NEG_INF)
-    scores_ref[:] = s.astype(scores_ref.dtype)
-    binmax_ref[:] = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
+    bm = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
+    if bin_major:
+        scores_ref[:] = s.T.astype(scores_ref.dtype)
+        binmax_ref[:] = bm.T
+    else:
+        scores_ref[:] = s.astype(scores_ref.dtype)
+        binmax_ref[:] = bm
 
 
 def _bin_scores_pallas_int8(
@@ -223,6 +307,7 @@ def _bin_scores_pallas_int8(
     tile_n: int = 1024,
     interpret: bool = False,
     score_dtype=jnp.float32,
+    bin_major: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, dim = q_vals.shape
     n_pad = d_vals.shape[0]
@@ -231,9 +316,36 @@ def _bin_scores_pallas_int8(
     assert b % tile_b == 0, (b, tile_b)
     grid = (b // tile_b, n_pad // tile_n)
     kernel = functools.partial(
-        _bin_scores_pallas_int8_kernel, bin_size=bin_size, tile_n=tile_n
+        _bin_scores_pallas_int8_kernel, bin_size=bin_size, tile_n=tile_n,
+        bin_major=bin_major,
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    if bin_major:
+        out_specs = [
+            pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_b, tile_n // bin_size), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, n_pad), score_dtype),
+            jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(nv, q_vals, q_scales.reshape(-1, 1), d_vals, d_scales.reshape(-1, 1))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -272,11 +384,13 @@ def topk_ip_bins_int8(
     score_dtype=jnp.float32,
     super_size: Optional[int] = None,
     two_level: bool = False,
+    bin_major: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bin-max-cover top-k over an int8 index (per-row scales): the fused
     int8 MXU path of the quantized index (`ops.quant`). ``two_level``
     finishes with the super-bin cover (deep k — same selection tail as
-    ``topk_ip_bins_two_level``)."""
+    ``topk_ip_bins_two_level``); ``bin_major`` (two-level only) uses the
+    r3 slice-gather layout."""
     from codemix_dense_retrieval_tpu.ops.quant import quantize_rows
 
     n_rows = d_vals.shape[0]
@@ -311,6 +425,18 @@ def topk_ip_bins_int8(
         if b_pad != b:
             q_vals = jnp.pad(q_vals, ((0, b_pad - b), (0, 0)))
             q_scales = jnp.pad(q_scales, (0, b_pad - b))
+    if two_level and bin_major:
+        scores_bm, binmax_bm = _bin_scores_pallas_int8(
+            q_vals, q_scales, d_vals, d_scales, bin_size, n_valid,
+            tile_b=eff_tile_b, tile_n=tile_n, interpret=interpret,
+            score_dtype=score_dtype, bin_major=True,
+        )
+        if b_pad != b:
+            scores_bm = scores_bm[:b]
+            binmax_bm = binmax_bm[:b]
+        return _topk_from_bins_two_level_bm(
+            scores_bm, binmax_bm, k, bin_size, super_size
+        )
     scores_t, bin_max_t = _bin_scores_pallas_int8(
         q_vals, q_scales, d_vals, d_scales, bin_size, n_valid,
         tile_b=eff_tile_b, tile_n=tile_n, interpret=interpret,
@@ -437,6 +563,119 @@ def topk_ip_bins_rescore(
     return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
+def _select_bins_two_level(
+    bin_max: jnp.ndarray,  # (B, nb) BIN-MAJOR bin maxima
+    k_bins: int,
+    super_size: int,
+) -> jnp.ndarray:
+    """Two-level bin selection with SLICE gathers only (no element
+    gathers): super-max reduce -> top_k over ns supers -> gather the
+    covered supers' M-contiguous bin maxima -> top_k -> k bin ids
+    (ascending). Measured r3: gathering M-contiguous slices from the
+    bin-major layout is ~3.5x faster than the element gather from the
+    transposed layout (probe_slice_gather)."""
+    b, nb = bin_max.shape
+    ns = nb // super_size
+    bm3 = bin_max.reshape(b, ns, super_size)
+    super_max = bm3.max(axis=2)
+    ks = min(k_bins, ns)
+    _, sup_ids = lax.top_k(super_max, ks)
+    sup_ids = lax.sort(sup_ids, dimension=1)
+    cand_bm = jnp.take_along_axis(bm3, sup_ids[:, :, None], axis=1)  # (b, ks, M)
+    cand_bins = (
+        sup_ids[:, :, None] * super_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, super_size), 2)
+    ).reshape(b, ks * super_size)
+    kb = min(k_bins, cand_bins.shape[1])
+    _, pos = lax.top_k(cand_bm.reshape(b, -1), kb)
+    bin_ids = jnp.take_along_axis(cand_bins, pos, axis=1)
+    return lax.sort(bin_ids, dimension=1)
+
+
+def topk_ip_rescore_two_level(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    bin_size: int = 8,
+    super_size: Optional[int] = None,
+    slack_bins: int = 16,
+    tile_b: int = 512,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    n_valid=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact deep-k top-k with NO score matrix and NO element gathers —
+    the r3 redesign of the deep-k wall (VERDICT r3 item 1a/1b):
+
+    1. fused kernel emits ONLY (N/G, B) bin maxima (the B x N score
+       matrix never exists in HBM — phase-1 write traffic drops ~G*B/x);
+    2. two-level bin selection entirely via contiguous SLICE gathers in
+       the bin-major layout (`_select_bins_two_level`);
+    3. the (k + slack) covered bins' DOC ROWS are gathered (contiguous
+       row slices from the natural (N, d) layout) and RESCORED with a
+       batched MXU contraction; final top_k over (k+slack)*G candidates.
+
+    Exactness: the transitive-cover argument of
+    ``topk_ip_bins_two_level`` selects a bin superset of the true top-k
+    by phase-1 scores; rescoring recomputes the same contraction on the
+    same operands (single-pass f32 accumulation on the MXU), with
+    ``slack_bins`` absorbing any near-tie round-off at the cover
+    boundary. Ties break to the lower id (FAISS parity) because bin ids
+    are re-sorted ascending before the final top_k.
+    """
+    n_rows = docs.shape[0]
+    if super_size is None:
+        super_size = _auto_super_size(k)
+    if n_valid is None:
+        n_valid = n_rows
+    if isinstance(n_valid, int) and k > n_valid:
+        raise ValueError(f"k={k} > num docs {n_valid}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    chunk = bin_size * super_size
+    lcm_tile = tile_n if tile_n % chunk == 0 else tile_n * chunk // math.gcd(tile_n, chunk)
+    n_pad = _ceil_to(n_rows, lcm_tile)
+    if n_pad != n_rows:
+        docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
+        if isinstance(n_valid, int):
+            n_valid = min(n_valid, n_rows)
+    b = queries.shape[0]
+    if b <= tile_b:
+        eff_tile_b, b_pad = b, b
+    else:
+        eff_tile_b = tile_b
+        b_pad = _ceil_to(b, tile_b)
+        if b_pad != b:
+            queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    binmax_t = _binmax_only_pallas(
+        queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
+        interpret=interpret,
+    )
+    bin_max = binmax_t.T  # (B, nb) bin-major (285 MB at serving shapes)
+    if b_pad != b:
+        bin_max = bin_max[:b]
+        queries = queries[:b]
+        b = queries.shape[0]
+    bin_ids = _select_bins_two_level(bin_max, min(k + slack_bins, bin_max.shape[1]),
+                                     super_size)
+    kb = bin_ids.shape[1]
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    # contiguous-row gather of candidate doc vectors + MXU rescore
+    cand_rows = jnp.take(docs, cand_idx.reshape(-1), axis=0).reshape(
+        b, kb * bin_size, docs.shape[1]
+    )
+    cand_scores = jnp.einsum(
+        "bcd,bd->bc", cand_rows, queries, preferred_element_type=jnp.float32
+    )
+    cand_scores = jnp.where(cand_idx < n_valid, cand_scores, NEG_INF)
+    vals, pos = lax.top_k(cand_scores, k)
+    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
 # --------------------------------------------------------------------------
 # phase 2: bin cover -> candidate gather -> lexicographic select
 # --------------------------------------------------------------------------
@@ -487,10 +726,12 @@ def _topk_from_bins(
 # --------------------------------------------------------------------------
 
 def _auto_super_size(k: int) -> int:
-    """Measured on v5e (BENCH_NOTES round 2): the k*M bin-max gather grows
-    with M while the super top_k domain shrinks; M=8 wins at k<=500,
-    M=4 deeper."""
-    return 8 if k <= 500 else 4
+    """Measured on v5e: under the r2 element-gather tail the k*M bin-max
+    gather grew with M (M=4 won at k=1000); the r3 bin-major SLICE
+    gathers are issue-bound, not volume-bound, so larger M only shrinks
+    the super top_k domain — M=8 wins at every depth (probe_bm_two_level
+    r3: k=1000 G8M8 6,494 qps vs G8M4 5,578)."""
+    return 8
 
 
 def _topk_from_bins_two_level(
@@ -528,6 +769,32 @@ def _topk_from_bins_two_level(
     return vals, jnp.take_along_axis(cand_idx, p2, axis=1)
 
 
+def _topk_from_bins_two_level_bm(
+    scores_bm: jnp.ndarray,  # (B, N) bin-major scores
+    binmax_bm: jnp.ndarray,  # (B, nb) bin-major bin maxima
+    k: int,
+    bin_size: int,
+    super_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level selection tail on BIN-MAJOR layouts: every candidate
+    read is a contiguous slice (supers' bin maxima, then bins' scores) —
+    no element gathers (probe_slice_gather r3: 3.5x)."""
+    b = scores_bm.shape[0]
+    bin_ids = _select_bins_two_level(binmax_bm, k, super_size)
+    kb = bin_ids.shape[1]
+    cand = jnp.take_along_axis(
+        scores_bm.reshape(b, binmax_bm.shape[1], bin_size),
+        bin_ids[:, :, None],
+        axis=1,
+    ).reshape(b, kb * bin_size).astype(jnp.float32)
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    vals, pos = lax.top_k(cand, k)
+    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
 def topk_ip_bins_two_level(
     queries: jnp.ndarray,
     docs: jnp.ndarray,
@@ -540,6 +807,7 @@ def topk_ip_bins_two_level(
     interpret: Optional[bool] = None,
     n_valid=None,
     score_dtype=jnp.float32,
+    bin_major: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact deep-k (k >= ~300) top-k via a TWO-LEVEL bin-max cover.
 
@@ -589,6 +857,19 @@ def topk_ip_bins_two_level(
         b_pad = _ceil_to(b, tile_b)
         if b_pad != b:
             queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    if bin_major:
+        # r3 layout: contiguous slice reads in the tail (no element
+        # gathers); the kernel transposes tiles in-VMEM on the MXU
+        scores_bm, binmax_bm = _bin_scores_pallas_bm(
+            queries, docs, bin_size, n_valid, tile_b=eff_tile_b,
+            tile_n=tile_n, interpret=interpret, score_dtype=score_dtype,
+        )
+        if b_pad != b:
+            scores_bm = scores_bm[:b]
+            binmax_bm = binmax_bm[:b]
+        return _topk_from_bins_two_level_bm(
+            scores_bm, binmax_bm, k, bin_size, super_size
+        )
     scores_t, bin_max_t = _bin_scores_pallas(
         queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
         interpret=interpret, score_dtype=score_dtype,

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from codemix_dense_retrieval_tpu.ops.topk import (
     topk_ip,
     topk_ip_bins,
+    topk_ip_bins_two_level,
     topk_ip_full,
     topk_ip_oracle,
 )
@@ -296,3 +297,84 @@ class TestTwoLevel:
         assert vals.shape == (5, 300)
         ref_vals, ref_idx = topk_ip_oracle(qs, docs, 300)
         _assert_topk_matches(vals, idx, ref_vals, ref_idx, "two_level qpad")
+
+
+class TestRescoreTwoLevel:
+    """r3 deep-k redesign: no score matrix, slice-gather selection,
+    doc-row rescore (`topk_ip_rescore_two_level`)."""
+
+    @pytest.mark.parametrize("n,k", [(4096, 100), (6000, 500)])
+    def test_exact_vs_oracle(self, rng, n, k):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_rescore_two_level
+
+        docs = rng.standard_normal((n, 64)).astype(np.float32)
+        qs = rng.standard_normal((6, 64)).astype(np.float32)
+        vals, ids = topk_ip_rescore_two_level(jnp.asarray(qs), jnp.asarray(docs), k)
+        ov, oi = topk_ip_oracle(qs, docs, k)
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        np.testing.assert_allclose(vals, ov, rtol=1e-5, atol=1e-5)
+        # rescore recomputes scores (documented near-tie round-off): ids
+        # must match except where neighbors are within float tolerance
+        tol = 1e-4
+        for qi in range(len(ids)):
+            assert set(ids[qi].tolist()) - set(oi[qi].tolist()) == set() or (
+                vals[qi][-1] - ov[qi][-1] < tol
+            )
+            for j in range(k):
+                gap_up = j == 0 or ov[qi][j - 1] - ov[qi][j] > tol
+                gap_dn = j == k - 1 or ov[qi][j] - ov[qi][j + 1] > tol
+                if gap_up and gap_dn:
+                    assert ids[qi, j] == oi[qi, j], (qi, j)
+
+    def test_ties_and_padding(self, rng):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_rescore_two_level
+
+        docs = np.repeat(rng.standard_normal((40, 32)).astype(np.float32), 8, axis=0)
+        qs = rng.standard_normal((3, 32)).astype(np.float32)
+        vals, ids = topk_ip_rescore_two_level(
+            jnp.asarray(qs), jnp.asarray(docs), 100, n_valid=300
+        )
+        ov, oi = topk_ip_oracle(qs, docs[:300], 100)
+        np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ids), oi)
+
+    def test_k_too_large_raises(self, rng):
+        from codemix_dense_retrieval_tpu.ops.topk import topk_ip_rescore_two_level
+
+        with pytest.raises(ValueError, match="k="):
+            topk_ip_rescore_two_level(
+                jnp.zeros((1, 8)), jnp.zeros((16, 8)), 32
+            )
+
+
+class TestBinMajorTwoLevel:
+    """Bin-major layout (r3): in-kernel transposed outputs + contiguous
+    slice reads in the tail; must be bit-identical to the transposed
+    path and the oracle."""
+
+    @pytest.mark.parametrize("g,m", [(8, 4), (8, 8), (16, 4)])
+    def test_exact_and_matches_transposed(self, rng, g, m):
+        docs = rng.standard_normal((8192, 64)).astype(np.float32)
+        qs = rng.standard_normal((5, 64)).astype(np.float32)
+        k = 300
+        vb, ib = topk_ip_bins_two_level(
+            jnp.asarray(qs), jnp.asarray(docs), k, bin_size=g, super_size=m,
+            bin_major=True,
+        )
+        vt, it = topk_ip_bins_two_level(
+            jnp.asarray(qs), jnp.asarray(docs), k, bin_size=g, super_size=m,
+            bin_major=False,
+        )
+        np.testing.assert_array_equal(np.asarray(ib), np.asarray(it))
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(vt), rtol=1e-6)
+        ov, oi = topk_ip_oracle(qs, docs, k)
+        np.testing.assert_array_equal(np.asarray(ib), oi)
+
+    def test_nonaligned_n_and_batch(self, rng):
+        docs = rng.standard_normal((5003, 32)).astype(np.float32)
+        qs = rng.standard_normal((3, 32)).astype(np.float32)
+        vals, ids = topk_ip_bins_two_level(
+            jnp.asarray(qs), jnp.asarray(docs), 400, bin_major=True
+        )
+        ov, oi = topk_ip_oracle(qs, docs, 400)
+        np.testing.assert_array_equal(np.asarray(ids), oi)
