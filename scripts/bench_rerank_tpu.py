@@ -78,7 +78,9 @@ def main() -> None:
     q_dense = q_toks.mean(axis=1)
     q_dense /= np.linalg.norm(q_dense, axis=-1, keepdims=True)
 
-    searcher = TwoStageSearcher(index, store)
+    # host-gather path pinned explicitly: the auto default would go
+    # device-resident for this store size (and does, measured below)
+    searcher = TwoStageSearcher(index, store, device_resident=False)
     # warmup at the FULL query shape (a smaller warm batch would leave the
     # timed run paying the compile) + warm the gather's page cache
     searcher.search(q_dense, q_toks, q_lens, args.k, k_dense=args.k_dense)
