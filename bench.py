@@ -18,9 +18,17 @@ every chip searches its shard concurrently and the merge payload is ~KBs).
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
+
+# sitecustomize pins the TPU platform and ignores the env var; honor it
+# in-process so `JAX_PLATFORMS=cpu python bench.py` is a real CPU smoke
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _timed_run(run, queries, docs, iters):
@@ -87,10 +95,19 @@ def main() -> None:
     # the oracle must see the bf16-ROUNDED values the kernel scores
     oracle_docs = np.asarray(docs.astype(jnp.float32))
 
-    run_100 = jax.jit(functools.partial(
-        topk_ip_bins, k=k, bin_size=16, use_pallas=on_tpu, tile_b=512,
-        tile_n=1024, interpret=not on_tpu,
-    ))
+    # k=100 also routes through the bin-major two-level on big shards
+    # (probe_k100_bm r3: +12% over single-level, identical ids); the CPU
+    # smoke keeps the single-level binned path at its small shapes
+    if on_tpu:
+        run_100 = jax.jit(functools.partial(
+            topk_ip_bins_two_level, k=k, bin_size=8, super_size=8,
+            tile_b=512, tile_n=1024, interpret=False,
+        ))
+    else:
+        run_100 = jax.jit(functools.partial(
+            topk_ip_bins, k=k, bin_size=16, use_pallas=False, tile_b=512,
+            tile_n=1024, interpret=True,
+        ))
     iters = 12 if on_tpu else 3
     dt, idx = _timed_run(run_100, queries, docs, iters)
     qps = block / dt

@@ -966,9 +966,10 @@ def topk_ip(
     if method == "auto":
         if n < 16384:
             method = "full"
-        elif k > 200 and n // _auto_bin_size(k) >= 32768:
-            # deep k over a big shard: the single-level bin-max top_k
-            # dominates — use the two-level cover (measured crossover)
+        elif n >= 262144:
+            # big shards: the bin-major two-level cover wins at EVERY
+            # depth once slice gathers replaced element gathers
+            # (probe_k100_bm r3: k=100 +12%, k=500 2.48x, k=1000 2.07x)
             method = "bins_two_level"
         else:
             method = "bins_pallas"

@@ -201,11 +201,10 @@ def sharded_topk_ip(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if method == "auto":
-        # deep k over a big shard: two-level cover (the per-shard analog
-        # of ops.topk.topk_ip's routing; int8 shares the selection tail)
-        from codemix_dense_retrieval_tpu.ops.topk import _auto_bin_size as _abs
-
-        if k > 200 and rows_per_shard // _abs(k) >= 32768:
+        # big shards: bin-major two-level wins at every depth (the
+        # per-shard analog of ops.topk.topk_ip's r3 routing; int8
+        # shares the selection tail)
+        if rows_per_shard >= 262144:
             method = "bins_two_level"
         else:
             method = "bins_pallas"
