@@ -431,3 +431,48 @@ def test_length_sorted_batching_restores_order():
     dense, toks2, lens2 = enc.encode_documents_with_tokens(texts, batch_size=4)
     np.testing.assert_allclose(dense, batched, rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(lens2, lens)
+
+
+def test_overlap_read_order_window_and_errors():
+    """_overlap_read must return results in job order, keep at most
+    _PREFETCH_DEPTH+1 jobs in flight (bounds device-resident outputs),
+    and propagate reader exceptions."""
+    import threading
+
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer
+    from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
+
+    cfg = XLMRConfig.tiny(vocab_size=100, hidden_size=16, use_flash=False)
+    enc = TextEncoder("BAAI/bge-m3", cfg,
+                      tokenizer=HashTokenizer(vocab_size=100, max_length=32))
+
+    in_flight = {"now": 0, "max": 0}
+    lock = threading.Lock()
+
+    def read(i):
+        with lock:
+            in_flight["now"] -= 1
+        return i * 10
+
+    def jobs():
+        for i in range(25):
+            with lock:
+                in_flight["now"] += 1
+                in_flight["max"] = max(in_flight["max"], in_flight["now"])
+            yield read, (i,)
+
+    out = enc._overlap_read(jobs())
+    assert out == [i * 10 for i in range(25)]
+    # "submitted but not yet read" never exceeds the prefetch window + 1
+    assert in_flight["max"] <= enc._PREFETCH_DEPTH + 1
+
+    assert enc._overlap_read(iter(())) == []
+
+    def boom(_):
+        raise ValueError("reader failed")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="reader failed"):
+        enc._overlap_read(iter([(boom, (0,))]))
