@@ -63,6 +63,86 @@ def _auto_bin_size(k: int) -> int:
 # numpy oracle (tests only)
 # --------------------------------------------------------------------------
 
+def _prep_shard(
+    k: int,
+    n_valid,
+    tile_b: int,
+    tile_n: int,
+    interpret,
+    doc_arrays,
+    query_arrays,
+    chunk: Optional[int] = None,
+):
+    """Shared entry-point boilerplate for the binned kernels: the
+    ``k > n_valid`` fail-fast, the interpret default, padding every doc
+    array's row axis to the (lcm of tile and two-level ``chunk``) tile,
+    and padding every query array's batch axis to ``tile_b``.
+
+    Returns ``(doc_arrays, query_arrays, n_valid, eff_tile_b, b, b_pad,
+    interpret)`` with ``b`` the ORIGINAL batch (callers slice outputs
+    back to it when ``b_pad != b``).
+    """
+    n_rows = doc_arrays[0].shape[0]
+    if n_valid is None:
+        n_valid = n_rows
+    if isinstance(n_valid, int) and k > n_valid:
+        raise ValueError(f"k={k} > num docs {n_valid}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lcm_tile = tile_n
+    if chunk is not None and tile_n % chunk != 0:
+        lcm_tile = tile_n * chunk // math.gcd(tile_n, chunk)
+    n_pad = _ceil_to(n_rows, lcm_tile)
+    if n_pad != n_rows:
+        doc_arrays = [
+            jnp.pad(a, [(0, n_pad - n_rows)] + [(0, 0)] * (a.ndim - 1))
+            for a in doc_arrays
+        ]
+        if isinstance(n_valid, int):
+            n_valid = min(n_valid, n_rows)
+    b = query_arrays[0].shape[0]
+    if b <= tile_b:
+        eff_tile_b, b_pad = b, b  # single query block == full array dim
+    else:
+        eff_tile_b = tile_b
+        b_pad = _ceil_to(b, tile_b)
+        if b_pad != b:
+            query_arrays = [
+                jnp.pad(a, [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1))
+                for a in query_arrays
+            ]
+    return doc_arrays, query_arrays, n_valid, eff_tile_b, b, b_pad, interpret
+
+
+def _rescore_candidates(
+    docs: jnp.ndarray,
+    queries: jnp.ndarray,
+    bin_ids: jnp.ndarray,  # (B, kb), sorted ascending
+    bin_size: int,
+    n_valid,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared rescore tail: expand covered bins to candidate row ids,
+    gather those DOC ROWS (contiguous G-row slices), recompute their
+    scores with a batched MXU contraction, mask pad rows, final top_k.
+    Ties break to the lower id because ``bin_ids`` arrive sorted
+    ascending (``lax.top_k``'s lower-position preference)."""
+    b, kb = bin_ids.shape
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    cand_rows = jnp.take(docs, cand_idx.reshape(-1), axis=0).reshape(
+        b, kb * bin_size, docs.shape[1]
+    )
+    cand_scores = jnp.einsum(
+        "bcd,bd->bc", cand_rows, queries, preferred_element_type=jnp.float32
+    )
+    cand_scores = jnp.where(cand_idx < n_valid, cand_scores, NEG_INF)
+    vals, pos = lax.top_k(cand_scores, k)
+    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
 def topk_ip_oracle(queries: np.ndarray, docs: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """Exact reference: f32 matmul + (score desc, id asc) argsort."""
     scores = queries.astype(np.float32) @ docs.astype(np.float32).T
@@ -163,7 +243,7 @@ def _bin_scores_pallas(
     bytes_accessed = (
         b * dim * queries.dtype.itemsize
         + n_pad * dim * docs.dtype.itemsize
-        + b * n_pad * 4
+        + b * n_pad * jnp.dtype(score_dtype).itemsize
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
     return pl.pallas_call(
@@ -320,6 +400,8 @@ def _bin_scores_pallas_int8(
         bin_major=bin_major,
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    # one invocation; only the OUTPUT layout differs between the
+    # bin-major (B, N) and transposed (N, B) variants
     if bin_major:
         out_specs = [
             pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -332,20 +414,17 @@ def _bin_scores_pallas_int8(
             jax.ShapeDtypeStruct((b, n_pad), score_dtype),
             jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
         ]
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_n, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(nv, q_vals, q_scales.reshape(-1, 1), d_vals, d_scales.reshape(-1, 1))
+    else:
+        out_specs = [
+            pl.BlockSpec((tile_n, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad, b), score_dtype),
+            jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -356,16 +435,8 @@ def _bin_scores_pallas_int8(
             pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_n, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, b), score_dtype),
-            jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(nv, q_vals, q_scales.reshape(-1, 1), d_vals, d_scales.reshape(-1, 1))
 
@@ -393,38 +464,19 @@ def topk_ip_bins_int8(
     r3 slice-gather layout."""
     from codemix_dense_retrieval_tpu.ops.quant import quantize_rows
 
-    n_rows = d_vals.shape[0]
     if bin_size is None:
         bin_size = _auto_bin_size(k)
-    if n_valid is None:
-        n_valid = n_rows
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
     if super_size is None:
         super_size = _auto_super_size(k)
-    if two_level:
-        chunk = bin_size * super_size
-        eff_tile = tile_n if tile_n % chunk == 0 else (
-            tile_n * chunk // math.gcd(tile_n, chunk)
-        )
-        n_pad = _ceil_to(n_rows, eff_tile)
-    else:
-        n_pad = _ceil_to(n_rows, tile_n)
-    if n_pad != n_rows:
-        d_vals = jnp.pad(d_vals, ((0, n_pad - n_rows), (0, 0)))
-        d_scales = jnp.pad(d_scales, (0, n_pad - n_rows))
-        if isinstance(n_valid, int):
-            n_valid = min(n_valid, n_rows)
-    b = queries.shape[0]
     q_vals, q_scales = quantize_rows(queries.astype(jnp.float32))
-    if b <= tile_b:
-        eff_tile_b, b_pad = b, b
-    else:
-        eff_tile_b = tile_b
-        b_pad = _ceil_to(b, tile_b)
-        if b_pad != b:
-            q_vals = jnp.pad(q_vals, ((0, b_pad - b), (0, 0)))
-            q_scales = jnp.pad(q_scales, (0, b_pad - b))
+    (
+        (d_vals, d_scales), (q_vals, q_scales),
+        n_valid, eff_tile_b, b, b_pad, interpret,
+    ) = _prep_shard(
+        k, n_valid, tile_b, tile_n, interpret,
+        [d_vals, d_scales], [q_vals, q_scales],
+        chunk=bin_size * super_size if two_level else None,
+    )
     if two_level and bin_major:
         scores_bm, binmax_bm = _bin_scores_pallas_int8(
             q_vals, q_scales, d_vals, d_scales, bin_size, n_valid,
@@ -514,28 +566,11 @@ def topk_ip_bins_rescore(
     by float round-off on near-ties; ``slack_bins`` absorbs boundary
     effects. Use the stored-scores path when bit-exact parity matters.
     """
-    n_rows = docs.shape[0]
     if bin_size is None:
         bin_size = _auto_bin_size(k)
-    if n_valid is None:
-        n_valid = n_rows
-    if isinstance(n_valid, int) and k > n_valid:
-        raise ValueError(f"k={k} > num docs {n_valid}")
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    n_pad = _ceil_to(n_rows, tile_n)
-    if n_pad != n_rows:
-        docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
-        if isinstance(n_valid, int):
-            n_valid = min(n_valid, n_rows)
-    b = queries.shape[0]
-    if b <= tile_b:
-        eff_tile_b, b_pad = b, b
-    else:
-        eff_tile_b = tile_b
-        b_pad = _ceil_to(b, tile_b)
-        if b_pad != b:
-            queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
+        k, n_valid, tile_b, tile_n, interpret, [docs], [queries]
+    )
     binmax_t = _binmax_only_pallas(
         queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
         interpret=interpret,
@@ -548,19 +583,7 @@ def topk_ip_bins_rescore(
     kb = min(k + slack_bins, num_bins)
     _, bin_ids = lax.top_k(bin_max, kb)
     bin_ids = lax.sort(bin_ids, dimension=1)  # ascending ids -> top_k tie-break
-    cand_idx = (
-        bin_ids[:, :, None] * bin_size + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
-    ).reshape(b, kb * bin_size)
-    # contiguous-row gather of candidate doc vectors + rescore
-    cand_rows = jnp.take(docs, cand_idx.reshape(-1), axis=0).reshape(
-        b, kb * bin_size, docs.shape[1]
-    )
-    cand_scores = jnp.einsum(
-        "bcd,bd->bc", cand_rows, queries, preferred_element_type=jnp.float32
-    )
-    cand_scores = jnp.where(cand_idx < n_valid, cand_scores, NEG_INF)
-    vals, pos = lax.top_k(cand_scores, k)
-    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+    return _rescore_candidates(docs, queries, bin_ids, bin_size, n_valid, k)
 
 
 def _select_bins_two_level(
@@ -624,30 +647,12 @@ def topk_ip_rescore_two_level(
     boundary. Ties break to the lower id (FAISS parity) because bin ids
     are re-sorted ascending before the final top_k.
     """
-    n_rows = docs.shape[0]
     if super_size is None:
         super_size = _auto_super_size(k)
-    if n_valid is None:
-        n_valid = n_rows
-    if isinstance(n_valid, int) and k > n_valid:
-        raise ValueError(f"k={k} > num docs {n_valid}")
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    chunk = bin_size * super_size
-    lcm_tile = tile_n if tile_n % chunk == 0 else tile_n * chunk // math.gcd(tile_n, chunk)
-    n_pad = _ceil_to(n_rows, lcm_tile)
-    if n_pad != n_rows:
-        docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
-        if isinstance(n_valid, int):
-            n_valid = min(n_valid, n_rows)
-    b = queries.shape[0]
-    if b <= tile_b:
-        eff_tile_b, b_pad = b, b
-    else:
-        eff_tile_b = tile_b
-        b_pad = _ceil_to(b, tile_b)
-        if b_pad != b:
-            queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
+        k, n_valid, tile_b, tile_n, interpret, [docs], [queries],
+        chunk=bin_size * super_size,
+    )
     binmax_t = _binmax_only_pallas(
         queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
         interpret=interpret,
@@ -656,24 +661,9 @@ def topk_ip_rescore_two_level(
     if b_pad != b:
         bin_max = bin_max[:b]
         queries = queries[:b]
-        b = queries.shape[0]
     bin_ids = _select_bins_two_level(bin_max, min(k + slack_bins, bin_max.shape[1]),
                                      super_size)
-    kb = bin_ids.shape[1]
-    cand_idx = (
-        bin_ids[:, :, None] * bin_size
-        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
-    ).reshape(b, kb * bin_size)
-    # contiguous-row gather of candidate doc vectors + MXU rescore
-    cand_rows = jnp.take(docs, cand_idx.reshape(-1), axis=0).reshape(
-        b, kb * bin_size, docs.shape[1]
-    )
-    cand_scores = jnp.einsum(
-        "bcd,bd->bc", cand_rows, queries, preferred_element_type=jnp.float32
-    )
-    cand_scores = jnp.where(cand_idx < n_valid, cand_scores, NEG_INF)
-    vals, pos = lax.top_k(cand_scores, k)
-    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+    return _rescore_candidates(docs, queries, bin_ids, bin_size, n_valid, k)
 
 
 # --------------------------------------------------------------------------
@@ -833,30 +823,12 @@ def topk_ip_bins_two_level(
     so ``lax.top_k``'s lower-position preference IS the id-ascending
     (FAISS) tie-break.
     """
-    n_rows = docs.shape[0]
     if super_size is None:
         super_size = _auto_super_size(k)
-    if n_valid is None:
-        n_valid = n_rows
-    if isinstance(n_valid, int) and k > n_valid:
-        raise ValueError(f"k={k} > num docs {n_valid}")
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    chunk = bin_size * super_size
-    lcm_tile = tile_n if tile_n % chunk == 0 else tile_n * chunk // math.gcd(tile_n, chunk)
-    n_pad = _ceil_to(n_rows, lcm_tile)
-    if n_pad != n_rows:
-        docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
-        if isinstance(n_valid, int):
-            n_valid = min(n_valid, n_rows)
-    b = queries.shape[0]
-    if b <= tile_b:
-        eff_tile_b, b_pad = b, b
-    else:
-        eff_tile_b = tile_b
-        b_pad = _ceil_to(b, tile_b)
-        if b_pad != b:
-            queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
+        k, n_valid, tile_b, tile_n, interpret, [docs], [queries],
+        chunk=bin_size * super_size,
+    )
     if bin_major:
         # r3 layout: contiguous slice reads in the tail (no element
         # gathers); the kernel transposes tiles in-VMEM on the MXU
@@ -912,26 +884,10 @@ def topk_ip_bins(
     n_rows = docs.shape[0]  # static
     if bin_size is None:
         bin_size = _auto_bin_size(k)
-    if n_valid is None:
-        n_valid = n_rows
-    if isinstance(n_valid, int) and k > n_valid:
-        raise ValueError(f"k={k} > num docs {n_valid}")
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
     if use_pallas:
-        n_pad = _ceil_to(n_rows, tile_n)
-        if n_pad != n_rows:
-            docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
-            if isinstance(n_valid, int):
-                n_valid = min(n_valid, n_rows)
-        b = queries.shape[0]
-        if b <= tile_b:
-            eff_tile_b, b_pad = b, b  # single query block == full array dim
-        else:
-            eff_tile_b = tile_b
-            b_pad = _ceil_to(b, tile_b)
-            if b_pad != b:
-                queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+        (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = (
+            _prep_shard(k, n_valid, tile_b, tile_n, interpret, [docs], [queries])
+        )
         scores_t, bin_max_t = _bin_scores_pallas(
             queries, docs, bin_size, n_valid, tile_b=eff_tile_b, tile_n=tile_n,
             interpret=interpret, score_dtype=score_dtype,
@@ -940,11 +896,16 @@ def topk_ip_bins(
         if b_pad != b:
             scores_t, bin_max = scores_t[:, :b], bin_max[:b]
         return _topk_from_bins(scores_t, bin_max, k, bin_size, scores_transposed=True)
-    else:
-        n_pad = _ceil_to(n_rows, bin_size)
-        if n_pad != n_rows:
-            docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
-        scores, bin_max = _bin_scores_xla(queries, docs, bin_size, n_valid)
+    if n_valid is None:
+        n_valid = n_rows
+    if isinstance(n_valid, int) and k > n_valid:
+        raise ValueError(f"k={k} > num docs {n_valid}")
+    n_pad = _ceil_to(n_rows, bin_size)
+    if n_pad != n_rows:
+        docs = jnp.pad(docs, ((0, n_pad - n_rows), (0, 0)))
+        if isinstance(n_valid, int):
+            n_valid = min(n_valid, n_rows)
+    scores, bin_max = _bin_scores_xla(queries, docs, bin_size, n_valid)
     return _topk_from_bins(scores, bin_max, k, bin_size)
 
 

@@ -217,9 +217,11 @@ class TwoStageSearcher:
     def _store_bytes(self) -> int:
         ts = self.tokens
         n, td = ts.count, ts.tokens_per_doc
-        itemsize = 1 if ts.dtype == "int8" else 2
+        from codemix_dense_retrieval_tpu.io.shards import storage_dtype
+
+        itemsize = storage_dtype(ts.dtype).itemsize
         total = n * td * ts.token_dim * itemsize + n * 4  # blocks + lengths
-        if ts.dtype == "int8":
+        if ts.token_scales is not None:
             total += n * td * 4  # per-token scales
         return total
 
@@ -227,11 +229,15 @@ class TwoStageSearcher:
         ts = self.tokens
         # chunked host read keeps peak host RSS at one chunk above the
         # final array; one device_put ships the assembled store
+        from codemix_dense_retrieval_tpu.io.shards import storage_dtype
+
         n = ts.count
-        toks0, scales0, _ = ts.gather_quantized(np.arange(min(1, n)))
-        toks = np.empty((n, *toks0.shape[1:]), toks0.dtype)
+        toks = np.empty(
+            (n, ts.tokens_per_doc, ts.token_dim), storage_dtype(ts.dtype)
+        )
         scales = (
-            None if scales0 is None else np.empty((n, scales0.shape[1]), np.float32)
+            None if ts.token_scales is None
+            else np.empty((n, ts.tokens_per_doc), np.float32)
         )
         chunk = 65536
         for start in range(0, n, chunk):
@@ -280,12 +286,12 @@ class TwoStageSearcher:
                 "(count=%d); final k=%d -> %d",
                 k_dense, k_got, self.index.count, k, min(k, k_got),
             )
-        k = min(k, k_got)
         # surfaced in run meta by the runners (mirrors flat.py's clamp warn)
         self.last_depths = {
-            "k_requested": int(k), "k_dense_requested": int(k_dense),
-            "k_dense_effective": int(k_got),
+            "k_requested": int(k), "k_effective": int(min(k, k_got)),
+            "k_dense_requested": int(k_dense), "k_dense_effective": int(k_got),
         }
+        k = min(k, k_got)
         blocks = [np.arange(b)] if not query_block else [
             np.arange(i, min(i + query_block, b)) for i in range(0, b, query_block)
         ]
@@ -512,9 +518,10 @@ def run_two_stage_bilingual(
         order = np.lexsort((ids, lang, -sc), axis=1)[:, :k]
         top_sc = np.take_along_axis(sc, order, axis=1)
         top_docids = np.empty((b, order.shape[1]), dtype=object)
+        lang_sel = np.take_along_axis(lang, order, axis=1)
+        rows_sel = np.take_along_axis(ids, order, axis=1)
         for li, s in enumerate(searchers):
-            sel = np.take_along_axis(lang, order, axis=1) == li
-            rows_sel = np.take_along_axis(ids, order, axis=1)
+            sel = lang_sel == li
             for qi in range(b):
                 m = sel[qi]
                 top_docids[qi, m] = s.index.docids[rows_sel[qi, m]]
@@ -522,9 +529,13 @@ def run_two_stage_bilingual(
         write_run(raw, qids, top_docids, top_sc, tag=tag)
         base = outdir / f"{set_name}_base.trec"
         collapse_run_max(raw, base, tag=tag)
+        # depth clamps can differ per language (e.g. one tiny index):
+        # record each language's effective depths, not just language 0's
         _write_run_meta(
             outdir / f"{set_name}_meta.json", tag, len(qids),
-            searchers[0].last_depths,
+            searchers[0].last_depths
+            if all(s.last_depths == searchers[0].last_depths for s in searchers)
+            else {"per_language": [s.last_depths for s in searchers]},
         )
         out[set_name] = base
         log.info("bilingual two-stage run saved: %s", base)

@@ -212,3 +212,22 @@ class TestInt8TwoLevel:
         ).T
         order = np.lexsort((np.arange(n)[None].repeat(b, 0), -scores), axis=1)[:, :k]
         np.testing.assert_array_equal(np.asarray(gids), order)
+
+
+def test_int8_k_beyond_corpus_raises(rng):
+    """topk_ip_bins_int8 must fail fast on k > n_valid like every other
+    entry point, instead of returning padded-row indices."""
+    import pytest
+
+    from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+    from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_int8
+
+    docs = normed(rng, 100, 32)
+    dv, ds = quantize_rows_np(docs)
+    q = normed(rng, 4, 32)
+    for two_level in (False, True):
+        with pytest.raises(ValueError, match="num docs"):
+            topk_ip_bins_int8(
+                jnp.asarray(q), jnp.asarray(dv), jnp.asarray(ds), 200,
+                interpret=True, two_level=two_level,
+            )

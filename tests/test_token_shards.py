@@ -497,6 +497,54 @@ def test_bilingual_two_stage_merge_and_collapse(tmp_path, rng, eight_cpu_devices
         assert abs(raw_best[(e.qid, e.docid)] - e.score) < 1e-4
 
 
+def test_bilingual_meta_records_per_language_clamp(tmp_path, rng, eight_cpu_devices):
+    """Depth clamps can differ per language (one tiny index): the per-set
+    meta must surface BOTH languages' effective depths, not language 0's."""
+    import json
+
+    from codemix_dense_retrieval_tpu.pipeline.rerank import run_two_stage_bilingual
+
+    mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+    td, d, tq = 6, 16, 4
+    stores, indexes = [], []
+    # 256 docs -> 32 rows/shard (no clamp at k_dense=32); 16 -> 8 (clamps)
+    for lang, n in (("en", 256), ("zh", 16)):
+        toks = _normed_tokens(rng, n, td, d)
+        dense = toks.mean(axis=1)
+        dense /= np.linalg.norm(dense, axis=-1, keepdims=True)
+        stores.append(_write_store(tmp_path / f"tok_{lang}", toks, np.full(n, td)))
+        ix = DenseFlatIndex.build(
+            dense, [f"d{i}" for i in range(n)], dtype="float32", lang=lang,
+        )
+        ix.store.derived_ids = [f"d{i}#{lang}" for i in range(n)]
+        ix._docids = np.asarray(ix.store.derived_ids, dtype=object)
+        ix.to_device(mesh, pad_multiple=8)
+        indexes.append(ix)
+
+    q_toks = _normed_tokens(rng, 3, tq, d)
+    q_dense = q_toks.mean(axis=1)
+    q_dense /= np.linalg.norm(q_dense, axis=-1, keepdims=True)
+
+    class FakeEnc:
+        def encode_queries(self, texts, batch_size=64):
+            return q_dense[: len(texts)]
+
+        def encode_queries_tokens(self, texts, batch_size=64):
+            return q_toks[: len(texts)], np.full(len(texts), tq)
+
+    run_two_stage_bilingual(
+        indexes, stores, FakeEnc(),
+        {"band": [(f"q{i}", f"t{i}") for i in range(3)]},
+        tmp_path / "runs", k=8, k_dense=32,
+    )
+    meta = json.loads((tmp_path / "runs" / "band_meta.json").read_text())
+    assert "per_language" in meta
+    en, zh = meta["per_language"]
+    assert en["k_dense_effective"] == 32
+    assert zh["k_dense_effective"] == 8
+    assert zh["k_dense_requested"] == 32
+
+
 def test_token_store_random_crash_point_fuzz(rng, tmp_path):
     """Randomized crash-point fuzz: truncate the partial store's files at
     arbitrary byte offsets (torn writes anywhere), resume, finish, and the
@@ -593,6 +641,16 @@ def test_rerank_depth_clamp_warns_and_records(rng, tmp_path, eight_cpu_devices, 
     assert s.last_depths["k_dense_requested"] == 500
     assert s.last_depths["k_dense_effective"] < 500
     assert s.last_depths["k_requested"] == 5
+    assert s.last_depths["k_effective"] == 5
+
+    # final k itself clamped: the REQUESTED depth must survive in the
+    # record (it previously stored the post-clamp value)
+    sc, ids = s.search(q_dense, q_toks, q_lens, 20, k_dense=500,
+                       return_docids=False)
+    assert s.last_depths["k_requested"] == 20
+    k_eff = s.last_depths["k_effective"]
+    assert k_eff == s.last_depths["k_dense_effective"] < 20
+    assert sc.shape[1] == k_eff
 
 
 def test_dedupe_skipped_when_padded_size_larger(rng, tmp_path, eight_cpu_devices, monkeypatch):
@@ -669,3 +727,25 @@ def test_device_resident_auto_selection(rng, tmp_path):
     with pytest.raises(ValueError, match="budget"):
         TwoStageSearcher(index, store, device_resident=True,
                          device_budget_bytes=16)
+
+
+def test_store_bytes_respects_storage_dtype(tmp_path, rng):
+    """The device-residency estimate must use the real storage itemsize —
+    a float32 store is 4 bytes/element, not the bf16 2 (a 2x
+    underestimate could blow the HBM budget)."""
+    from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+    n, td, d = 8, 4, 16
+    toks = _normed_tokens(rng, n, td, d)
+    dense = toks.mean(axis=1)
+    dense /= np.linalg.norm(dense, axis=-1, keepdims=True)
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(n)], dtype="float32")
+    sizes = {}
+    for dt in ("float32", "bfloat16", "int8"):
+        store = _write_store(tmp_path / f"tok_{dt}", toks, np.full(n, td), dtype=dt)
+        s = TwoStageSearcher(index, store, device_resident=False)
+        sizes[dt] = s._store_bytes()
+    blocks = n * td * d
+    assert sizes["float32"] == blocks * 4 + n * 4
+    assert sizes["bfloat16"] == blocks * 2 + n * 4
+    assert sizes["int8"] == blocks * 1 + n * 4 + n * td * 4  # + scales

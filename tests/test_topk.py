@@ -367,8 +367,9 @@ class TestBinMajorTwoLevel:
         )
         np.testing.assert_array_equal(np.asarray(ib), np.asarray(it))
         np.testing.assert_allclose(np.asarray(vb), np.asarray(vt), rtol=1e-6)
+        # oracle runs in f64 — near-ties at the k boundary may swap
         ov, oi = topk_ip_oracle(qs, docs, k)
-        np.testing.assert_array_equal(np.asarray(ib), oi)
+        _assert_topk_matches(np.asarray(vb), np.asarray(ib), ov, oi, "bm oracle")
 
     def test_nonaligned_n_and_batch(self, rng):
         docs = rng.standard_normal((5003, 32)).astype(np.float32)
@@ -377,4 +378,6 @@ class TestBinMajorTwoLevel:
             jnp.asarray(qs), jnp.asarray(docs), 400, bin_major=True
         )
         ov, oi = topk_ip_oracle(qs, docs, 400)
-        np.testing.assert_array_equal(np.asarray(ids), oi)
+        _assert_topk_matches(
+            np.asarray(vals), np.asarray(ids), ov, oi, "bm nonaligned"
+        )
