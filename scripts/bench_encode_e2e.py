@@ -152,8 +152,29 @@ def main() -> None:
     )
     enc = TextEncoder("BAAI/bge-m3", cfg, tokenizer=tok)
 
-    # warm both length buckets this workload hits
-    enc.encode_documents(texts[: args.batch], batch_size=args.batch)
+    # warm EVERY length bucket the sorted e2e pass will realize — a
+    # single leading-batch warmup leaves later (shorter) buckets to
+    # compile inside the timed window, which on the relay (remote
+    # compiles) silently dominates the e2e number
+    order = enc._length_order(texts)
+    sorted_texts = [texts[i] for i in order]
+    warmed = set()
+    for start in range(0, len(sorted_texts), args.batch):
+        chunk = sorted_texts[start : start + args.batch]
+        from codemix_dense_retrieval_tpu.models import dialects
+        from codemix_dense_retrieval_tpu.models.tokenizer import bucket_length
+
+        pre = dialects.doc_prefix(enc.name)
+        # same (uncapped) max_length _encode uses, so buckets line up
+        ids, _ = tok.encode_batch(
+            [pre + chunk[0], pre + chunk[-1]],
+            cfg.max_position_embeddings - 2,
+        )
+
+        bkt = bucket_length(ids.shape[1], enc.length_buckets)
+        if bkt not in warmed:
+            warmed.add(bkt)
+            enc.encode_documents(chunk, batch_size=args.batch)
 
     # device-forward-only rate on a fixed tokenized batch
     ids = jnp.asarray(np.full((args.batch, 128), 5, np.int32))
