@@ -268,7 +268,14 @@ class ShardStore:
         return (pathlib.Path(directory) / "manifest.json").exists()
 
     @classmethod
-    def open(cls, directory: PathLike, *, mmap: bool = True) -> "ShardStore":
+    def open(
+        cls, directory: PathLike, *, mmap: bool = True, concat_parts: bool = True
+    ) -> "ShardStore":
+        """``concat_parts=False`` skips materializing a multi-file store
+        into one in-RAM array (np.concatenate reads every page):
+        ``vectors`` is then None and the caller must gather through its
+        own per-file views (TokenShardStore does — a corpus-scale token
+        store is ~16 KB/row and must stay on disk)."""
         d = pathlib.Path(directory)
         manifest = ShardManifest.from_json((d / "manifest.json").read_text())
         dtype = storage_dtype(manifest.dtype)
@@ -282,11 +289,14 @@ class ShardStore:
             parts.append(arr)
         if len(parts) == 1:
             vectors = parts[0]
-        else:
+        elif concat_parts:
             vectors = np.concatenate([np.asarray(p) for p in parts], axis=0)
-        if vectors.shape[0] != manifest.count:
+        else:
+            vectors = None
+        n_stored = sum(p.shape[0] for p in parts)
+        if n_stored != manifest.count:
             raise ValueError(
-                f"manifest count {manifest.count} != stored rows {vectors.shape[0]} in {d}"
+                f"manifest count {manifest.count} != stored rows {n_stored} in {d}"
             )
         docids = (d / "docids.txt").read_text(encoding="utf-8").splitlines()
         derived: Optional[List[str]] = None

@@ -219,7 +219,10 @@ class TokenShardStore:
 
     @classmethod
     def open(cls, directory: PathLike, *, mmap: bool = True) -> "TokenShardStore":
-        inner = ShardStore.open(directory, mmap=mmap)
+        # concat_parts=False: a multi-file token store must NOT be
+        # materialized into RAM at open (inner.vectors stays None; every
+        # gather goes through the per-part memmaps below)
+        inner = ShardStore.open(directory, mmap=mmap, concat_parts=not mmap)
         parts = None
         if mmap and len(inner.manifest.files) > 1:
             dtype = storage_dtype(inner.manifest.dtype)

@@ -126,8 +126,16 @@ def _build_sharded_search(
             col = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
             scores = jnp.where(col < n_valid, scores, topk_ops.NEG_INF)
             if method in ("bins_xla", "bins_pallas"):
-                n_pad_b = (scores.shape[1] // bin_size) * bin_size
-                bin_max = scores[:, :n_pad_b].reshape(
+                # pad the tail UP to a bin multiple (NEG_INF, never
+                # selectable) — truncating would make tail rows
+                # permanently unselectable (silently wrong top-k)
+                n_pad_b = -(-scores.shape[1] // bin_size) * bin_size
+                if n_pad_b != scores.shape[1]:
+                    scores = jnp.pad(
+                        scores, ((0, 0), (0, n_pad_b - scores.shape[1])),
+                        constant_values=topk_ops.NEG_INF,
+                    )
+                bin_max = scores.reshape(
                     scores.shape[0], -1, bin_size
                 ).max(axis=-1)
                 vals, idx = topk_ops._topk_from_bins(scores, bin_max, k, bin_size)

@@ -259,6 +259,15 @@ def encode_corpus(
                     encoder, source, lang, lang_dir, existing,
                     tokens_per_doc, token_dtype, batch_size, enc_batch,
                 )
+            elif tokens_per_doc:
+                tok_existing = TokenShardStore.open(lang_dir / "tokens")
+                if tok_existing.count != existing.count:
+                    raise ValueError(
+                        f"token store for {lang} is finalized with "
+                        f"{tok_existing.count} rows but the dense index has "
+                        f"{existing.count}; delete {lang_dir / 'tokens'} and "
+                        f"re-run to rebuild it"
+                    )
             continue
 
         # mid-language resume: reopen partial shard files and skip docids
@@ -276,6 +285,9 @@ def encode_corpus(
                 "resuming language %s mid-encode: %d vectors already on disk",
                 lang, len(already_written),
             )
+            # pre-crash rows are part of the language's index: without
+            # this the root docids.txt would omit them after a resume
+            base_ids_global.update(already_written)
         tok_writer = None
         tok_written: Set[str] = set()
         if tokens_per_doc:
@@ -289,30 +301,52 @@ def encode_corpus(
             )
         seen_rel: Set[str] = set()
         kept = writer.count
+
+        def tok_lagging() -> bool:
+            # a crash between the dense and token appends leaves the
+            # token store short of the dense one; every "dense looks
+            # done" early stop must keep scanning until the token side
+            # has caught up, or finalize() would pin a short token
+            # manifest that only fails at serving time
+            return tok_writer is not None and tok_writer.count < writer.count
+
         for batch in _batched(iter(source), batch_size):
-            if lang_idx == 0 and selection.first_lang_done(seen_rel):
+            if lang_idx == 0 and selection.first_lang_done(seen_rel) and not tok_lagging():
                 break
-            if lang_idx > 0 and selection.subset_mode and kept >= len(selection.selected):
+            if (
+                lang_idx > 0
+                and selection.subset_mode
+                and kept >= len(selection.selected)
+                and not tok_lagging()
+            ):
                 break
             keep_ids: List[str] = []
             keep_texts: List[str] = []
+            new_dense = 0
             for docid, text in batch:
-                if max_docs and kept + len(keep_ids) >= max_docs:
-                    break
                 if lang_idx == 0:
                     ok = selection.select_first_lang(docid)
                     if ok and docid in selection.rel_ids:
                         seen_rel.add(docid)
                 else:
                     ok = selection.select_mirror(docid)
-                needed = docid not in already_written or (
-                    tok_writer is not None and docid not in tok_written
-                )
-                if ok and needed:
+                if not ok:
+                    continue
+                need_dense = docid not in already_written
+                if max_docs and need_dense and kept + new_dense >= max_docs:
+                    # past the dense cap. Token catch-up rows can only be
+                    # docids ALREADY in the dense store, and both stores
+                    # fill in stream order, so none can lie past this
+                    # point — stop scanning the batch.
+                    break
+                need_tok = tok_writer is not None and docid not in tok_written
+                if need_dense or need_tok:
                     keep_ids.append(docid)
                     keep_texts.append(text)
+                    if need_dense:
+                        new_dense += 1
             if not keep_ids:
-                if max_docs and kept >= max_docs:
+                if max_docs and kept >= max_docs and not tok_lagging():
                     break
                 continue
             if tok_writer is None:
@@ -340,7 +374,7 @@ def encode_corpus(
                     )
             if progress:
                 progress(lang, kept)
-            if max_docs and kept >= max_docs:
+            if max_docs and kept >= max_docs and not tok_lagging():
                 break
         writer.finalize(
             extra={

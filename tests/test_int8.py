@@ -231,3 +231,36 @@ def test_int8_k_beyond_corpus_raises(rng):
                 jnp.asarray(q), jnp.asarray(dv), jnp.asarray(ds), 200,
                 interpret=True, two_level=two_level,
             )
+
+
+def test_sharded_int8_bins_xla_tail_not_truncated(rng, eight_cpu_devices):
+    """rows_per_shard not a bin_size multiple: the XLA fallback must PAD
+    the tail bin (NEG_INF), not truncate it — a truncated tail makes the
+    last rows of every shard silently unselectable."""
+    from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+        shard_rows,
+        shard_row_sidecar,
+        sharded_topk_ip,
+    )
+
+    mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+    n, d, b, k = 936, 32, 4, 20  # 936/8 = 117 rows/shard, pad->120; 120 % 16 != 0
+    docs = normed(rng, n, d)
+    # plant the best doc for query 0 in a shard's TAIL bin remainder
+    q = normed(rng, b, d)
+    docs[116] = q[0]  # last valid row of shard 0
+    dv, ds = quantize_rows_np(docs)
+    docs_dev, counts, rps = shard_rows(dv, mesh, pad_multiple=8)
+    assert rps % 16 != 0, "fixture must exercise a non-divisible tail"
+    scales_dev = shard_row_sidecar(ds, mesh, rps)
+    vals, gids = sharded_topk_ip(
+        q, docs_dev, counts, k, mesh=mesh, method="bins_xla",
+        bin_size=16, doc_scales=scales_dev,
+    )
+    qv, qs = quantize_rows_np(q)
+    scores = (qv.astype(np.float32) * qs[:, None]) @ (
+        dv.astype(np.float32) * ds[:, None]
+    ).T
+    order = np.lexsort((np.arange(n)[None].repeat(b, 0), -scores), axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(gids), order)
+    assert gids[0, 0] == 116  # the tail-bin plant is found

@@ -423,6 +423,10 @@ def test_multi_file_store_gathers_without_materializing(rng, tmp_path):
     w.finalize()
     store = TokenShardStore.open(tmp_path / "s")
     assert store._parts is not None and len(store._parts) == 4
+    # the multi-file store must NOT be concatenated into RAM at open —
+    # that is the whole point of the per-part maps (corpus-scale stores
+    # are ~16 KB/row)
+    assert store._inner.vectors is None
     # rows straddling every file boundary, unsorted
     rows = np.array([47, 0, 16, 15, 31, 32, 33, 48, 1])
     got, mask = store.gather(rows)
@@ -749,3 +753,139 @@ def test_store_bytes_respects_storage_dtype(tmp_path, rng):
     assert sizes["float32"] == blocks * 4 + n * 4
     assert sizes["bfloat16"] == blocks * 2 + n * 4
     assert sizes["int8"] == blocks * 1 + n * 4 + n * td * 4  # + scales
+
+
+def _crash_tok_append_on_call(monkeypatch, n_call):
+    """Make TokenShardWriter.append raise on its n_call-th invocation —
+    lands the crash BETWEEN the dense and token appends of one batch."""
+    calls = {"n": 0}
+    real = TokenShardWriter.append
+
+    def crashing(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == n_call:
+            raise RuntimeError("simulated crash between appends")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(TokenShardWriter, "append", crashing)
+    return calls
+
+
+def test_token_resume_when_dense_looks_done_mirror(tiny_encoder, tmp_path, monkeypatch):
+    """Crash between the FINAL batch's dense and token appends on a
+    mirror language: at resume the dense side already has every selected
+    row, and the old early-stop finalized a SHORT token manifest. The
+    rerun must top up the token store before finalizing."""
+    from codemix_dense_retrieval_tpu.io.shards import ShardStore
+    from codemix_dense_retrieval_tpu.pipeline.corpus import SelectionState, encode_corpus
+
+    src_en = _src("en", 32)
+    src_zh = _src("zh", 32)
+    sources = {"en": src_en, "zh": src_zh}
+
+    def fresh_sel():
+        return SelectionState(rel_ids={"3", "9"}, subset_neg_cap=10,
+                              neg_prob=0.9, seed=1)
+
+    # probe pass: count token appends of a clean run (the crash goes on
+    # the LAST one — zh's final batch)
+    calls = _crash_tok_append_on_call(monkeypatch, 0)  # 0 never fires
+    encode_corpus(tiny_encoder, sources, tmp_path / "probe",
+                  selection=fresh_sel(), storage_dtype="float32",
+                  tokens_per_doc=8, batch_size=8)
+    total_appends = calls["n"]
+    assert total_appends >= 2
+    monkeypatch.undo()
+
+    calls = _crash_tok_append_on_call(monkeypatch, total_appends)
+    with pytest.raises(RuntimeError, match="between appends"):
+        encode_corpus(tiny_encoder, sources, tmp_path / "idx",
+                      selection=fresh_sel(), storage_dtype="float32",
+                      tokens_per_doc=8, batch_size=8)
+    monkeypatch.undo()
+
+    dirs = encode_corpus(tiny_encoder, sources, tmp_path / "idx",
+                         selection=fresh_sel(), storage_dtype="float32",
+                         tokens_per_doc=8, batch_size=8)
+    for lang in ("en", "zh"):
+        dense = ShardStore.open(dirs[lang])
+        toks = TokenShardStore.open(dirs[lang] / "tokens")
+        assert toks.count == dense.count, lang
+        assert toks.docids == dense.docids, lang
+
+
+def test_token_resume_when_dense_at_max_docs(tiny_encoder, tmp_path, monkeypatch):
+    """Same crash class with max_docs: dense hits the cap pre-crash, the
+    resume enters with kept == max_docs and must still catch the token
+    store up instead of finalizing it short."""
+    from codemix_dense_retrieval_tpu.io.shards import ShardStore
+    from codemix_dense_retrieval_tpu.pipeline.corpus import encode_corpus
+
+    src = _src("en", 40)
+    # batch_size=8, max_docs=16 -> 2 token appends; crash the 2nd
+    calls = _crash_tok_append_on_call(monkeypatch, 2)
+    with pytest.raises(RuntimeError, match="between appends"):
+        encode_corpus(tiny_encoder, {"en": iter(src)}, tmp_path / "idx",
+                      storage_dtype="float32", tokens_per_doc=8,
+                      batch_size=8, max_docs=16)
+    monkeypatch.undo()
+    # dense is at the cap, tokens one batch short
+    dirs = encode_corpus(tiny_encoder, {"en": iter(src)}, tmp_path / "idx",
+                         storage_dtype="float32", tokens_per_doc=8,
+                         batch_size=8, max_docs=16)
+    dense = ShardStore.open(dirs["en"])
+    toks = TokenShardStore.open(dirs["en"] / "tokens")
+    assert dense.count == 16
+    assert toks.count == 16 and toks.docids == dense.docids
+
+
+def test_finalized_short_token_store_rejected(tiny_encoder, tmp_path):
+    """A finalized token store shorter than its dense index must fail
+    fast at encode-resume with a pointer to rebuild, not surface later as
+    a serving-time desync."""
+    from codemix_dense_retrieval_tpu.pipeline.corpus import encode_corpus
+
+    src = _src("en", 24)
+    dirs = encode_corpus(tiny_encoder, {"en": src}, tmp_path / "idx",
+                         storage_dtype="float32", tokens_per_doc=8)
+    # forge a short-but-finalized token store
+    store = TokenShardStore.open(dirs["en"] / "tokens")
+    toks, mask = store.gather(np.arange(20))
+    import shutil
+
+    shutil.rmtree(dirs["en"] / "tokens")
+    w = TokenShardWriter(dirs["en"] / "tokens", store.token_dim,
+                         store.tokens_per_doc, "int8", lang="en")
+    w.append(toks[:20], mask.sum(axis=1)[:20], [str(i) for i in range(20)])
+    w.finalize()
+    with pytest.raises(ValueError, match="delete .*tokens"):
+        encode_corpus(tiny_encoder, {"en": src}, tmp_path / "idx",
+                      storage_dtype="float32", tokens_per_doc=8)
+
+
+def test_root_docids_complete_after_mid_resume(tiny_encoder, tmp_path):
+    """out_root/docids.txt must contain PRE-CRASH rows after a
+    mid-language resume (they were only added from fresh appends)."""
+    from codemix_dense_retrieval_tpu.pipeline.corpus import encode_corpus
+
+    src = _src("en", 40)
+    calls = {"n": 0}
+    real = tiny_encoder.encode_documents
+
+    def flaky(texts, batch_size=64):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash")
+        return real(texts, batch_size=batch_size)
+
+    tiny_encoder.encode_documents = flaky
+    try:
+        with pytest.raises(RuntimeError):
+            encode_corpus(tiny_encoder, {"en": iter(src)}, tmp_path / "idx",
+                          storage_dtype="float32", batch_size=8)
+    finally:
+        tiny_encoder.encode_documents = real
+    encode_corpus(tiny_encoder, {"en": iter(src)}, tmp_path / "idx",
+                  storage_dtype="float32", batch_size=8)
+    root_ids = set((tmp_path / "idx" / "docids.txt").read_text().splitlines())
+    assert root_ids == {d for d, _ in src}
