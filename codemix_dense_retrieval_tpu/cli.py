@@ -295,9 +295,18 @@ def cmd_run_mix(args) -> None:
             ]
             for qid in qids
         ]
+        # host-evaluator denominator parity: qrels qids (with >=1 indexed
+        # relevant doc) absent from the run count as zeros in the mean
+        run_qids = set(qids)
+        extra_zero = sum(
+            1 for qid, judged in qrels.items()
+            if qid not in run_qids
+            and any(r > 0 and d in docid_to_row for d, r in judged.items())
+        )
         vals, ids, metrics = fused_alpha_sweep(
             vecs_a, vecs_b, alphas, index._docs_dev, index._counts_dev,
             args.k, mesh=index.mesh, rel_ids=build_rel_matrix(rel_rows),
+            metric_extra_zero_queries=extra_zero,
             search_kwargs=index.search_kwargs,
         )
         outdir = pathlib.Path(args.outdir)

@@ -32,15 +32,27 @@ def topk_metrics(
     topk_ids: jnp.ndarray,  # (B, k) int32 global row ids
     rel_ids: jnp.ndarray,  # (B, R) int32, -1 padded
     cutoffs: Sequence[int] = (1, 3, 5, 10, 100),
+    extra_zero_queries: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Binary-relevance MRR/recall/precision/nDCG at the given cutoffs.
 
-    Returns scalars (mean over queries), values in 0..1 (callers scale
-    x100 for the reference's percent convention).
+    Returns scalars, values in 0..1 (callers scale x100 for the
+    reference's percent convention). Aggregation matches the host
+    evaluator (`evals.metrics.aggregate`): the mean runs over JUDGED
+    queries — rows with no valid rel id (unjudged queries in the run)
+    are excluded from the denominator, and ``extra_zero_queries`` adds
+    qrels queries absent from the run (they contribute zeros on the
+    host path).
     """
     b, k = topk_ids.shape
     valid_rel = rel_ids >= 0  # (B, R)
     num_rel = valid_rel.sum(axis=1)  # (B,)
+    judged = (num_rel > 0).astype(jnp.float32)  # (B,)
+    denom = jnp.maximum(judged.sum() + extra_zero_queries, 1.0)
+
+    def agg(per_query: jnp.ndarray) -> jnp.ndarray:
+        return (per_query * judged).sum() / denom
+
     hits = jnp.any(
         (topk_ids[:, :, None] == rel_ids[:, None, :]) & valid_rel[:, None, :], axis=-1
     )  # (B, k) bool
@@ -53,23 +65,29 @@ def topk_metrics(
     discounts = 1.0 / jnp.log2(ranks + 1.0)  # (1, k)
     csum = jnp.cumsum(hits_f, axis=1)  # hits within prefix
     dcg_prefix = jnp.cumsum(hits_f * discounts, axis=1)  # (B, k)
-    ideal_prefix = jnp.cumsum(discounts, axis=1)[0]  # (k,) ideal dcg for j rels
+    # ideal DCG runs over the FULL cutoff horizon, not the k retrieved:
+    # nDCG@c with num_rel > k must divide by sum of min(num_rel, c)
+    # discounts (host parity) even though only k docs were retrieved
+    c_max = max(max(cutoffs), k)
+    ideal_prefix = jnp.cumsum(
+        1.0 / jnp.log2(jnp.arange(1, c_max + 1, dtype=jnp.float32) + 1.0)
+    )  # (c_max,) ideal dcg for j rels
 
     for c in cutoffs:
         c_eff = min(c, k)
         rr = jnp.where(first_rank <= c_eff, 1.0 / first_rank, 0.0)
-        out[f"RR@{c}"] = rr.mean()
+        out[f"RR@{c}"] = agg(rr)
         hits_at_c = csum[:, c_eff - 1]
-        out[f"P@{c}"] = (hits_at_c / c).mean()
+        out[f"P@{c}"] = agg(hits_at_c / c)
         recall = jnp.where(num_rel > 0, hits_at_c / jnp.maximum(num_rel, 1), 0.0)
-        out[f"R@{c}"] = recall.mean()
+        out[f"R@{c}"] = agg(recall)
         # binary nDCG@c: ideal = sum of first min(num_rel, c) discounts
-        ideal_n = jnp.clip(num_rel, 0, c_eff)
+        ideal_n = jnp.clip(num_rel, 0, c)
         idcg = jnp.where(ideal_n > 0, ideal_prefix[jnp.maximum(ideal_n - 1, 0)], 0.0)
         ndcg = jnp.where(idcg > 0, dcg_prefix[:, c_eff - 1] / idcg, 0.0)
-        out[f"nDCG@{c}"] = ndcg.mean()
+        out[f"nDCG@{c}"] = agg(ndcg)
     # AP over the k-truncated ranking (exact when k >= num docs retrieved)
     prec_at_rank = csum / ranks
     ap = (prec_at_rank * hits_f).sum(axis=1) / jnp.maximum(num_rel, 1)
-    out["AP"] = jnp.where(num_rel > 0, ap, 0.0).mean()
+    out["AP"] = agg(jnp.where(num_rel > 0, ap, 0.0))
     return out

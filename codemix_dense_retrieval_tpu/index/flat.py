@@ -157,13 +157,21 @@ class DenseFlatIndex:
         # small/heavily-sharded indexes don't silently shrink a k=500 run
         k_eff = min(k, self.count, self._rows_per_shard)
         if k_eff < k:
-            import logging
+            from codemix_dense_retrieval_tpu.utils.logging import get_logger
 
-            logging.getLogger(__name__).warning(
+            get_logger("index").warning(
                 "search k=%d clamped to %d (count=%d, rows_per_shard=%d)",
                 k, k_eff, self.count, self._rows_per_shard,
             )
         k = k_eff
+        # the ragged tail block is zero-PADDED to the block size (results
+        # sliced back below): a distinct tail shape would retrace and
+        # recompile the whole sharded program per remainder size
+        n_q = len(q)
+        tail_pad = 0
+        if query_block and n_q % query_block and n_q > query_block:
+            tail_pad = query_block - (n_q % query_block)
+            q = np.concatenate([q, np.zeros((tail_pad, q.shape[1]), q.dtype)])
         blocks = [q] if not query_block else [
             q[i : i + query_block] for i in range(0, len(q), query_block)
         ]
@@ -184,8 +192,8 @@ class DenseFlatIndex:
             )
             for blk in blocks
         ]
-        vals = np.concatenate([np.asarray(v) for v, _ in pending], axis=0)
-        gids = np.concatenate([np.asarray(g) for _, g in pending], axis=0)
+        vals = np.concatenate([np.asarray(v) for v, _ in pending], axis=0)[:n_q]
+        gids = np.concatenate([np.asarray(g) for _, g in pending], axis=0)[:n_q]
         if not return_docids:
             return vals, gids
         return vals, self._docids[gids]

@@ -130,20 +130,32 @@ def run_bilingual_vector_mix_fused(
         hub_index.to_device()
 
     rel_matrix = None
+    extra_zero = 0
     if qrels is not None:
         from codemix_dense_retrieval_tpu.evals.device_metrics import build_rel_matrix
 
+        # docids absent from the hub are dropped — the reference's
+        # subset-eval convention (`evaluate.py:268-276` filter_docids)
         row_of = {d: i for i, d in enumerate(base_docids)}
         rel_matrix = build_rel_matrix([
             [row_of[d] for d, r in qrels.get(qid, {}).items()
              if r > 0 and d in row_of]
             for qid in qids
         ])
+        # host-evaluator denominator parity: qrels queries (with >=1
+        # indexed relevant doc) that are NOT in the run count as zeros
+        run_qids = set(qids)
+        extra_zero = sum(
+            1 for qid, judged in qrels.items()
+            if qid not in run_qids
+            and any(r > 0 and d in row_of for d, r in judged.items())
+        )
 
     vals, ids, metrics = fused_alpha_sweep(
         primary_vecs, secondary_vecs, list(alphas),
         hub_index._docs_dev, hub_index._counts_dev, k,
         mesh=hub_index.mesh, rel_ids=rel_matrix,
+        metric_extra_zero_queries=extra_zero,
         search_kwargs=hub_index.search_kwargs,
         collapse_n_first=n_first,
     )
@@ -214,6 +226,9 @@ def run_bilingual_vector_mix(
         hub_index, qids, primary_vecs, secondary_vecs, alphas, outdir,
         k=k, query_block=query_block, tag=tag,
         run_prefix="cm-alpha-", write_meta=False,
+        # collapse parity needs the 6-decimal convention: 4-decimal
+        # truncation manufactures ties that reorder the collapsed run
+        precision=6,
     )
     out: Dict[float, pathlib.Path] = {}
     for alpha, raw_path in raw_runs.items():

@@ -21,6 +21,65 @@ from jax.sharding import Mesh
 from codemix_dense_retrieval_tpu.evals.device_metrics import topk_metrics
 from codemix_dense_retrieval_tpu.ops.mix import mix_and_renorm
 from codemix_dense_retrieval_tpu.parallel.sharded_search import sharded_topk_ip
+from codemix_dense_retrieval_tpu.utils.logging import get_logger
+
+log = get_logger("fused")
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sweep(
+    alphas: Tuple[float, ...],
+    k: int,
+    k_raw: int,
+    cutoffs: Tuple[int, ...],
+    extra_zero_queries: int,
+    collapse_n_first: Optional[int],
+    mesh: Mesh,
+    skw: Tuple[Tuple[str, object], ...],
+):
+    """One jitted sweep program per static config (mirrors the
+    `_build_sharded_search` cache): repeated calls — query sets, language
+    pairs — reuse the compiled executable instead of paying a fresh
+    multi-alpha XLA/Mosaic compile per invocation."""
+    alphas_arr = jnp.asarray(list(alphas), jnp.float32)
+    kwargs = dict(skw)
+
+    def sweep(p, s, d, cnt, rel, doc_scales):
+        from codemix_dense_retrieval_tpu.ops.collapse import collapse_topk_parallel_hub
+
+        vals_all, ids_all, metrics_all = [], [], []
+        for i in range(len(alphas)):
+            q = mix_and_renorm(p, s, alphas_arr[i])
+            # int8 indexes quantize queries inside the sharded path;
+            # casting floats straight to int8 here would truncate them
+            if jnp.issubdtype(d.dtype, jnp.floating):
+                q = q.astype(d.dtype)
+            vals, gids = sharded_topk_ip(
+                q, d, cnt, k_raw, mesh=mesh, doc_scales=doc_scales, **kwargs
+            )
+            if collapse_n_first is not None:
+                vals, gids = collapse_topk_parallel_hub(
+                    vals, gids, collapse_n_first, k_out=k
+                )
+            else:
+                vals, gids = vals[:, :k], gids[:, :k]
+            vals_all.append(vals)
+            ids_all.append(gids)
+            if rel is not None:
+                metrics_all.append(
+                    topk_metrics(gids, rel, cutoffs, extra_zero_queries)
+                )
+        vals_st = jnp.stack(vals_all)
+        ids_st = jnp.stack(ids_all)
+        metrics = None
+        if rel is not None:
+            metrics = {
+                name: jnp.stack([m[name] for m in metrics_all])
+                for name in metrics_all[0]
+            }
+        return vals_st, ids_st, metrics
+
+    return jax.jit(sweep)
 
 
 def fused_alpha_sweep(
@@ -34,9 +93,11 @@ def fused_alpha_sweep(
     mesh: Mesh,
     rel_ids: Optional[jnp.ndarray] = None,  # (B, R) int32 -1-padded
     metric_cutoffs: Sequence[int] = (1, 3, 5, 10, 100),
+    metric_extra_zero_queries: int = 0,
     search_kwargs: Optional[Dict] = None,
     collapse_n_first: Optional[int] = None,
     collapse_k_raw: Optional[int] = None,
+    axis: str = "shard",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Returns (values (A, B, k), ids (A, B, k), metrics {name: (A,)}).
 
@@ -57,54 +118,49 @@ def fused_alpha_sweep(
     base contributes at most 2 raw rows. Hence b's best row sits at raw
     rank <= 2(k-1)+1 = 2k-1, inside the top-2k. Also 2k raw rows span >= k
     distinct bases (<= 2 rows each), so k collapsed outputs always exist.
-    On TIED scores the collapsed base SET at the boundary can differ from
-    a full-depth collapse (a tied base's best row can be pushed past any
+    On TIED scores two caveats apply, both with reference-side analogues:
+    (a) the collapsed base SET at the boundary can differ from a
+    full-depth collapse (a tied base's best row can be pushed past any
     bounded raw depth by equal-score rows), exactly as the reference's
     host collapse over its raw k=500 run can (`onepass_bilingual_hub.py:
-    594-611`) — collapsed SCORES are still exact; parity is therefore
-    bit-exact against a host collapse at the same raw depth, which the
-    tests assert (tests/test_device_collapse.py).
+    594-611`); (b) the ORDER of bases with exactly tied collapsed scores
+    is base-id-ascending here, while `collapse_run_max` (reference
+    parity) keeps first-appearance order. Collapsed SCORES are exact
+    either way; `tests/test_device_collapse.py` pins the behavior against
+    a same-depth (score desc, base asc) oracle.
     """
-    search_kwargs = search_kwargs or {}
-    alphas_arr = jnp.asarray(list(alphas), jnp.float32)
+    search_kwargs = dict(search_kwargs or {})
+    # doc_scales is a device array: it must be a jit ARGUMENT. Closed
+    # over, it would be baked into the HLO as a constant — replicated
+    # instead of sharded, and the remote compile ships the whole blob
+    # (the compile-service failure mode in BENCH_NOTES).
+    doc_scales = search_kwargs.pop("doc_scales", None)
     k_raw = collapse_k_raw or (2 * k if collapse_n_first is not None else k)
+    # same clamp as DenseFlatIndex.search (count / shard capacity), so a
+    # small or heavily-sharded hub degrades with a warning instead of a
+    # ValueError from deep inside the sharded kernel
+    n_shards = mesh.shape[axis]
+    rows_per_shard = docs_sharded.shape[0] // n_shards
+    count = int(np.asarray(counts).sum())
+    k_raw_eff = min(k_raw, count, rows_per_shard)
+    if k_raw_eff < k_raw:
+        log.warning(
+            "fused sweep k_raw=%d clamped to %d (count=%d, rows_per_shard=%d)",
+            k_raw, k_raw_eff, count, rows_per_shard,
+        )
+    k_raw = k_raw_eff
+    k = min(k, k_raw)
 
-    @jax.jit
-    def sweep(p, s, d, cnt, rel):
-        from codemix_dense_retrieval_tpu.ops.collapse import collapse_topk_parallel_hub
-
-        vals_all, ids_all, metrics_all = [], [], []
-        for i in range(len(alphas)):
-            q = mix_and_renorm(p, s, alphas_arr[i])
-            # int8 indexes quantize queries inside the sharded path;
-            # casting floats straight to int8 here would truncate them
-            if jnp.issubdtype(d.dtype, jnp.floating):
-                q = q.astype(d.dtype)
-            vals, gids = sharded_topk_ip(q, d, cnt, k_raw, mesh=mesh, **search_kwargs)
-            if collapse_n_first is not None:
-                vals, gids = collapse_topk_parallel_hub(
-                    vals, gids, collapse_n_first, k_out=k
-                )
-            else:
-                vals, gids = vals[:, :k], gids[:, :k]
-            vals_all.append(vals)
-            ids_all.append(gids)
-            if rel is not None:
-                metrics_all.append(topk_metrics(gids, rel, metric_cutoffs))
-        vals_st = jnp.stack(vals_all)
-        ids_st = jnp.stack(ids_all)
-        metrics = None
-        if rel is not None:
-            metrics = {
-                name: jnp.stack([m[name] for m in metrics_all])
-                for name in metrics_all[0]
-            }
-        return vals_st, ids_st, metrics
-
+    sweep = _build_sweep(
+        tuple(float(a) for a in alphas), k, k_raw, tuple(metric_cutoffs),
+        int(metric_extra_zero_queries), collapse_n_first, mesh,
+        tuple(sorted(search_kwargs.items())),
+    )
     return sweep(
         jnp.asarray(primary, jnp.float32),
         jnp.asarray(secondary, jnp.float32),
         docs_sharded,
         counts,
         None if rel_ids is None else jnp.asarray(rel_ids, jnp.int32),
+        doc_scales,
     )

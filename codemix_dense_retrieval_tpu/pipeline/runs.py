@@ -75,6 +75,7 @@ def run_vector_mix_search(
     run_prefix: str = "cm-alpha-",
     write_meta: bool = False,
     meta_extra: Optional[Dict] = None,
+    precision: int = 4,
 ) -> Dict[float, pathlib.Path]:
     """Alpha-sweep search with on-device mix+renorm.
 
@@ -92,7 +93,7 @@ def run_vector_mix_search(
         q_matrix = np.asarray(mix_and_renorm_jit(p, s, float(alpha)))
         vals, docids = index.search(q_matrix, k, query_block=query_block)
         run_path = outdir / f"{run_prefix}{label}.trec"
-        write_run(run_path, list(qids), docids, vals, tag=tag)
+        write_run(run_path, list(qids), docids, vals, tag=tag, precision=precision)
         out[alpha] = run_path
         if write_meta:
             meta = {

@@ -158,3 +158,103 @@ def test_fused_sweep_int8_index(rng, eight_cpu_devices):
     )
     # quantization keeps self-retrieval at rank ~1
     assert float(np.asarray(metrics["RR@10"])[0]) > 0.9
+
+
+class TestAggregationParity:
+    def test_unjudged_and_run_absent_queries_match_host(self):
+        """Host aggregate() means over QRELS queries: run queries with no
+        qrels must not deflate the mean, and qrels queries missing from
+        the run must count as zeros (extra_zero_queries)."""
+        rng = np.random.default_rng(7)
+        b, n, k = 10, 200, 25
+        scores = rng.standard_normal((b, n))
+        topk = np.argsort(-scores, axis=1)[:, :k].astype(np.int32)
+        rel_rows, qrels, run = [], {}, {}
+        for i in range(b):
+            run[f"q{i}"] = [(f"d{j}", float(scores[i, j])) for j in topk[i]]
+            if i < 6:  # only 6 of 10 run queries are judged
+                rels = rng.choice(n, size=3, replace=False)
+                rel_rows.append(rels.tolist())
+                qrels[f"q{i}"] = {f"d{j}": 1 for j in rels}
+            else:
+                rel_rows.append([])
+        # 2 qrels queries absent from the run entirely
+        for extra in ("qx1", "qx2"):
+            qrels[extra] = {f"d{j}": 1 for j in rng.choice(n, 3, replace=False)}
+
+        got = topk_metrics(
+            jnp.asarray(topk), jnp.asarray(build_rel_matrix(rel_rows)),
+            extra_zero_queries=2,
+        )
+        measures = host_metrics.parse_measures(
+            ["MRR@10", "Recall@10", "nDCG@10", "P@10", "AP"]
+        )
+        agg = host_metrics.aggregate(measures, qrels, run)
+        for name, val in agg.items():
+            if name in {k2 for k2 in got}:
+                assert float(got[name]) == pytest.approx(val, abs=1e-6), name
+
+    def test_ndcg_ideal_horizon_beyond_k(self):
+        """num_rel > k with cutoff > k: the ideal DCG must sum
+        min(num_rel, c) discounts, not stop at the k retrieved."""
+        rng = np.random.default_rng(11)
+        b, n, k = 4, 300, 10
+        scores = rng.standard_normal((b, n))
+        topk = np.argsort(-scores, axis=1)[:, :k].astype(np.int32)
+        rel_rows, qrels, run = [], {}, {}
+        for i in range(b):
+            rels = rng.choice(n, size=20, replace=False)  # 20 rels >> k=10
+            rel_rows.append(rels.tolist())
+            qrels[f"q{i}"] = {f"d{j}": 1 for j in rels}
+            run[f"q{i}"] = [(f"d{j}", float(scores[i, j])) for j in topk[i]]
+        got = topk_metrics(
+            jnp.asarray(topk), jnp.asarray(build_rel_matrix(rel_rows)),
+            cutoffs=(10, 100),
+        )
+        agg = host_metrics.aggregate(
+            host_metrics.parse_measures(["nDCG@10", "nDCG@100"]), qrels, run
+        )
+        assert float(got["nDCG@10"]) == pytest.approx(agg["nDCG@10"], abs=1e-6)
+        assert float(got["nDCG@100"]) == pytest.approx(agg["nDCG@100"], abs=1e-6)
+
+
+class TestFusedDepthClampAndCache:
+    def test_small_hub_clamps_with_warning(self, rng, eight_cpu_devices, caplog):
+        """k_raw beyond the shard capacity must degrade with the flat.py
+        clamp warning, not a ValueError from the sharded kernel (which the
+        CLI would misreport as a non-parallel hub)."""
+        import logging
+
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n1, d, b = 96, 16, 4  # hub 192 rows -> 24 rows/shard
+        docs_a = rng.standard_normal((n1, d)).astype(np.float32)
+        hub = np.concatenate([docs_a, docs_a], axis=0)
+        docs_dev, counts, _ = shard_rows(hub, mesh, pad_multiple=8)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        with caplog.at_level(logging.WARNING):
+            vals, ids, _ = fused_alpha_sweep(
+                q, q, [0.5], docs_dev, counts, 60,  # k_raw=120 > 24
+                mesh=mesh, collapse_n_first=n1,
+                search_kwargs=dict(method="bins_xla", bin_size=8, tile_n=8),
+            )
+        assert any("clamped" in r.message for r in caplog.records)
+        assert ids.shape[2] <= 24
+
+    def test_sweep_program_reused_across_calls(self, rng, eight_cpu_devices):
+        """Same static config twice -> the cached jitted sweep is reused
+        (no per-call rebuild/recompile)."""
+        from codemix_dense_retrieval_tpu.pipeline.fused import _build_sweep
+
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n, d, b, k = 256, 16, 4, 10
+        docs = rng.standard_normal((n, d)).astype(np.float32)
+        docs_dev, counts, _ = shard_rows(docs, mesh, pad_multiple=32)
+        q1 = rng.standard_normal((b, d)).astype(np.float32)
+        q2 = rng.standard_normal((b, d)).astype(np.float32)
+        kwargs = dict(method="bins_xla", bin_size=8, tile_n=32)
+        before = _build_sweep.cache_info().hits
+        fused_alpha_sweep(q1, q1, [0.0, 1.0], docs_dev, counts, k,
+                          mesh=mesh, search_kwargs=kwargs)
+        fused_alpha_sweep(q2, q2, [0.0, 1.0], docs_dev, counts, k,
+                          mesh=mesh, search_kwargs=kwargs)
+        assert _build_sweep.cache_info().hits > before

@@ -191,6 +191,11 @@ class TestBilingualHub:
         )
         assert (tmp / "vruns" / "cm-alpha-0.5_base.trec").exists()
         assert (tmp / "vruns" / "cm-alpha-0.5_meta.json").exists()
+        # collapse parity convention: raw scores at 6 decimals (4 would
+        # manufacture ties that reorder the collapsed run)
+        raw_line = (tmp / "vruns" / "cm-alpha-0.5_raw.trec").read_text().splitlines()[0]
+        score_field = raw_line.split()[4]
+        assert len(score_field.split(".")[1]) == 6, raw_line
         qrels = {q: {d: 1} for q, d in zip(qids, rel)}
         for alpha in (0.0, 1.0):
             ordered, _, _ = evaluate_run(load_run_grouped(out[alpha]), qrels, ["MRR@10"])
