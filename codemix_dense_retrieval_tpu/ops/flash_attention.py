@@ -2,10 +2,13 @@
 
 Replaces the reference's ``--attn_impl flash_attention_2`` CUDA hint
 (`onepass_dense_run.py:104-105,199`) with a Pallas kernel that is the
-default TPU path: per (batch*head, q-block) program, K/V stream through
-VMEM in blocks with an online-softmax running (max, sum, acc) — the
-(S, S) score matrix never touches HBM. Padding is handled by per-sequence
-lengths (scalar-prefetched), masking key columns beyond the length.
+default TPU path: grid (batch*head, q-block, k-block) with the key-block
+dimension innermost — K/V stream through VMEM one (block_k, dh) tile at
+a time while the online-softmax (max, sum, acc) state carries in VMEM
+scratch, so the (S, S) score matrix never touches HBM and VMEM use is
+O(block), not O(S). Padding is handled by per-sequence lengths
+(scalar-prefetched): key blocks past the length (and, for causal, past
+the q-block's frontier) are skipped outright.
 
 A plain-XLA reference implementation backs CPU tests and serves as the
 numerics oracle.
@@ -43,19 +46,48 @@ def attention_xla(
         mask = mask & (col <= row)
     s = jnp.where(mask, s, _NEG)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    # fully-masked rows (length 0) would softmax uniformly over padding
+    # and emit mean-of-V garbage — zero them (flash-kernel parity)
+    return jnp.where((lengths > 0)[:, None, None, None], out, 0)
 
 
 def _flash_kernel(
-    len_ref, q_ref, k_ref, v_ref, o_ref, *, num_heads, block_k, sm_scale, causal
+    len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, num_heads, block_q, block_k, window, num_w, sm_scale, causal
 ):
+    # grid = (B*H, num_q_blocks, num_k_WINDOWS), windows innermost: the
+    # (m, l, acc) online-softmax state lives in VMEM scratch and carries
+    # across the window dimension, so VMEM holds one (window, dh) K/V
+    # slab at a time — O(window), not O(S) (long-context Qwen3 S=16k
+    # dh=128 compiles and runs; the full-sequence BlockSpec variant
+    # exceeded VMEM there). Sub-blocks of the window run in an inner
+    # fori_loop whose bound is CLAMPED to the sequence length (and the
+    # causal frontier), so masked-out work is skipped — a pure grid over
+    # (block_k)-tiles cannot skip the per-step DMA and paid ~26 us of
+    # grid-step overhead per tiny block on v5e; the windowed hybrid
+    # hits 17.5 TF/s dense-equiv causal at S=4096 dh=128
+    # (probe_flash_speed r3).
     bh = pl.program_id(0)
     jq = pl.program_id(1)
+    w = pl.program_id(2)
     length = len_ref[bh // num_heads]
+
+    @pl.when(w == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, dh)
-    block_q, dh = q.shape
-    s_total = k_ref.shape[1]
-    num_kb = s_total // block_k
+    block_q_, _ = q.shape
+    # only sub-blocks below this limit can contain unmasked columns
+    limit = length
+    if causal:
+        limit = jnp.minimum(limit, jq * block_q_ + block_q_)
+    n_sub = jnp.clip(
+        (limit - w * window + block_k - 1) // block_k, 0, window // block_k
+    )
 
     def body(j, carry):
         m, l, acc = carry
@@ -64,10 +96,10 @@ def _flash_kernel(
         s = lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_k)
-        col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + w * window + j * block_k
         valid = col < length
         if causal:
-            row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + jq * block_q
+            row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + jq * block_q_
             valid = valid & (col <= row)
         s = jnp.where(valid, s, _NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -79,11 +111,20 @@ def _flash_kernel(
         )
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((block_q, 1), _NEG, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    a0 = jnp.zeros((block_q, dh), jnp.float32)
-    m, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, a0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    m, l, acc = lax.fori_loop(
+        0, n_sub, body, (m_ref[:], l_ref[:], acc_ref[:])
+    )
+    m_ref[:] = m
+    l_ref[:] = l
+    acc_ref[:] = acc
+
+    @pl.when(w == num_w - 1)
+    def _finalize():
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        # fully-masked rows (length 0): m never rose above _NEG and the
+        # online softmax would emit mean-of-V garbage — zero them
+        out = jnp.where(m_ref[:] > _NEG / 2, out, 0.0)
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 def attention_flash(
@@ -94,6 +135,7 @@ def attention_flash(
     *,
     block_q: int = 256,
     block_k: int = 256,
+    window: int = 2048,
     interpret: Optional[bool] = None,
     causal: bool = False,
 ) -> jnp.ndarray:
@@ -102,30 +144,47 @@ def attention_flash(
     b, h, s, dh = q.shape
     bq = min(block_q, s)
     bk = min(block_k, s)
+    # K/V stream through VMEM one (window, dh) slab per grid step; the
+    # kernel's inner fori_loop walks the window in (block_k)-sub-blocks.
+    # window must be a block_k multiple; s_pad a multiple of both bq and
+    # window so every BlockSpec tiles evenly.
+    win = max(bk, min(window, ((s + bk - 1) // bk) * bk))
+    win = (win // bk) * bk
     s_pad = ((s + bq - 1) // bq) * bq
-    s_pad = ((s_pad + bk - 1) // bk) * bk
+    s_pad = ((s_pad + win - 1) // win) * win
     if s_pad != s:
         pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     qf = q.reshape(b * h, s_pad, dh)
     kf = k.reshape(b * h, s_pad, dh)
     vf = v.reshape(b * h, s_pad, dh)
-    grid = (b * h, s_pad // bq)
+    num_w = s_pad // win
+    grid = (b * h, s_pad // bq, num_w)
     kernel = functools.partial(
-        _flash_kernel, num_heads=h, block_k=bk, sm_scale=1.0 / math.sqrt(dh),
-        causal=causal,
+        _flash_kernel, num_heads=h, block_q=bq, block_k=bk, window=win,
+        num_w=num_w, sm_scale=1.0 / math.sqrt(dh), causal=causal,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bq, dh), lambda i, jq: (i, jq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, dh), lambda i, jq: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, dh), lambda i, jq: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dh), lambda i, jq, w: (i, jq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, dh), lambda i, jq, w: (i, w, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, dh), lambda i, jq, w: (i, w, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, dh), lambda i, jq: (i, jq, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, bq, dh), lambda i, jq, w: (i, jq, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(jnp.asarray(lengths, jnp.int32), qf, kf, vf)
     out = out.reshape(b, h, s_pad, dh)

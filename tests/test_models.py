@@ -476,3 +476,61 @@ def test_overlap_read_order_window_and_errors():
 
     with pytest.raises(ValueError, match="reader failed"):
         enc._overlap_read(iter([(boom, (0,))]))
+
+
+def test_attention_multi_window_matches_xla(rng):
+    """The grid's key axis walks (window)-sized K/V slabs with an inner
+    sub-block loop; force several windows x several sub-blocks each and
+    check parity against the XLA oracle with ragged lengths + causal."""
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.ops.flash_attention import (
+        attention_flash,
+        attention_xla,
+    )
+
+    b, h, s, dh = 2, 2, 128, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    lengths = np.array([s, 71], np.int32)  # 71 ends mid-sub-block, window 2
+    for causal in (False, True):
+        ref = np.asarray(attention_xla(q, k, v, jnp.asarray(lengths), causal=causal))
+        out = np.asarray(attention_flash(
+            q, k, v, jnp.asarray(lengths),
+            block_q=16, block_k=16, window=32,  # 4 windows x 2 sub-blocks
+            causal=causal,
+        ))
+        for i, L in enumerate(lengths):
+            np.testing.assert_allclose(
+                out[i, :, :L], ref[i, :, :L], rtol=2e-4, atol=2e-4
+            )
+
+
+def test_attention_zero_length_rows_are_zero(rng):
+    """A fully-masked sequence (length 0, e.g. an all-pad batch slot)
+    must produce ZERO attention output in both paths — the naive online
+    softmax would emit mean-of-V garbage."""
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.ops.flash_attention import (
+        attention_flash,
+        attention_xla,
+    )
+
+    b, h, s, dh = 3, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    lengths = jnp.asarray([s, 0, 5], jnp.int32)
+    for causal in (False, True):
+        ox = np.asarray(attention_xla(q, k, v, lengths, causal=causal))
+        of = np.asarray(attention_flash(
+            q, k, v, lengths, block_q=16, block_k=16, causal=causal,
+        ))
+        assert np.all(ox[1] == 0), "xla zero-length row must be zero"
+        assert np.all(of[1] == 0), "flash zero-length row must be zero"
+        np.testing.assert_allclose(of[0], ox[0], atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(
+            of[2, :, :5], ox[2, :, :5], atol=2e-5, rtol=2e-5
+        )
