@@ -120,17 +120,18 @@ class Qwen3Attention(nn.Module):
         k = RMSNorm(c.rms_norm_eps, name="k_norm")(k)
         q = rope(q, positions, c.rope_theta)
         k = rope(k, positions, c.rope_theta)
-        # GQA: repeat kv heads
-        rep = h // kvh
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-        # (B, H, S, Dh)
+        # (B, H|KVH, S, Dh)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         if c.use_flash:
             from codemix_dense_retrieval_tpu.ops.flash_attention import attention_flash
 
+            # GQA-native: the kernel maps q heads onto kv heads in its
+            # index_map — repeated K/V never hit HBM
             out = attention_flash(q, k, v, lengths, causal=True)
         else:
+            # GQA: repeat kv heads for the einsum path
+            k = jnp.repeat(k, h // kvh, axis=1)
+            v = jnp.repeat(v, h // kvh, axis=1)
             scores = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
             )

@@ -31,12 +31,16 @@ _NEG = -1e30
 
 def attention_xla(
     q: jnp.ndarray,  # (B, H, S, Dh)
-    k: jnp.ndarray,
+    k: jnp.ndarray,  # (B, H or KVH, S, Dh) — KVH | H means GQA
     v: jnp.ndarray,
     lengths: jnp.ndarray,  # (B,) int32 valid key counts
     causal: bool = False,
 ) -> jnp.ndarray:
     dh = q.shape[-1]
+    if k.shape[1] != q.shape[1]:  # GQA: broadcast kv heads to q heads
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s / math.sqrt(dh)
     col = lax.broadcasted_iota(jnp.int32, (1, 1, 1, k.shape[2]), 3)
@@ -142,6 +146,10 @@ def attention_flash(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, h, s, dh = q.shape
+    kvh = k.shape[1]
+    if h % kvh:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {kvh}")
+    rep = h // kvh
     bq = min(block_q, s)
     bk = min(block_k, s)
     # K/V stream through VMEM one (window, dh) slab per grid step; the
@@ -156,8 +164,16 @@ def attention_flash(
         pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     qf = q.reshape(b * h, s_pad, dh)
-    kf = k.reshape(b * h, s_pad, dh)
-    vf = v.reshape(b * h, s_pad, dh)
+    # GQA (Qwen3): K/V keep their kvh heads in HBM — each grid row maps
+    # its q head onto the owning kv head in the index_map, so repeated
+    # heads are never materialized and rep consecutive grid rows re-use
+    # the same K/V slab fetch.
+    kf = k.reshape(b * kvh, s_pad, dh)
+    vf = v.reshape(b * kvh, s_pad, dh)
+
+    def kv_row(i):
+        return (i // h) * kvh + (i % h) // rep
+
     num_w = s_pad // win
     grid = (b * h, s_pad // bq, num_w)
     kernel = functools.partial(
@@ -170,8 +186,8 @@ def attention_flash(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, dh), lambda i, jq, w: (i, jq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win, dh), lambda i, jq, w: (i, w, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win, dh), lambda i, jq, w: (i, w, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, dh), lambda i, jq, w: (kv_row(i), w, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, dh), lambda i, jq, w: (kv_row(i), w, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, dh), lambda i, jq, w: (i, jq, 0), memory_space=pltpu.VMEM

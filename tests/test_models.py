@@ -507,6 +507,42 @@ def test_attention_multi_window_matches_xla(rng):
             )
 
 
+def test_attention_gqa_matches_repeated_heads(rng):
+    """GQA: the flash kernel maps q heads onto kv heads in its index_map
+    instead of materializing repeated K/V — parity vs the repeat oracle."""
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.ops.flash_attention import (
+        attention_flash,
+        attention_xla,
+    )
+
+    b, h, kvh, s, dh = 2, 4, 2, 96, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kvh, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kvh, s, dh)), jnp.float32)
+    lengths = np.array([s, 41], np.int32)
+    krep = jnp.repeat(k, h // kvh, axis=1)
+    vrep = jnp.repeat(v, h // kvh, axis=1)
+    for causal in (False, True):
+        ref = np.asarray(attention_xla(
+            q, krep, vrep, jnp.asarray(lengths), causal=causal))
+        # the xla oracle must also accept raw GQA heads
+        ref2 = np.asarray(attention_xla(
+            q, k, v, jnp.asarray(lengths), causal=causal))
+        np.testing.assert_allclose(ref2, ref, rtol=1e-6, atol=1e-6)
+        out = np.asarray(attention_flash(
+            q, k, v, jnp.asarray(lengths),
+            block_q=16, block_k=16, window=32, causal=causal,
+        ))
+        for i, L in enumerate(lengths):
+            np.testing.assert_allclose(
+                out[i, :, :L], ref[i, :, :L], rtol=2e-4, atol=2e-4
+            )
+    with pytest.raises(ValueError, match="not a multiple"):
+        attention_flash(q, krep[:, :3], vrep[:, :3], jnp.asarray(lengths))
+
+
 def test_attention_zero_length_rows_are_zero(rng):
     """A fully-masked sequence (length 0, e.g. an all-pad batch slot)
     must produce ZERO attention output in both paths — the naive online
