@@ -570,6 +570,29 @@ def cmd_profile(args) -> None:
     print(json.dumps(stats))
 
 
+def cmd_tune(args) -> None:
+    """Autotune kernel/routing constants on the live backend and persist
+    them to the per-device-kind store (FAISS `ParameterSpace` analog —
+    see utils/autotune.py)."""
+    from codemix_dense_retrieval_tpu.utils.autotune import (
+        run_autotune,
+        tune_file_path,
+    )
+
+    update = run_autotune(
+        topk=not args.skip_topk,
+        flash=not args.skip_flash,
+        save=not args.dry_run,
+        rows=args.rows,
+        dim=args.dim,
+        batch=args.batch,
+        ks=tuple(args.ks),
+        iters=args.iters,
+    )
+    update["tune_file"] = None if args.dry_run else str(tune_file_path())
+    print(json.dumps(update))
+
+
 def cmd_convert(args) -> None:
     """Convert an HF checkpoint directory to framework params (.npz)."""
     import json as _json
@@ -736,6 +759,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trace_dir", help="profiler output dir (also CDR_PROFILE_DIR)")
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser(
+        "tune",
+        help="autotune kernel/routing constants on the live chip "
+             "(super_size, tile_b, flash crossover/window) into a "
+             "per-device-kind store consulted by the auto pickers",
+    )
+    _add_common(p)
+    p.add_argument("--rows", type=int, default=262_144)
+    p.add_argument("--dim", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--ks", type=int, nargs="+", default=[100, 1000])
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--skip_topk", action="store_true")
+    p.add_argument("--skip_flash", action="store_true")
+    p.add_argument("--dry_run", action="store_true",
+                   help="print winners without writing the store")
+    p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("run-mix", help="vector-mix alpha sweep over one index")
     _add_common(p)

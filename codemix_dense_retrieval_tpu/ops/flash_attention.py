@@ -139,12 +139,16 @@ def attention_flash(
     *,
     block_q: int = 256,
     block_k: int = 256,
-    window: int = 2048,
+    window: Optional[int] = None,
     interpret: Optional[bool] = None,
     causal: bool = False,
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if window is None:
+        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+        window = int(get_tuned("flash.window"))
     b, h, s, dh = q.shape
     kvh = k.shape[1]
     if h % kvh:
@@ -216,7 +220,7 @@ def multi_head_attention(
     num_heads: int,
     use_flash: bool = True,
     causal: bool = False,
-    flash_min_seq: int = 512,
+    flash_min_seq: Optional[int] = None,
 ) -> jnp.ndarray:
     """Self-attention over packed (B, S, D) projections.
 
@@ -228,8 +232,13 @@ def multi_head_attention(
     XLA softmax attention is ~25% faster at S=128 (the flash kernel's
     per-(batch*head) program overhead dominates) with crossover at ~512;
     past that the flash path avoids the O(S^2) HBM score materialization
-    entirely (mandatory by S=2k+). ``flash_min_seq`` tunes the switch.
+    entirely (mandatory by S=2k+). ``flash_min_seq`` tunes the switch;
+    its default comes from the on-chip `tune` store (utils/autotune.py).
     """
+    if flash_min_seq is None:
+        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+        flash_min_seq = int(get_tuned("flash.min_seq"))
     b, s, d = q.shape
     dh = d // num_heads
 

@@ -448,7 +448,7 @@ def topk_ip_bins_int8(
     k: int,
     *,
     bin_size: Optional[int] = None,
-    tile_b: int = 256,
+    tile_b: Optional[int] = None,
     tile_n: int = 1024,
     interpret: Optional[bool] = None,
     n_valid=None,
@@ -468,6 +468,10 @@ def topk_ip_bins_int8(
         bin_size = _auto_bin_size(k)
     if super_size is None:
         super_size = _auto_super_size(k)
+    if tile_b is None:
+        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+        tile_b = int(get_tuned("topk.tile_b", k=k, default=256))
     q_vals, q_scales = quantize_rows(queries.astype(jnp.float32))
     (
         (d_vals, d_scales), (q_vals, q_scales),
@@ -649,6 +653,10 @@ def topk_ip_rescore_two_level(
     """
     if super_size is None:
         super_size = _auto_super_size(k)
+    if tile_b is None:
+        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+        tile_b = int(get_tuned("topk.tile_b", k=k))
     (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
         k, n_valid, tile_b, tile_n, interpret, [docs], [queries],
         chunk=bin_size * super_size,
@@ -720,8 +728,11 @@ def _auto_super_size(k: int) -> int:
     gather grew with M (M=4 won at k=1000); the r3 bin-major SLICE
     gathers are issue-bound, not volume-bound, so larger M only shrinks
     the super top_k domain — M=8 wins at every depth (probe_bm_two_level
-    r3: k=1000 G8M8 6,494 qps vs G8M4 5,578)."""
-    return 8
+    r3: k=1000 G8M8 6,494 qps vs G8M4 5,578). A `tune` run on the live
+    chip overrides this per depth (utils/autotune.py)."""
+    from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+    return int(get_tuned("topk.super_size", k=k))
 
 
 def _topk_from_bins_two_level(
@@ -792,7 +803,7 @@ def topk_ip_bins_two_level(
     *,
     bin_size: int = 8,
     super_size: Optional[int] = None,
-    tile_b: int = 512,
+    tile_b: Optional[int] = None,
     tile_n: int = 1024,
     interpret: Optional[bool] = None,
     n_valid=None,
@@ -825,6 +836,10 @@ def topk_ip_bins_two_level(
     """
     if super_size is None:
         super_size = _auto_super_size(k)
+    if tile_b is None:
+        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+        tile_b = int(get_tuned("topk.tile_b", k=k))
     (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
         k, n_valid, tile_b, tile_n, interpret, [docs], [queries],
         chunk=bin_size * super_size,
