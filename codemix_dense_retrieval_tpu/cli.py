@@ -570,6 +570,35 @@ def cmd_profile(args) -> None:
     print(json.dumps(stats))
 
 
+def cmd_serve(args) -> None:
+    """Online search serving: load encoder + index, start the
+    microbatching HTTP endpoint (serving.py)."""
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+    from codemix_dense_retrieval_tpu.serving import SearchService, make_server
+
+    encoder = _build_encoder(args)
+    index = _device_index(DenseFlatIndex.load(args.index), args)
+    service = SearchService(
+        encoder, index,
+        default_k=args.k, max_k=args.max_k,
+        max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1000.0,
+        encode_batch=args.enc_batch,
+    )
+    server = make_server(
+        service, host=args.host, port=args.port,
+        info={"model": args.encoder, "docs": index.count},
+    )
+    host, port = server.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}", "docs": index.count}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
 def cmd_tune(args) -> None:
     """Autotune kernel/routing constants on the live backend and persist
     them to the per-device-kind store (FAISS `ParameterSpace` analog —
@@ -759,6 +788,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trace_dir", help="profiler output dir (also CDR_PROFILE_DIR)")
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser(
+        "serve",
+        help="online HTTP search endpoint with TPU microbatching "
+             "(GET /healthz, POST /search {queries, k})",
+    )
+    _add_common(p)
+    p.add_argument("--index", required=True, help="shard dir (DenseFlatIndex)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--k", type=int, default=10, help="default result depth")
+    p.add_argument("--max_k", type=int, default=1000)
+    p.add_argument("--max_batch", type=int, default=256,
+                   help="max coalesced queries per device batch")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="max wait after the first request before dispatch")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "tune",

@@ -102,15 +102,18 @@ def _prep_shard(
             n_valid = min(n_valid, n_rows)
     b = query_arrays[0].shape[0]
     if b <= tile_b:
-        eff_tile_b, b_pad = b, b  # single query block == full array dim
+        # single query block == full array dim; pad tiny batches to the
+        # 8-sublane tile — Mosaic rejects a degenerate (1, dim) q tile
+        # ('vector.broadcast' element-type verification error at B=1)
+        eff_tile_b = b_pad = _ceil_to(b, 8)
     else:
         eff_tile_b = tile_b
         b_pad = _ceil_to(b, tile_b)
-        if b_pad != b:
-            query_arrays = [
-                jnp.pad(a, [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1))
-                for a in query_arrays
-            ]
+    if b_pad != b:
+        query_arrays = [
+            jnp.pad(a, [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1))
+            for a in query_arrays
+        ]
     return doc_arrays, query_arrays, n_valid, eff_tile_b, b, b_pad, interpret
 
 

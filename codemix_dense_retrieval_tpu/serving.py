@@ -1,0 +1,295 @@
+"""Online serving: an HTTP search endpoint with TPU-friendly microbatching.
+
+The reference is a batch research pipeline (`onepass_dense_run.py` reads
+query TSVs and writes TREC files); deploying the same index for ONLINE
+queries is the natural production surface and needs one thing the batch
+scripts don't have: request coalescing. A TPU searches a 1.1M-row shard
+for 1 query in nearly the same wall time as for 256 (the matmul is
+batch-amortized and every dispatch pays the host round trip), so
+serving batch-1 requests directly would waste ~100x throughput.
+
+Design (stdlib only — no server-framework dependency):
+
+- ``SearchService`` owns the encoder + index and a single consumer
+  thread: requests enqueue (texts, k); the consumer drains the queue up
+  to ``max_batch`` texts (waiting at most ``max_wait_s`` after the first
+  arrival), encodes ONCE, searches ONCE at the max requested depth, and
+  slices per-request results. One consumer also serializes device
+  access (required on single-chip deployments).
+- ``http.server.ThreadingHTTPServer`` handles transport: many blocking
+  request threads feed the one batching queue.
+
+Endpoints: ``GET /healthz`` (liveness + stats), ``POST /search``
+``{"queries": [...], "k": 10}`` -> ``{"results": [[{"docid", "score"},
+...], ...]}``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class ServeStats:
+    requests: int = 0
+    queries: int = 0
+    batches: int = 0
+    batched_queries: int = 0
+    errors: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "requests": self.requests,
+                "queries": self.queries,
+                "batches": self.batches,
+                "batched_queries": self.batched_queries,
+                "errors": self.errors,
+            }
+
+
+@dataclass
+class _Pending:
+    texts: Sequence[str]
+    k: int
+    future: Future
+
+
+class SearchService:
+    """Microbatching encode+search service over one encoder + index.
+
+    ``index`` is anything with ``search(q, k) -> (scores, docids)`` and a
+    ``count`` attribute (``DenseFlatIndex``, ``TwoStageSearcher``).
+    """
+
+    def __init__(
+        self,
+        encoder,
+        index,
+        *,
+        default_k: int = 10,
+        max_k: int = 1000,
+        max_batch: int = 256,
+        max_wait_s: float = 0.005,
+        encode_batch: int = 64,
+    ) -> None:
+        self.encoder = encoder
+        self.index = index
+        self.default_k = default_k
+        self.max_k = max_k
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.encode_batch = encode_batch
+        self.stats = ServeStats()
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._consume, name="search-batcher", daemon=True
+        )
+        self._thread.start()
+
+    # ---------------------------------------------------------------- API
+
+    def submit(self, texts: Sequence[str], k: Optional[int] = None) -> Future:
+        """Enqueue one request; the Future resolves to a list (one entry
+        per text) of ``[{"docid": ..., "score": ...}, ...]`` lists."""
+        k = self.default_k if k is None else int(k)
+        if (
+            not isinstance(texts, (list, tuple))
+            or not texts
+            or not all(isinstance(t, str) and t for t in texts)
+        ):
+            raise ValueError("queries must be a non-empty list of non-empty strings")
+        if not 1 <= k <= self.max_k:
+            raise ValueError(f"k must be in [1, {self.max_k}]")
+        if len(texts) > self.max_batch:
+            raise ValueError(f"at most {self.max_batch} queries per request")
+        fut: Future = Future()
+        with self.stats._lock:
+            self.stats.requests += 1
+            self.stats.queries += len(texts)
+        self._queue.put(_Pending(list(texts), k, fut))
+        return fut
+
+    def search(self, texts: Sequence[str], k: Optional[int] = None) -> List[list]:
+        return self.submit(texts, k).result()
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    # ---------------------------------------------------------- consumer
+
+    def _drain(self, first: _Pending) -> List[_Pending]:
+        """Coalesce: after the first request arrives, keep accepting until
+        ``max_batch`` texts are queued or ``max_wait_s`` passes."""
+        batch = [first]
+        total = len(first.texts)
+        deadline = time.monotonic() + self.max_wait_s
+        while total < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # re-signal shutdown for the main loop
+                break
+            if total + len(item.texts) > self.max_batch:
+                # would overflow: run it in the NEXT batch
+                self._requeue = item
+                break
+            batch.append(item)
+            total += len(item.texts)
+        return batch
+
+    def _consume(self) -> None:
+        self._requeue: Optional[_Pending] = None
+        while True:
+            if self._requeue is not None:
+                first, self._requeue = self._requeue, None
+            else:
+                item = self._queue.get()
+                if item is None:
+                    return
+                first = item
+            batch = self._drain(first)
+            try:
+                texts = [t for p in batch for t in p.texts]
+                # bucket k to the next power of two for the same reason
+                # as the batch bucket below (per-request k would compile
+                # a program per distinct depth); results slice to each
+                # request's own k
+                k_req = max(p.k for p in batch)
+                k_max = 1
+                while k_max < k_req:
+                    k_max *= 2
+                k_max = min(k_max, self.max_k, self.index.count)
+                q = self.encoder.encode_queries(texts, batch_size=self.encode_batch)
+                q = np.asarray(q)
+                # bucket the device batch to the next power of two: every
+                # distinct (batch, k) shape traces and compiles a fresh
+                # program (minutes on a fresh TPU process) — coalescing
+                # produces arbitrary sizes, so unbucketed serving would
+                # recompile continually. Zero query rows are harmless.
+                bucket = 1
+                while bucket < len(texts):
+                    bucket *= 2
+                bucket = min(bucket, self.max_batch)
+                if bucket > len(texts):
+                    q = np.concatenate(
+                        [q, np.zeros((bucket - len(texts), q.shape[1]), q.dtype)]
+                    )
+                scores, docids = self.index.search(q, k_max)
+                with self.stats._lock:
+                    self.stats.batches += 1
+                    self.stats.batched_queries += len(texts)
+                off = 0
+                for p in batch:
+                    n = len(p.texts)
+                    k = min(p.k, scores.shape[1])
+                    res = [
+                        [
+                            {"docid": str(docids[off + i][j]),
+                             "score": float(scores[off + i][j])}
+                            for j in range(k)
+                        ]
+                        for i in range(n)
+                    ]
+                    off += n
+                    p.future.set_result(res)
+            except Exception as exc:  # noqa: BLE001 — must not kill the consumer
+                with self.stats._lock:
+                    self.stats.errors += 1
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(exc)
+
+
+# -------------------------------------------------------------- transport
+
+class _Handler(BaseHTTPRequestHandler):
+    service: SearchService = None  # type: ignore[assignment]
+    server_info: dict = {}
+    # generous default: the FIRST request at a fresh (batch, k) bucket
+    # pays device compilation (minutes on remote-compile TPU setups)
+    request_timeout_s: float = 600.0
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+        if self.path != "/healthz":
+            self._reply(404, {"error": f"unknown path {self.path!r}"})
+            return
+        info = dict(self.server_info)
+        info.update(ok=True, stats=self.service.stats.snapshot())
+        self._reply(200, info)
+
+    def do_POST(self) -> None:  # noqa: N802
+        if self.path != "/search":
+            self._reply(404, {"error": f"unknown path {self.path!r}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            texts = req.get("queries")
+            fut = self.service.submit(texts, req.get("k"))
+        except (ValueError, TypeError) as exc:
+            self._reply(400, {"error": str(exc)})
+            return
+        try:
+            results = fut.result(timeout=self.request_timeout_s)
+        except FuturesTimeoutError:
+            self._reply(503, {
+                "error": f"timed out after {self.request_timeout_s:.0f}s "
+                         "waiting for the device batch (first request per "
+                         "batch/k bucket pays compilation)"
+            })
+            return
+        except Exception as exc:  # noqa: BLE001
+            self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        self._reply(200, {"results": results})
+
+
+def make_server(
+    service: SearchService,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    info: Optional[dict] = None,
+    request_timeout_s: float = 600.0,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; ``server_address[1]`` holds the
+    bound port (use port=0 for an ephemeral one)."""
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {
+            "service": service,
+            "server_info": dict(info or {}),
+            "request_timeout_s": request_timeout_s,
+        },
+    )
+    return ThreadingHTTPServer((host, port), handler)

@@ -1,0 +1,191 @@
+"""Online serving: microbatch coalescing, per-request k slicing, HTTP
+transport, and error paths (serving.py)."""
+
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+from codemix_dense_retrieval_tpu.serving import SearchService, make_server
+
+
+class FakeEncoder:
+    """Deterministic text -> unit vector, with an optional encode delay
+    (to force request coalescing in tests)."""
+
+    def __init__(self, dim=32, delay_s=0.0):
+        self.dim = dim
+        self.delay_s = delay_s
+        self.calls = []
+
+    def encode_queries(self, texts, batch_size=64):
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        self.calls.append(list(texts))
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            rng = np.random.default_rng(abs(hash(t)) % (2**32))
+            v = rng.standard_normal(self.dim)
+            out[i] = v / np.linalg.norm(v)
+        return out
+
+
+@pytest.fixture(scope="module")
+def corpus_index():
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((512, 32)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return DenseFlatIndex.build(vecs, [f"d{i}" for i in range(512)])
+
+
+def make_service(corpus_index, **kw):
+    enc = FakeEncoder(delay_s=kw.pop("delay_s", 0.0))
+    svc = SearchService(enc, corpus_index, **kw)
+    return enc, svc
+
+
+class TestService:
+    def test_single_request_matches_direct_search(self, corpus_index):
+        enc, svc = make_service(corpus_index)
+        try:
+            res = svc.search(["hello world"], k=5)
+            assert len(res) == 1 and len(res[0]) == 5
+            q = enc.encode_queries(["hello world"])
+            scores, docids = corpus_index.search(q, 5)
+            assert [r["docid"] for r in res[0]] == [str(d) for d in docids[0]]
+            np.testing.assert_allclose(
+                [r["score"] for r in res[0]], scores[0], rtol=1e-5
+            )
+        finally:
+            svc.close()
+
+    def test_concurrent_requests_coalesce(self, corpus_index):
+        # the encode delay holds batch 1 on the device path while the
+        # other requests queue -> they MUST merge into fewer batches
+        enc, svc = make_service(
+            corpus_index, delay_s=0.05, max_wait_s=0.2, max_batch=64
+        )
+        try:
+            futs = [svc.submit([f"q{i}"], k=3) for i in range(8)]
+            results = [f.result(timeout=10) for f in futs]
+            assert all(len(r[0]) == 3 for r in results)
+            stats = svc.stats.snapshot()
+            assert stats["requests"] == 8
+            assert stats["batches"] < 8, stats
+            # every request still gets ITS OWN query's results
+            for i, r in enumerate(results):
+                q = enc.encode_queries([f"q{i}"])
+                _, docids = corpus_index.search(q, 3)
+                assert [x["docid"] for x in r[0]] == [str(d) for d in docids[0]]
+        finally:
+            svc.close()
+
+    def test_mixed_k_in_one_batch(self, corpus_index):
+        enc, svc = make_service(
+            corpus_index, delay_s=0.05, max_wait_s=0.2, max_batch=64
+        )
+        try:
+            f1 = svc.submit(["a"], k=2)
+            f2 = svc.submit(["b"], k=9)
+            assert len(f1.result(10)[0]) == 2
+            assert len(f2.result(10)[0]) == 9
+        finally:
+            svc.close()
+
+    def test_validation(self, corpus_index):
+        _, svc = make_service(corpus_index, max_k=100)
+        try:
+            with pytest.raises(ValueError, match="non-empty"):
+                svc.submit([])
+            with pytest.raises(ValueError, match="non-empty"):
+                svc.submit(["ok", ""])
+            with pytest.raises(ValueError, match="k must be"):
+                svc.submit(["x"], k=101)
+            with pytest.raises(ValueError, match="at most"):
+                svc.submit(["x"] * 1000, k=5)
+        finally:
+            svc.close()
+
+    def test_oversize_batch_defers_to_next(self, corpus_index):
+        _, svc = make_service(
+            corpus_index, delay_s=0.05, max_wait_s=0.2, max_batch=4
+        )
+        try:
+            futs = [svc.submit([f"q{i}", f"r{i}"], k=2) for i in range(4)]
+            for f in futs:
+                assert len(f.result(10)) == 2
+            assert svc.stats.snapshot()["batches"] >= 2
+        finally:
+            svc.close()
+
+    def test_consumer_survives_encoder_failure(self, corpus_index):
+        enc, svc = make_service(corpus_index)
+        try:
+            boom = {"n": 0}
+            orig = enc.encode_queries
+
+            def flaky(texts, batch_size=64):
+                if boom["n"] == 0:
+                    boom["n"] = 1
+                    raise RuntimeError("transient encode failure")
+                return orig(texts, batch_size)
+
+            enc.encode_queries = flaky
+            with pytest.raises(RuntimeError, match="transient"):
+                svc.search(["x"], k=1)
+            # the consumer thread must still be alive and serving
+            assert svc.search(["y"], k=1)[0]
+            assert svc.stats.snapshot()["errors"] == 1
+        finally:
+            svc.close()
+
+
+class TestHTTP:
+    @pytest.fixture()
+    def server(self, corpus_index):
+        enc, svc = make_service(corpus_index, max_wait_s=0.01)
+        srv = make_server(svc, port=0, info={"model": "fake"})
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv.server_address[:2], enc, svc
+        srv.shutdown()
+        svc.close()
+
+    def _req(self, addr, method, path, body=None):
+        conn = http.client.HTTPConnection(*addr, timeout=10)
+        conn.request(
+            method, path,
+            body=json.dumps(body) if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        conn.close()
+        return resp.status, data
+
+    def test_healthz(self, server):
+        addr, _, _ = server
+        status, data = self._req(addr, "GET", "/healthz")
+        assert status == 200 and data["ok"] and data["model"] == "fake"
+        assert "stats" in data
+
+    def test_search_roundtrip(self, server):
+        addr, enc, _ = server
+        status, data = self._req(
+            addr, "POST", "/search", {"queries": ["foo", "bar"], "k": 4}
+        )
+        assert status == 200
+        assert len(data["results"]) == 2
+        assert all(len(r) == 4 for r in data["results"])
+        assert {"docid", "score"} <= set(data["results"][0][0])
+
+    def test_bad_requests(self, server):
+        addr, _, _ = server
+        assert self._req(addr, "POST", "/search", {"queries": []})[0] == 400
+        assert self._req(addr, "POST", "/search", {"queries": "notalist"})[0] == 400
+        assert self._req(addr, "GET", "/nope")[0] == 404
+        assert self._req(addr, "POST", "/nope", {})[0] == 404

@@ -36,6 +36,31 @@ def test_exact_vs_oracle(method, n, k, rng):
     np.testing.assert_array_equal(np.asarray(idx), ref_idx)
 
 
+def test_single_query_batches(rng):
+    """B in {1..7}: online serving sends tiny batches; Mosaic rejects a
+    degenerate (1, dim) q tile ('vector.broadcast' verification error on
+    hardware), so _prep_shard pads every small batch to the 8-sublane
+    tile. Exactness must survive the pad+slice round trip on every
+    entry point."""
+    from codemix_dense_retrieval_tpu.ops.topk import (
+        topk_ip_bins,
+        topk_ip_bins_two_level,
+        topk_ip_oracle,
+    )
+
+    for b in (1, 3, 7):
+        qs, docs = make_data(np.random.default_rng(100 + b), 2048, 32, b)
+        ref_v, ref_i = topk_ip_oracle(qs, docs, 50)
+        for fn in (
+            lambda q, d: topk_ip_bins(q, d, 50, bin_size=16),
+            lambda q, d: topk_ip_bins_two_level(q, d, 50, super_size=4),
+        ):
+            vals, idx = fn(jnp.asarray(qs), jnp.asarray(docs))
+            assert idx.shape == (b, 50)
+            np.testing.assert_array_equal(np.asarray(idx), ref_i)
+            np.testing.assert_allclose(np.asarray(vals), ref_v, rtol=1e-5, atol=1e-5)
+
+
 def test_adversarial_clustered_topk(rng):
     """All true top-k rows inside ONE bin — the case where naive bin-max
     (approx_max_k-style) is wrong and the cover algorithm must still be exact."""
