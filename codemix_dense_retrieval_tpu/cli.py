@@ -578,11 +578,16 @@ def cmd_serve(args) -> None:
 
     encoder = _build_encoder(args)
     index = _device_index(DenseFlatIndex.load(args.index), args)
+    if args.approx:
+        index.enable_sketch(
+            sketch_dim=args.sketch_dim, probe_bins=args.probe_bins or None
+        )
     service = SearchService(
         encoder, index,
         default_k=args.k, max_k=args.max_k,
         max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1000.0,
         encode_batch=args.enc_batch,
+        approx=args.approx,
     )
     server = make_server(
         service, host=args.host, port=args.port,
@@ -804,6 +809,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max coalesced queries per device batch")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="max wait after the first request before dispatch")
+    p.add_argument("--approx", action="store_true",
+                   help="serve through the PCA-sketch tier: faster, "
+                        "approximate, each result carries a per-query "
+                        "'certified' flag (True = provably exact); "
+                        "response rows become {hits, certified}")
+    p.add_argument("--sketch_dim", type=int, default=128,
+                   help="sketch dimensionality for --approx")
+    p.add_argument("--probe_bins", type=int, default=0,
+                   help="bins probed per shard for --approx (0 = auto; "
+                        "the FAISS nprobe analog)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

@@ -47,6 +47,8 @@ class DenseFlatIndex:
         self._counts_dev = None
         self._rows_per_shard = 0
         self.search_kwargs = {}
+        self._sketch = None  # (sketch_sharded, tails_sharded, proj, kwargs)
+        self.last_certified: Optional[np.ndarray] = None
 
     # ---------------- constructors ----------------
 
@@ -124,6 +126,45 @@ class DenseFlatIndex:
             )
         return self
 
+    def enable_sketch(
+        self,
+        sketch_dim: int = 128,
+        *,
+        sample: int = 131072,
+        expand: float = 4.0,
+        probe_bins: Optional[int] = None,
+    ) -> "DenseFlatIndex":
+        """Build the approximate tier: fit a PCA sketch on a row sample
+        (host), project rows + tail bounds on-device (shard-local matmul),
+        and arm ``search(..., approx=True)``. See
+        :mod:`~codemix_dense_retrieval_tpu.ops.sketch`."""
+        import jax as _jax
+
+        from codemix_dense_retrieval_tpu.ops.sketch import fit_sketch, sketch_rows
+
+        if self.store.manifest.dtype == "int8":
+            raise ValueError(
+                "sketch tier requires a float index (int8 rows lack the "
+                "per-row scale inside the tail-bound math); build the "
+                "index as bfloat16"
+            )
+        if self._docs_dev is None:
+            self.to_device()
+        # strided row sample so merged (per-language-grouped) stores
+        # contribute uniformly, not just the first language's block
+        vecs = self.store.vectors
+        stride = max(1, len(vecs) // max(sample, 1))
+        proj = jnp.asarray(
+            fit_sketch(
+                np.asarray(vecs[::stride][:sample], np.float32),
+                sketch_dim,
+                sample=sample,
+            )
+        )
+        sk, tails = _jax.jit(sketch_rows)(self._docs_dev, proj)
+        self._sketch = (sk, tails, proj, {"expand": expand, "probe_bins": probe_bins})
+        return self
+
     # ---------------- search ----------------
 
     def search(
@@ -133,13 +174,20 @@ class DenseFlatIndex:
         *,
         return_docids: bool = True,
         query_block: int = 0,
+        approx: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact top-k. Returns (scores (B,k) f32, docids (B,k) object) —
+        """Top-k. Returns (scores (B,k) f32, docids (B,k) object) —
         or raw global row ids with ``return_docids=False``.
 
         ``query_block``: process queries in fixed-size jit-friendly blocks
         (0 = one dispatch). Matches the reference's ``--qblock`` batching
         (`onepass_dense_mix_run_custom_lang.py:875-886`).
+
+        ``approx=True`` searches through the sketch tier (call
+        :meth:`enable_sketch` first, or defaults are used): faster,
+        approximate, with per-query exactness certificates left in
+        ``self.last_certified`` (bool (B,): True rows are provably
+        identical to exact search).
         """
         if self._docs_dev is None:
             self.to_device()
@@ -181,19 +229,46 @@ class DenseFlatIndex:
         # dispatch every block before materializing any result: JAX's async
         # dispatch then overlaps host work (upload of block i+1, TREC
         # formatting upstream) with device search of block i
-        pending = [
-            sharded_topk_ip(
-                jnp.asarray(blk, dtype),
-                self._docs_dev,
-                self._counts_dev,
-                k,
-                mesh=self.mesh,
-                **self.search_kwargs,
+        if approx:
+            if self._sketch is None:
+                self.enable_sketch()
+            sk, tails, proj, skw = self._sketch
+            from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+                sharded_topk_ip_sketch,
             )
-            for blk in blocks
-        ]
-        vals = np.concatenate([np.asarray(v) for v, _ in pending], axis=0)[:n_q]
-        gids = np.concatenate([np.asarray(g) for _, g in pending], axis=0)[:n_q]
+
+            pending = [
+                sharded_topk_ip_sketch(
+                    jnp.asarray(blk, dtype),
+                    self._docs_dev,
+                    self._counts_dev,
+                    sk,
+                    tails,
+                    proj,
+                    k,
+                    mesh=self.mesh,
+                    **skw,
+                )
+                for blk in blocks
+            ]
+            self.last_certified = np.concatenate(
+                [np.asarray(c) for _, _, c in pending]
+            )[:n_q]
+        else:
+            pending = [
+                sharded_topk_ip(
+                    jnp.asarray(blk, dtype),
+                    self._docs_dev,
+                    self._counts_dev,
+                    k,
+                    mesh=self.mesh,
+                    **self.search_kwargs,
+                )
+                for blk in blocks
+            ]
+            self.last_certified = None
+        vals = np.concatenate([np.asarray(p[0]) for p in pending], axis=0)[:n_q]
+        gids = np.concatenate([np.asarray(p[1]) for p in pending], axis=0)[:n_q]
         if not return_docids:
             return vals, gids
         return vals, self._docids[gids]

@@ -1,4 +1,14 @@
 from codemix_dense_retrieval_tpu.ops.topk import topk_ip, topk_ip_full, topk_ip_bins
 from codemix_dense_retrieval_tpu.ops.mix import mix_and_renorm, l2_normalize
+from codemix_dense_retrieval_tpu.ops.sketch import fit_sketch, sketch_rows, topk_ip_sketch
 
-__all__ = ["topk_ip", "topk_ip_full", "topk_ip_bins", "mix_and_renorm", "l2_normalize"]
+__all__ = [
+    "topk_ip",
+    "topk_ip_full",
+    "topk_ip_bins",
+    "mix_and_renorm",
+    "l2_normalize",
+    "fit_sketch",
+    "sketch_rows",
+    "topk_ip_sketch",
+]

@@ -1,0 +1,289 @@
+"""Approximate IP search via a PCA sketch, with per-query exactness
+certificates.
+
+This is the approximate tier of the index — the TPU-native analog of the
+FAISS capabilities the reference installs but never configures
+(``PCAMatrix`` pre-transforms + ``IndexRefineFlat`` refinement; the
+pipeline itself only ever builds ``IndexFlatIP``, reference
+`encode_multilingual_corpus.py:367`). Exact search's phase-1 kernel must
+stream every index byte per query block — an HBM floor no exact
+algorithm beats. This module breaks it for workloads that can tolerate
+(or verify) approximation:
+
+1. **Build**: fit an orthonormal projection ``P (d, ds)`` by *uncentered*
+   PCA over a row sample (uncentered because IP decomposes only under a
+   linear map: ``q.x = (P^T q).(P^T x) + q_tail.x_tail``). Store the f32
+   sketch ``S = X P`` and per-row tail norms ``t_x = ||x - P P^T x||``.
+2. **Probe**: a fused kernel computes per-bin maxima of the score UPPER
+   BOUND ``ub(x) = s_q.s_x + ||q_tail|| * t_x  (>= q.x`` by Cauchy-
+   Schwarz) — reading ``ds/d`` of the index bytes. The two-level
+   bin-max cover selects the top ``probe_bins`` bins by ``ub``.
+3. **Refine**: covered bins' full-d rows are gathered (contiguous G-row
+   slices) and rescored exactly on the MXU; final top-k.
+4. **Certify**: the cover's (probe_bins+1)-th bound is the max ``ub``
+   over every *unselected* bin. If it is below the k-th refined score,
+   no unselected row can enter the true top-k — that query's result is
+   PROVABLY the exact answer (modulo f32 accumulation, covered by a
+   small margin). Certification costs one extra top-k column.
+
+Recall/speed trade via ``probe_bins`` (the FAISS ``nprobe`` analog);
+``certified`` lets callers escalate uncertified queries to the exact
+path instead of trusting a recall estimate.
+
+Storage overhead: ``N*(ds*4+4)`` bytes — 1/4 of a bf16 index at
+ds=d/8. Real sentence-embedding matrices are strongly anisotropic (the
+reference measures this itself: `cm_embedding_space_analysis.py`
+anisotropy/ABTT sections), so a small ``ds`` captures most energy and
+tail bounds stay tight.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from codemix_dense_retrieval_tpu.ops.topk import (
+    NEG_INF,
+    _auto_bin_size,
+    _ceil_to,
+    _prep_shard,
+    _rescore_candidates,
+)
+
+# covers f32 accumulation round-off in the ub / refined-score comparison
+DEFAULT_CERT_MARGIN = 3e-5
+
+
+# --------------------------------------------------------------------------
+# build side
+# --------------------------------------------------------------------------
+
+def fit_sketch(
+    rows: np.ndarray, sketch_dim: int, *, sample: int = 131072, seed: int = 0
+) -> np.ndarray:
+    """Fit an orthonormal (d, ds) projection by uncentered PCA on a row
+    sample: top eigenvectors of ``E[x x^T]``. Deterministic."""
+    rows = np.asarray(rows)
+    n, d = rows.shape
+    if not 0 < sketch_dim <= d:
+        raise ValueError(f"sketch_dim={sketch_dim} not in (0, {d}]")
+    if n > sample:
+        idx = np.random.default_rng(seed).choice(n, size=sample, replace=False)
+        idx.sort()
+        rows = rows[idx]
+    x = rows.astype(np.float32)
+    cov = (x.T @ x) / max(1, len(x))
+    eigvals, eigvecs = np.linalg.eigh(cov.astype(np.float64))
+    order = np.argsort(eigvals)[::-1][:sketch_dim]
+    return np.ascontiguousarray(eigvecs[:, order].astype(np.float32))
+
+
+def sketch_rows(
+    docs: jnp.ndarray, proj: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row sketch + tail-norm bound (jit-able; row-sharded inputs stay
+    row-sharded — the matmul has no cross-row contraction).
+
+    Returns (sketch (N, ds) f32, tails (N,) f32) with
+    ``tails[i] >= ||x_i - P P^T x_i||`` for the f32 value of row i.
+    """
+    x = docs.astype(jnp.float32)
+    s = x @ proj.astype(jnp.float32)
+    # ||x_tail||^2 = ||x||^2 - ||P^T x||^2 (P orthonormal); relu guards
+    # round-off at near-zero tails
+    t2 = jnp.maximum(jnp.sum(x * x, axis=1) - jnp.sum(s * s, axis=1), 0.0)
+    return s, jnp.sqrt(t2)
+
+
+def sketch_queries(
+    queries: jnp.ndarray, proj: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Query-side sketch: (q_sketch (B, ds) f32, q_tail_norm (B,) f32)."""
+    return sketch_rows(queries, proj)
+
+
+# --------------------------------------------------------------------------
+# phase 1: fused upper-bound bin maxima (bin-major output)
+# --------------------------------------------------------------------------
+
+def _binub_pallas_kernel(nv_ref, qs_ref, qt_ref, ds_ref, dt_ref, binub_ref,
+                         *, bin_size, tile_n):
+    # ub tile = sketch scores + per-row tail bound * per-query tail norm,
+    # computed in the Mosaic-friendly (tile_n, tile_b) orientation (bin
+    # reduce splits the sublane dim), transposed in-VMEM to the bin-major
+    # output (see ops.topk._bin_scores_pallas_bm for why).
+    j = pl.program_id(1)
+    s = jax.lax.dot_general(
+        ds_ref[:], qs_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (tile_n, tile_b)
+    ub = s + dt_ref[:] * qt_ref[:].reshape(1, -1)
+    n_valid = nv_ref[0]
+    row = lax.broadcasted_iota(jnp.int32, ub.shape, 0) + j * tile_n
+    ub = jnp.where(row < n_valid, ub, NEG_INF)
+    binub_ref[:] = jnp.max(
+        ub.reshape(tile_n // bin_size, bin_size, ub.shape[1]), axis=1
+    ).T
+
+
+def _binub_pallas(
+    q_sketch: jnp.ndarray,  # (B, ds) f32
+    q_tail: jnp.ndarray,  # (B, 1) f32
+    d_sketch: jnp.ndarray,  # (Npad, ds) f32
+    d_tail: jnp.ndarray,  # (Npad, 1) f32
+    bin_size: int,
+    n_valid,
+    *,
+    tile_b: int = 512,
+    tile_n: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused phase 1 over the SKETCH: one pass emits bin-major per-bin
+    maxima of the score upper bound, (B, Npad/G) f32. The full-d score
+    matrix never exists."""
+    b, ds = q_sketch.shape
+    n_pad = d_sketch.shape[0]
+    assert n_pad % tile_n == 0 and tile_n % bin_size == 0
+    tile_b = min(tile_b, b)
+    assert b % tile_b == 0, (b, tile_b)
+    kernel = functools.partial(
+        _binub_pallas_kernel, bin_size=bin_size, tile_n=tile_n
+    )
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tile_b, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, ds), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, ds), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_b, tile_n // bin_size), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * ds,
+            bytes_accessed=(
+                b * ds * 4 + n_pad * ds * 4 + n_pad * 4
+                + b * (n_pad // bin_size) * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nv, q_sketch, q_tail, d_sketch, d_tail)
+
+
+# --------------------------------------------------------------------------
+# phase 2: cover + certificate bound
+# --------------------------------------------------------------------------
+
+def _select_bins_two_level_cert(
+    bin_ub: jnp.ndarray,  # (B, nb) bin-major upper-bound maxima
+    k_bins: int,
+    super_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top ``k_bins`` bins by upper bound via the two-level slice-gather
+    cover (ops.topk._select_bins_two_level), plus the certificate bound:
+    ``unsel_ub[q]`` = max ub over every UNSELECTED bin — the max of the
+    best unselected super's max (bounds all its bins) and the best
+    covered-but-unselected bin. Returns (bin_ids (B, kb) asc, unsel_ub (B,)).
+    """
+    b, nb = bin_ub.shape
+    ns = nb // super_size
+    bm3 = bin_ub.reshape(b, ns, super_size)
+    super_max = bm3.max(axis=2)
+    ks = min(k_bins, ns)
+    sup_vals, sup_ids = lax.top_k(super_max, min(ks + 1, ns))
+    unsel_super = (
+        sup_vals[:, ks] if ns > ks else jnp.full((b,), NEG_INF, jnp.float32)
+    )
+    sup_ids = lax.sort(sup_ids[:, :ks], dimension=1)
+    cand_bm = jnp.take_along_axis(bm3, sup_ids[:, :, None], axis=1)  # (b, ks, M)
+    cand_bins = (
+        sup_ids[:, :, None] * super_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, super_size), 2)
+    ).reshape(b, ks * super_size)
+    n_cand = cand_bins.shape[1]
+    kb = min(k_bins, n_cand)
+    vals2, pos = lax.top_k(cand_bm.reshape(b, -1), min(kb + 1, n_cand))
+    unsel_cand = (
+        vals2[:, kb] if n_cand > kb else jnp.full((b,), NEG_INF, jnp.float32)
+    )
+    bin_ids = jnp.take_along_axis(cand_bins, pos[:, :kb], axis=1)
+    return lax.sort(bin_ids, dimension=1), jnp.maximum(unsel_super, unsel_cand)
+
+
+def _default_probe_bins(k: int, bin_size: int, nb: int, expand: float) -> int:
+    min_bins = -(-k // bin_size)
+    return max(min(nb, int(math.ceil(min_bins * expand))), min(min_bins + 4, nb))
+
+
+def topk_ip_sketch(
+    queries: jnp.ndarray,  # (B, d)
+    docs: jnp.ndarray,  # (N, d) full-precision rows (bf16/f32)
+    d_sketch: jnp.ndarray,  # (N, ds) f32 from sketch_rows
+    d_tail: jnp.ndarray,  # (N,) f32 from sketch_rows
+    proj: jnp.ndarray,  # (d, ds) f32 from fit_sketch
+    k: int,
+    *,
+    probe_bins: Optional[int] = None,
+    expand: float = 4.0,
+    bin_size: int = 8,
+    super_size: int = 8,
+    tile_b: int = 512,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    n_valid=None,
+    cert_margin: float = DEFAULT_CERT_MARGIN,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Approximate top-k with per-query exactness certificates.
+
+    Returns (values f32 (B, k), indices int32 (B, k), certified bool (B,)).
+    ``certified[q]`` True means row q's result is PROVABLY identical to
+    exact search (no unselected bin's upper bound reaches the k-th
+    refined score; strict comparison with ``cert_margin`` absorbing f32
+    accumulation order). Recall of uncertified rows depends on the data's
+    spectral decay; tune ``probe_bins``/``expand`` (``nprobe`` analog).
+    """
+    if probe_bins is None:
+        nb_est = _ceil_to(docs.shape[0], tile_n) // bin_size
+        probe_bins = _default_probe_bins(k, bin_size, nb_est, expand)
+    q_sketch, q_tail = sketch_queries(queries, proj)
+    (
+        (docs, d_sketch, d_tail),
+        (queries, q_sketch, q_tail),
+        n_valid, eff_tile_b, b, b_pad, interpret,
+    ) = _prep_shard(
+        k, n_valid, tile_b, tile_n, interpret,
+        [docs, d_sketch, d_tail.reshape(-1, 1)],
+        [queries, q_sketch, q_tail.reshape(-1, 1)],
+        chunk=bin_size * super_size,
+    )
+    bin_ub = _binub_pallas(
+        q_sketch, q_tail, d_sketch, d_tail, bin_size, n_valid,
+        tile_b=eff_tile_b, tile_n=tile_n, interpret=interpret,
+    )
+    if b_pad != b:
+        bin_ub = bin_ub[:b]
+        queries = queries[:b]
+    kb = min(probe_bins, bin_ub.shape[1])
+    bin_ids, unsel_ub = _select_bins_two_level_cert(bin_ub, kb, super_size)
+    if kb * bin_size < k:
+        raise ValueError(
+            f"probe_bins={kb} x bin_size={bin_size} < k={k}: too few candidates"
+        )
+    vals, idx = _rescore_candidates(docs, queries, bin_ids, bin_size, n_valid, k)
+    certified = (unsel_ub + cert_margin) < vals[:, -1]
+    return vals, idx, certified

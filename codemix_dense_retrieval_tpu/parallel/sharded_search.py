@@ -176,6 +176,103 @@ def _build_sharded_search(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _build_sharded_sketch_search(
+    mesh: Mesh,
+    axis: str,
+    k: int,
+    probe_bins: int,
+    bin_size: int,
+    super_size: int,
+    tile_n: int,
+    tile_b: int,
+    interpret: bool,
+    rows_per_shard: int,
+):
+    """Compiled sharded SKETCH search (approximate + certified), cached by
+    static config like :func:`_build_sharded_search`.
+
+    Each shard probes its local bins; the all-gather merge is identical to
+    the exact path. A query's global certificate is the AND of its
+    per-shard certificates — every shard's local top-k being provably
+    exact makes the merged global top-k provably exact.
+    """
+    from codemix_dense_retrieval_tpu.ops import sketch as sketch_ops
+
+    def local_search(q, d, cnt, d_sk, d_tail, proj):
+        shard_id = lax.axis_index(axis)
+        vals, idx, cert = sketch_ops.topk_ip_sketch(
+            q, d, d_sk, d_tail, proj, k,
+            probe_bins=probe_bins, bin_size=bin_size, super_size=super_size,
+            tile_b=tile_b, tile_n=tile_n, interpret=interpret,
+            n_valid=cnt[0],
+        )
+        gids = idx + shard_id * rows_per_shard
+        vals_all = lax.all_gather(vals, axis, axis=1, tiled=True)  # (B, S*k)
+        gids_all = lax.all_gather(gids, axis, axis=1, tiled=True)
+        cert_all = lax.all_gather(cert[:, None], axis, axis=1, tiled=True)
+        neg, ids = lax.sort((-vals_all, gids_all), num_keys=2)
+        return -neg[:, :k], ids[:, :k], cert_all.all(axis=1)
+
+    return jax.jit(
+        shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P(axis, None), P(axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_topk_ip_sketch(
+    queries: jnp.ndarray,
+    docs_sharded: jax.Array,
+    counts: jax.Array,
+    sketch_sharded: jax.Array,
+    tails_sharded: jax.Array,
+    proj: jnp.ndarray,
+    k: int,
+    *,
+    mesh: Mesh,
+    axis: str = "shard",
+    probe_bins: Optional[int] = None,
+    expand: float = 4.0,
+    bin_size: int = 8,
+    super_size: int = 8,
+    tile_n: int = 1024,
+    tile_b: int = 512,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Approximate global top-k over a row-sharded index with per-query
+    exactness certificates (:mod:`~codemix_dense_retrieval_tpu.ops.sketch`).
+
+    ``sketch_sharded``/``tails_sharded`` as produced by jitting
+    :func:`~codemix_dense_retrieval_tpu.ops.sketch.sketch_rows` over the
+    sharded rows. Returns replicated (values (B, k), global ids (B, k),
+    certified (B,) bool).
+    """
+    from codemix_dense_retrieval_tpu.ops.sketch import _default_probe_bins
+
+    s = mesh.shape[axis]
+    rows_per_shard = docs_sharded.shape[0] // s
+    if k > rows_per_shard:
+        raise ValueError(
+            f"k={k} > rows_per_shard={rows_per_shard}; lower k or use fewer shards"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if probe_bins is None:
+        probe_bins = _default_probe_bins(
+            k, bin_size, rows_per_shard // bin_size, expand
+        )
+    fn = _build_sharded_sketch_search(
+        mesh, axis, k, probe_bins, bin_size, super_size, tile_n, tile_b,
+        bool(interpret), rows_per_shard,
+    )
+    return fn(queries, docs_sharded, counts, sketch_sharded, tails_sharded, proj)
+
+
 def sharded_topk_ip(
     queries: jnp.ndarray,
     docs_sharded: jax.Array,

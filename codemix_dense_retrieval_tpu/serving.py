@@ -21,7 +21,10 @@ Design (stdlib only — no server-framework dependency):
 
 Endpoints: ``GET /healthz`` (liveness + stats), ``POST /search``
 ``{"queries": [...], "k": 10}`` -> ``{"results": [[{"docid", "score"},
-...], ...]}``.
+...], ...]}``. With ``approx=True`` (the PCA-sketch tier,
+:mod:`~codemix_dense_retrieval_tpu.ops.sketch`) each result row becomes
+``{"hits": [...], "certified": bool}`` — ``certified`` True means that
+query's results are provably identical to exact search.
 """
 
 from __future__ import annotations
@@ -83,9 +86,15 @@ class SearchService:
         max_batch: int = 256,
         max_wait_s: float = 0.005,
         encode_batch: int = 64,
+        approx: bool = False,
     ) -> None:
         self.encoder = encoder
         self.index = index
+        # approximate (sketch) tier: faster search with per-query
+        # exactness certificates surfaced in each result row
+        self.approx = approx
+        if approx and not hasattr(index, "enable_sketch"):
+            raise ValueError(f"{type(index).__name__} has no sketch tier")
         self.default_k = default_k
         self.max_k = max_k
         self.max_batch = max_batch
@@ -192,7 +201,12 @@ class SearchService:
                     q = np.concatenate(
                         [q, np.zeros((bucket - len(texts), q.shape[1]), q.dtype)]
                     )
-                scores, docids = self.index.search(q, k_max)
+                if self.approx:
+                    scores, docids = self.index.search(q, k_max, approx=True)
+                    certified = self.index.last_certified
+                else:
+                    scores, docids = self.index.search(q, k_max)
+                    certified = None
                 with self.stats._lock:
                     self.stats.batches += 1
                     self.stats.batched_queries += len(texts)
@@ -208,6 +222,11 @@ class SearchService:
                         ]
                         for i in range(n)
                     ]
+                    if certified is not None:
+                        res = [
+                            {"hits": r, "certified": bool(certified[off + i])}
+                            for i, r in enumerate(res)
+                        ]
                     off += n
                     p.future.set_result(res)
             except Exception as exc:  # noqa: BLE001 — must not kill the consumer

@@ -143,6 +143,26 @@ class TestService:
         finally:
             svc.close()
 
+    def test_approx_mode_returns_certificates(self, corpus_index):
+        corpus_index.enable_sketch(sketch_dim=16, probe_bins=48)
+        enc, svc = make_service(corpus_index, approx=True)
+        try:
+            res = svc.search(["hello world", "second"], k=5)
+            assert len(res) == 2
+            for row in res:
+                assert set(row) == {"hits", "certified"}
+                assert isinstance(row["certified"], bool)
+                assert len(row["hits"]) == 5
+        finally:
+            svc.close()
+
+    def test_approx_requires_sketch_capable_index(self, corpus_index):
+        class NoSketch:
+            count = 10
+
+        with pytest.raises(ValueError, match="sketch"):
+            SearchService(FakeEncoder(), NoSketch(), approx=True)
+
 
 class TestHTTP:
     @pytest.fixture()

@@ -1,0 +1,216 @@
+"""Sketch (approximate + certified) search: ops/sketch.py.
+
+Soundness contract under test: whenever ``certified[q]`` is True, row q's
+(values, indices) must EXACTLY match the f32 oracle — on easy
+(anisotropic) data and on adversarially hard (isotropic) data alike.
+Recall quality is asserted only on anisotropic data, which is what real
+sentence embeddings look like (the reference's own analyzer measures
+strong anisotropy: `cm_embedding_space_analysis.py` anisotropy section).
+"""
+
+import numpy as np
+import pytest
+
+from codemix_dense_retrieval_tpu.ops.sketch import (
+    fit_sketch,
+    sketch_rows,
+    topk_ip_sketch,
+)
+from codemix_dense_retrieval_tpu.ops.topk import topk_ip_oracle
+
+import jax.numpy as jnp
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _anisotropic(rng, n, d, decay=0.03):
+    """Rows with exponentially decaying spectrum (sentence-embedding-like)."""
+    spectrum = np.exp(-decay * np.arange(d)).astype(np.float32)
+    x = rng.standard_normal((n, d)).astype(np.float32) * spectrum
+    return _normalize(x)
+
+
+def _run_sketch(queries, docs, ds, k, **kw):
+    proj = fit_sketch(docs, ds)
+    s, t = sketch_rows(jnp.asarray(docs), jnp.asarray(proj))
+    vals, idx, cert = topk_ip_sketch(
+        jnp.asarray(queries), jnp.asarray(docs), s, t, jnp.asarray(proj), k, **kw
+    )
+    return np.asarray(vals), np.asarray(idx), np.asarray(cert), proj
+
+
+def _assert_certified_exact(vals, idx, cert, queries, docs, k):
+    ovals, oidx = topk_ip_oracle(queries, docs, k)
+    n_cert = int(cert.sum())
+    for q in np.flatnonzero(cert):
+        np.testing.assert_array_equal(idx[q], oidx[q], err_msg=f"query {q}")
+        np.testing.assert_allclose(vals[q], ovals[q], rtol=2e-3, atol=2e-3)
+    return n_cert, oidx
+
+
+def test_proj_orthonormal():
+    rng = np.random.default_rng(0)
+    docs = _anisotropic(rng, 2048, 64)
+    proj = fit_sketch(docs, 16)
+    np.testing.assert_allclose(proj.T @ proj, np.eye(16), atol=1e-5)
+
+
+def test_tail_norms_bound():
+    rng = np.random.default_rng(1)
+    docs = _anisotropic(rng, 512, 64)
+    proj = fit_sketch(docs, 16)
+    s, t = sketch_rows(jnp.asarray(docs), jnp.asarray(proj))
+    resid = docs - (np.asarray(s) @ proj.T)
+    np.testing.assert_allclose(
+        np.asarray(t), np.linalg.norm(resid, axis=1), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_full_dim_sketch_is_exact():
+    """ds == d: tails vanish, the cover is the exact two-level cover."""
+    rng = np.random.default_rng(2)
+    docs = _normalize(rng.standard_normal((3000, 64)).astype(np.float32))
+    queries = _normalize(rng.standard_normal((16, 64)).astype(np.float32))
+    # probe >= k bins: the exact two-level cover guarantee applies
+    vals, idx, cert, _ = _run_sketch(queries, docs, 64, 10, probe_bins=16)
+    ovals, oidx = topk_ip_oracle(queries, docs, 10)
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=2e-3, atol=2e-3)
+    assert cert.all()
+
+
+def test_anisotropic_recall_and_certificates():
+    rng = np.random.default_rng(3)
+    docs = _anisotropic(rng, 6000, 128)
+    queries = _anisotropic(rng, 32, 128)
+    k = 10
+    vals, idx, cert, _ = _run_sketch(queries, docs, 32, k, probe_bins=32)
+    n_cert, oidx = _assert_certified_exact(vals, idx, cert, queries, docs, k)
+    # anisotropic data: the sketch captures most energy -> high recall
+    recall = np.mean([len(set(idx[q]) & set(oidx[q])) / k for q in range(len(queries))])
+    assert recall >= 0.9, recall
+
+
+def test_isotropic_certificates_stay_sound():
+    """Worst-case (flat-spectrum) data with a tiny sketch: recall may
+    crater but certification must never lie."""
+    rng = np.random.default_rng(4)
+    docs = _normalize(rng.standard_normal((4096, 256)).astype(np.float32))
+    queries = _normalize(rng.standard_normal((24, 256)).astype(np.float32))
+    k = 10
+    vals, idx, cert, _ = _run_sketch(queries, docs, 8, k, expand=2.0)
+    _assert_certified_exact(vals, idx, cert, queries, docs, k)
+    # with an 8/256 sketch of isotropic data nearly nothing is provable
+    assert cert.mean() <= 0.5
+
+
+def test_probe_bins_monotone_recall():
+    rng = np.random.default_rng(5)
+    # decay=0.05: ~91% of row energy in the top-24 components — mild
+    # compared to real sentence embeddings (BGE-M3 concentrates harder)
+    docs = _anisotropic(rng, 4096, 128, decay=0.05)
+    queries = _anisotropic(rng, 16, 128, decay=0.05)
+    k = 10
+    _, oidx = topk_ip_oracle(queries, docs, k)
+
+    def recall(probe_bins):
+        _, idx, _, _ = _run_sketch(queries, docs, 24, k, probe_bins=probe_bins)
+        return np.mean(
+            [len(set(idx[q]) & set(oidx[q])) / k for q in range(len(queries))]
+        )
+
+    r_small, r_big = recall(4), recall(64)
+    assert r_big >= r_small
+    assert r_big >= 0.98, r_big
+
+
+def test_ragged_rows_and_single_query():
+    """Row count not a tile multiple; B=1 (sublane-pad path)."""
+    rng = np.random.default_rng(6)
+    docs = _anisotropic(rng, 3037, 64)
+    queries = _anisotropic(rng, 1, 64)
+    vals, idx, cert, _ = _run_sketch(queries, docs, 32, 5, expand=8.0)
+    assert idx.shape == (1, 5) and cert.shape == (1,)
+    assert (idx < 3037).all()
+    _assert_certified_exact(vals, idx, cert, queries, docs, 5)
+
+
+def test_too_few_probe_bins_raises():
+    rng = np.random.default_rng(7)
+    docs = _anisotropic(rng, 2048, 64)
+    queries = _anisotropic(rng, 8, 64)
+    with pytest.raises(ValueError, match="too few candidates"):
+        _run_sketch(queries, docs, 16, 64, probe_bins=2)
+
+
+# --------------------------------------------------------------------------
+# sharded + index-level integration (virtual 8-CPU mesh)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh(eight_cpu_devices):
+    from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+    return make_mesh(shard=8, tp=1, devices=eight_cpu_devices)
+
+
+def test_sharded_sketch_certified_matches_oracle(mesh):
+    import jax
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.parallel import shard_rows
+    from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+        sharded_topk_ip_sketch,
+    )
+
+    rng = np.random.default_rng(10)
+    n, d, ds, b, k = 6000, 64, 24, 16, 10
+    docs = _anisotropic(rng, n, d, decay=0.05)
+    queries = _anisotropic(rng, b, d, decay=0.05)
+    proj = jnp.asarray(fit_sketch(docs, ds))
+    docs_dev, counts, rows_per_shard = shard_rows(docs, mesh, pad_multiple=256)
+    sk, tails = jax.jit(sketch_rows)(docs_dev, proj)
+    assert sk.shape[0] == docs_dev.shape[0]
+    vals, gids, cert = sharded_topk_ip_sketch(
+        jnp.asarray(queries), docs_dev, counts, sk, tails, proj, k,
+        mesh=mesh, probe_bins=32, tile_n=256,
+    )
+    vals, gids, cert = np.asarray(vals), np.asarray(gids), np.asarray(cert)
+    n_cert, oidx = _assert_certified_exact(vals, gids, cert, queries, docs, k)
+    recall = np.mean([len(set(gids[q]) & set(oidx[q])) / k for q in range(b)])
+    assert recall >= 0.9, recall
+
+
+def test_index_approx_search(tmp_path, mesh):
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(11)
+    n, d, k = 5000, 64, 10
+    docs = _anisotropic(rng, n, d, decay=0.05)
+    queries = _anisotropic(rng, 8, d, decay=0.05)
+    ids = [f"d{i}" for i in range(n)]
+    idx = DenseFlatIndex.build(docs, ids, dtype="bfloat16", lang="en")
+    idx.to_device(mesh, pad_multiple=256)
+    idx.enable_sketch(sketch_dim=24, probe_bins=48)
+    # sketch search path needs tile_n-compatible shards on the tiny mesh
+    vals, docids = idx.search(queries, k, approx=True)
+    assert idx.last_certified is not None and idx.last_certified.shape == (8,)
+    evals, edocids = idx.search(queries, k)
+    assert idx.last_certified is None
+    for q in range(8):
+        hit = len(set(docids[q]) & set(edocids[q])) / k
+        assert hit >= 0.8, (q, hit)
+
+
+def test_index_sketch_rejects_int8(tmp_path, mesh):
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(12)
+    docs = _anisotropic(rng, 1024, 32)
+    idx = DenseFlatIndex.build(docs, [str(i) for i in range(1024)], dtype="int8")
+    idx.to_device(mesh, pad_multiple=256)
+    with pytest.raises(ValueError, match="int8"):
+        idx.enable_sketch(sketch_dim=8)
