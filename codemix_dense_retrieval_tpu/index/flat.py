@@ -49,6 +49,7 @@ class DenseFlatIndex:
         self.search_kwargs = {}
         self._sketch = None  # (sketch_sharded, tails_sharded, proj, kwargs)
         self.last_certified: Optional[np.ndarray] = None
+        self._mutable = None  # host mirror for online add/remove
 
     # ---------------- constructors ----------------
 
@@ -84,6 +85,9 @@ class DenseFlatIndex:
 
     @property
     def count(self) -> int:
+        """Live row count (reflects online add/remove)."""
+        if self._mutable is not None:
+            return int(self._mutable["counts"].sum())
         return self.store.count
 
     @property
@@ -96,7 +100,7 @@ class DenseFlatIndex:
         return self._docids
 
     def save(self, directory) -> None:
-        self.store.save(directory)
+        self.to_store().save(directory)
 
     # ---------------- device residency ----------------
 
@@ -125,6 +129,207 @@ class DenseFlatIndex:
                 self.store.scales, self.mesh, self._rows_per_shard
             )
         return self
+
+    # ---------------- online mutation ----------------
+    #
+    # FAISS's IndexIDMap supports add_with_ids/remove_ids on a live index;
+    # the TPU-native equivalent must mutate STATIC-shaped device arrays.
+    # Design: shards are capacity-padded (shard_rows pads to rows_per_shard)
+    # and masked by per-shard valid-row COUNTS (already a traced argument,
+    # so mutations never retrace the search program). Adds write into pad
+    # space; removes SWAP the shard's last valid row into the hole and
+    # decrement the count (no tombstones — the count mask stays exact).
+    # When pad space runs out the index regrows with amortized headroom.
+
+    def _ensure_mutable(self) -> None:
+        if self._docs_dev is None:
+            self.to_device()
+        if self.store.manifest.dtype == "int8":
+            raise ValueError(
+                "online mutation requires a float index (int8 rows would "
+                "need scale-sidecar swaps); build the index as bfloat16"
+            )
+        if self._mutable is not None:
+            return
+        s = self.mesh.shape["shard"]
+        rps = self._rows_per_shard
+        n, d = self.store.count, self.dim
+        rows = np.zeros((s * rps, d), np.float32)
+        rows[:n] = np.asarray(self.store.vectors, np.float32)
+        counts = np.clip(n - rps * np.arange(s), 0, rps).astype(np.int64)
+        docids = np.empty(s * rps, dtype=object)
+        docids[:n] = self._docids[:n]
+        self._mutable = {
+            "rows": rows,
+            "counts": counts,
+            "docids": docids,
+            "row_of": {str(docids[i]): i for i in range(n)},
+        }
+        self._docids = docids
+
+    def _refresh_counts(self) -> None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        self._counts_dev = jax.device_put(
+            self._mutable["counts"].astype(np.int32),
+            NamedSharding(self.mesh, P("shard")),
+        )
+
+    def _scatter_rows(self, positions: np.ndarray, rows: np.ndarray) -> None:
+        """Write ``rows`` at global padded ``positions`` on device (one
+        jit scatter; GSPMD routes each row to its shard) and refresh the
+        per-shard counts + sketch sidecars."""
+        self._refresh_counts()
+        if len(positions) == 0:
+            return
+        pos_dev = jnp.asarray(positions, jnp.int32)
+        vals = jnp.asarray(rows, self._docs_dev.dtype)
+        upd = jax.jit(lambda a, p, v: a.at[p].set(v), donate_argnums=0)
+        self._docs_dev = upd(self._docs_dev, pos_dev, vals)
+        if self._sketch is not None:
+            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows
+
+            sk, tails, proj, skw = self._sketch
+            new_sk, new_tails = jax.jit(sketch_rows)(
+                vals.astype(jnp.float32), proj
+            )
+            sk = upd(sk, pos_dev, new_sk.astype(sk.dtype))
+            tails = upd(tails, pos_dev, new_tails)
+            self._sketch = (sk, tails, proj, skw)
+
+    def _grow(self, extra: int) -> None:
+        """Re-shard with amortized headroom (>= 1.5x valid rows + extra)."""
+        m = self._mutable
+        s = self.mesh.shape["shard"]
+        n_valid = self.count
+        target = int(1.5 * n_valid) + extra
+        new_rps = -(-max(1, -(-target // s)) // 1024) * 1024
+        rps = self._rows_per_shard
+        rows = np.zeros((s * new_rps, self.dim), np.float32)
+        docids = np.empty(s * new_rps, dtype=object)
+        counts = np.zeros(s, np.int64)
+        for sh in range(s):
+            c = int(m["counts"][sh])
+            rows[sh * new_rps : sh * new_rps + c] = m["rows"][sh * rps : sh * rps + c]
+            docids[sh * new_rps : sh * new_rps + c] = m["docids"][
+                sh * rps : sh * rps + c
+            ]
+            counts[sh] = c
+        m.update(
+            rows=rows, counts=counts, docids=docids,
+            row_of={str(docids[i]): i for i in np.flatnonzero(docids != None)},  # noqa: E711
+        )
+        self._docids = docids
+        self._rows_per_shard = new_rps
+        sketch_cfg = self._sketch
+        # the mirror is already laid out per-shard, so shard_rows slices it
+        # 1:1 onto devices; its derived counts are wrong for a padded
+        # layout (they assume one contiguous valid prefix) — refresh from
+        # the real per-shard counts
+        self._docs_dev, _, _ = shard_rows(
+            rows.astype(self._docs_dev.dtype), self.mesh, pad_multiple=new_rps
+        )
+        self._refresh_counts()
+        if sketch_cfg is not None:
+            # re-project the regrown layout in one shard-local matmul
+            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows as _sr
+
+            _, _, proj, skw = sketch_cfg
+            sk, tails = jax.jit(_sr)(self._docs_dev, proj)
+            self._sketch = (sk, tails, proj, skw)
+
+    def add(self, vectors: np.ndarray, docids: Sequence[str]) -> None:
+        """Add rows to the live index (FAISS ``add_with_ids`` analog).
+
+        New rows fill shard pad space (emptiest shard first, keeping the
+        row balance); the index regrows automatically when full.
+        Duplicate docids are rejected.
+        """
+        self._ensure_mutable()
+        m = self._mutable
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None]
+        docids = [str(x) for x in docids]
+        if len(docids) != len(vectors):
+            raise ValueError(f"{len(vectors)} rows vs {len(docids)} docids")
+        dup = [x for x in docids if x in m["row_of"]]
+        if dup:
+            raise ValueError(f"docids already present: {dup[:5]}")
+        if vectors.shape[1] != self.dim:
+            raise ValueError(f"row dim {vectors.shape[1]} != index dim {self.dim}")
+        s = self.mesh.shape["shard"]
+        spare = s * self._rows_per_shard - self.count
+        if len(vectors) > spare:
+            self._grow(len(vectors))
+        rps = self._rows_per_shard
+        positions = np.empty(len(vectors), np.int64)
+        for i in range(len(vectors)):
+            sh = min(range(s), key=lambda j: m["counts"][j])  # keep balance
+            pos = sh * rps + int(m["counts"][sh])
+            positions[i] = pos
+            m["counts"][sh] += 1
+            m["docids"][pos] = docids[i]
+            m["row_of"][docids[i]] = pos
+        m["rows"][positions] = vectors
+        self._scatter_rows(positions, vectors)
+
+    def remove(self, docids: Sequence[str]) -> int:
+        """Remove rows by docid (FAISS ``remove_ids`` analog); returns the
+        number actually removed. Unknown docids are ignored (FAISS
+        semantics). Each hole is filled by swapping in its shard's last
+        valid row, so the count mask stays exact."""
+        self._ensure_mutable()
+        m = self._mutable
+        rps = self._rows_per_shard
+        touched = {}
+        removed = 0
+        for did in map(str, docids):
+            pos = m["row_of"].pop(did, None)
+            if pos is None:
+                continue
+            removed += 1
+            sh = pos // rps
+            last = sh * rps + int(m["counts"][sh]) - 1
+            if pos != last:
+                moved = m["docids"][last]
+                m["rows"][pos] = m["rows"][last]
+                m["docids"][pos] = moved
+                m["row_of"][str(moved)] = pos
+                touched[pos] = None
+            m["docids"][last] = None
+            m["counts"][sh] -= 1
+            touched.pop(last, None)  # beyond the count mask now
+        if removed:
+            if touched:
+                positions = np.fromiter(touched, np.int64)
+                self._scatter_rows(positions, m["rows"][positions])
+            else:
+                self._scatter_rows(np.empty((0,), np.int64),
+                                   np.empty((0, self.dim), np.float32))
+        return removed
+
+    def to_store(self) -> ShardStore:
+        """Materialize the live (possibly mutated) rows as a ShardStore —
+        the persistence path for mutated indexes (``save()`` uses it)."""
+        if self._mutable is None:
+            return self.store
+        m = self._mutable
+        rps = self._rows_per_shard
+        s = self.mesh.shape["shard"]
+        parts, ids = [], []
+        for sh in range(s):
+            c = int(m["counts"][sh])
+            parts.append(m["rows"][sh * rps : sh * rps + c])
+            ids.extend(m["docids"][sh * rps : sh * rps + c])
+        return ShardStore.build(
+            np.concatenate(parts) if parts else np.empty((0, self.dim), np.float32),
+            [str(x) for x in ids],
+            dtype=self.store.manifest.dtype,
+            lang=self.store.manifest.lang,
+            encoder=self.store.manifest.encoder,
+        )
 
     def enable_sketch(
         self,

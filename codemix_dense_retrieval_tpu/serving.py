@@ -21,7 +21,11 @@ Design (stdlib only — no server-framework dependency):
 
 Endpoints: ``GET /healthz`` (liveness + stats), ``POST /search``
 ``{"queries": [...], "k": 10}`` -> ``{"results": [[{"docid", "score"},
-...], ...]}``. With ``approx=True`` (the PCA-sketch tier,
+...], ...]}``, and online corpus mutation — ``POST /add``
+``{"docs": [{"docid", "text"}, ...]}`` / ``POST /remove``
+``{"docids": [...]}`` (the FAISS add_with_ids/remove_ids analogs,
+applied by the consumer thread in arrival order, never merged into a
+search batch). With ``approx=True`` (the PCA-sketch tier,
 :mod:`~codemix_dense_retrieval_tpu.ops.sketch`) each result row becomes
 ``{"hits": [...], "certified": bool}`` — ``certified`` True means that
 query's results are provably identical to exact search.
@@ -67,6 +71,8 @@ class _Pending:
     texts: Sequence[str]
     k: int
     future: Future
+    op: str = "search"  # search | add | remove
+    payload: Optional[Sequence] = None
 
 
 class SearchService:
@@ -133,6 +139,45 @@ class SearchService:
     def search(self, texts: Sequence[str], k: Optional[int] = None) -> List[list]:
         return self.submit(texts, k).result()
 
+    def submit_add(self, docs: Sequence[dict]) -> Future:
+        """Enqueue an online corpus addition: ``[{"docid", "text"}, ...]``.
+        Encoded and applied by the consumer thread (device access stays
+        serialized with search batches). Resolves to ``{"added": n}``."""
+        if not hasattr(self.index, "add"):
+            raise ValueError(f"{type(self.index).__name__} is not mutable")
+        if (
+            not isinstance(docs, (list, tuple)) or not docs
+            or not all(
+                isinstance(d, dict)
+                and isinstance(d.get("docid"), str) and d["docid"]
+                and isinstance(d.get("text"), str) and d["text"]
+                for d in docs
+            )
+        ):
+            raise ValueError(
+                "docs must be a non-empty list of {docid, text} objects"
+            )
+        if len(docs) > self.max_batch:
+            raise ValueError(f"at most {self.max_batch} docs per request")
+        fut: Future = Future()
+        self._queue.put(_Pending([], 0, fut, op="add", payload=list(docs)))
+        return fut
+
+    def submit_remove(self, docids: Sequence[str]) -> Future:
+        """Enqueue an online removal by docid; resolves to
+        ``{"removed": n}`` (unknown docids are ignored, FAISS
+        ``remove_ids`` semantics)."""
+        if not hasattr(self.index, "remove"):
+            raise ValueError(f"{type(self.index).__name__} is not mutable")
+        if (
+            not isinstance(docids, (list, tuple)) or not docids
+            or not all(isinstance(x, str) and x for x in docids)
+        ):
+            raise ValueError("docids must be a non-empty list of strings")
+        fut: Future = Future()
+        self._queue.put(_Pending([], 0, fut, op="remove", payload=list(docids)))
+        return fut
+
     def close(self) -> None:
         self._queue.put(None)
         self._thread.join(timeout=5)
@@ -141,8 +186,12 @@ class SearchService:
 
     def _drain(self, first: _Pending) -> List[_Pending]:
         """Coalesce: after the first request arrives, keep accepting until
-        ``max_batch`` texts are queued or ``max_wait_s`` passes."""
+        ``max_batch`` texts are queued or ``max_wait_s`` passes. Admin ops
+        (add/remove) run alone, in arrival order — never merged into a
+        search batch."""
         batch = [first]
+        if first.op != "search":
+            return batch
         total = len(first.texts)
         deadline = time.monotonic() + self.max_wait_s
         while total < self.max_batch:
@@ -156,8 +205,8 @@ class SearchService:
             if item is None:
                 self._queue.put(None)  # re-signal shutdown for the main loop
                 break
-            if total + len(item.texts) > self.max_batch:
-                # would overflow: run it in the NEXT batch
+            if item.op != "search" or total + len(item.texts) > self.max_batch:
+                # admin op or would overflow: run it in the NEXT batch
                 self._requeue = item
                 break
             batch.append(item)
@@ -176,6 +225,9 @@ class SearchService:
                 first = item
             batch = self._drain(first)
             try:
+                if batch[0].op != "search":
+                    self._apply_admin(batch[0])
+                    continue
                 texts = [t for p in batch for t in p.texts]
                 # bucket k to the next power of two for the same reason
                 # as the batch bucket below (per-request k would compile
@@ -236,6 +288,26 @@ class SearchService:
                     if not p.future.done():
                         p.future.set_exception(exc)
 
+    def _apply_admin(self, p: _Pending) -> None:
+        if p.op == "add":
+            docs = list(p.payload)
+            # documents get the DOC-side encoder dialect (prompt prefixes
+            # differ per family — reference encode_documents vs
+            # encode_queries, `onepass_dense_mix_run_custom_lang.py:34-58`)
+            enc = getattr(
+                self.encoder, "encode_documents", self.encoder.encode_queries
+            )
+            vecs = np.asarray(
+                enc([d["text"] for d in docs], batch_size=self.encode_batch)
+            )
+            self.index.add(vecs, [d["docid"] for d in docs])
+            p.future.set_result({"added": len(docs), "count": self.index.count})
+        elif p.op == "remove":
+            n = self.index.remove(list(p.payload))
+            p.future.set_result({"removed": n, "count": self.index.count})
+        else:  # pragma: no cover - enqueue paths set valid ops
+            p.future.set_exception(ValueError(f"unknown op {p.op!r}"))
+
 
 # -------------------------------------------------------------- transport
 
@@ -266,14 +338,18 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(200, info)
 
     def do_POST(self) -> None:  # noqa: N802
-        if self.path != "/search":
+        if self.path not in ("/search", "/add", "/remove"):
             self._reply(404, {"error": f"unknown path {self.path!r}"})
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
-            texts = req.get("queries")
-            fut = self.service.submit(texts, req.get("k"))
+            if self.path == "/add":
+                fut = self.service.submit_add(req.get("docs"))
+            elif self.path == "/remove":
+                fut = self.service.submit_remove(req.get("docids"))
+            else:
+                fut = self.service.submit(req.get("queries"), req.get("k"))
         except (ValueError, TypeError) as exc:
             self._reply(400, {"error": str(exc)})
             return

@@ -1,0 +1,163 @@
+"""Online index mutation (FAISS add_with_ids / remove_ids analogs) on the
+virtual 8-CPU mesh: adds fill capacity-padded shard space, removes
+swap-delete against the count mask, search results stay EXACT (oracle
+parity) after every mutation, and the sketch tier tracks mutations."""
+
+import numpy as np
+import pytest
+
+from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+from codemix_dense_retrieval_tpu.ops.topk import topk_ip_oracle
+from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh(eight_cpu_devices):
+    return make_mesh(shard=8, tp=1, devices=eight_cpu_devices)
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _rows(rng, n, d=32):
+    return _normalize(rng.standard_normal((n, d)).astype(np.float32))
+
+
+def _oracle_check(idx, queries, live, k):
+    """live: dict docid -> vector. Search must match brute force exactly."""
+    vals, docids = idx.search(queries, k)
+    ids = sorted(live)
+    mat = np.stack([live[i] for i in ids])
+    ovals, oidx = topk_ip_oracle(queries, mat, k)
+    for q in range(len(queries)):
+        got = list(docids[q])
+        want = [ids[j] for j in oidx[q]]
+        # scores must match; docid order may differ only on exact ties
+        np.testing.assert_allclose(vals[q], ovals[q], rtol=2e-2, atol=2e-2)
+        assert set(got) == set(want) or got == want, (q, got, want)
+
+
+def _fresh(rng, mesh, n=500, d=32):
+    docs = _rows(rng, n, d)
+    ids = [f"d{i}" for i in range(n)]
+    idx = DenseFlatIndex.build(docs, ids, dtype="float32")
+    idx.to_device(mesh, pad_multiple=128)
+    live = {f"d{i}": docs[i] for i in range(n)}
+    return idx, live
+
+
+def test_add_then_search(mesh):
+    rng = np.random.default_rng(0)
+    idx, live = _fresh(rng, mesh)
+    queries = _rows(rng, 8)
+    new = _rows(rng, 40)
+    idx.add(new, [f"n{i}" for i in range(40)])
+    for i in range(40):
+        live[f"n{i}"] = new[i]
+    assert idx.count == 540
+    _oracle_check(idx, queries, live, 20)
+
+
+def test_remove_then_search(mesh):
+    rng = np.random.default_rng(1)
+    idx, live = _fresh(rng, mesh)
+    queries = _rows(rng, 8)
+    # remove a mix of positions incl. shard-boundary rows
+    gone = [f"d{i}" for i in (0, 1, 63, 64, 127, 128, 499, 250)]
+    assert idx.remove(gone) == len(gone)
+    for g in gone:
+        live.pop(g)
+    assert idx.count == 500 - len(gone)
+    _oracle_check(idx, queries, live, 20)
+    # removed docids never appear
+    _, docids = idx.search(queries, 50)
+    assert not (set(map(str, docids.ravel())) & set(gone))
+
+
+def test_remove_unknown_ignored(mesh):
+    rng = np.random.default_rng(2)
+    idx, _ = _fresh(rng, mesh)
+    assert idx.remove(["nope", "also-nope"]) == 0
+    assert idx.count == 500
+
+
+def test_add_duplicate_rejected(mesh):
+    rng = np.random.default_rng(3)
+    idx, _ = _fresh(rng, mesh)
+    with pytest.raises(ValueError, match="already present"):
+        idx.add(_rows(rng, 1), ["d0"])
+
+
+def test_interleaved_add_remove_readd(mesh):
+    rng = np.random.default_rng(4)
+    idx, live = _fresh(rng, mesh, n=300)
+    queries = _rows(rng, 4)
+    for step in range(3):
+        new = _rows(rng, 25)
+        names = [f"s{step}-{i}" for i in range(25)]
+        idx.add(new, names)
+        live.update(zip(names, new))
+        gone = list(live)[step::7][:20]
+        idx.remove(gone)
+        for g in gone:
+            live.pop(g)
+        _oracle_check(idx, queries, live, 10)
+    # a removed docid can be re-added
+    v = _rows(rng, 1)
+    idx.add(v, ["s0-0"]) if "s0-0" not in live else None
+
+
+def test_growth_reshards(mesh):
+    rng = np.random.default_rng(5)
+    idx, live = _fresh(rng, mesh, n=500)
+    queries = _rows(rng, 4)
+    rps_before = idx._rows_per_shard
+    big = _rows(rng, 1200)  # > 8*128 - 500 spare rows -> must grow
+    idx.add(big, [f"g{i}" for i in range(1200)])
+    live.update({f"g{i}": big[i] for i in range(1200)})
+    assert idx._rows_per_shard > rps_before
+    assert idx.count == 1700
+    _oracle_check(idx, queries, live, 20)
+
+
+def test_mutation_updates_sketch_tier(mesh):
+    rng = np.random.default_rng(6)
+    idx, live = _fresh(rng, mesh)
+    queries = _rows(rng, 8)
+    idx.enable_sketch(sketch_dim=16, probe_bins=64)
+    new = _rows(rng, 30)
+    idx.add(new, [f"n{i}" for i in range(30)])
+    live.update({f"n{i}": new[i] for i in range(30)})
+    idx.remove(["d5", "d77"])
+    live.pop("d5"); live.pop("d77")
+    vals, docids = idx.search(queries, 10, approx=True)
+    cert = idx.last_certified
+    # certified rows must match exact post-mutation search
+    evals, edocids = idx.search(queries, 10)
+    for q in np.flatnonzero(cert):
+        assert list(docids[q]) == list(edocids[q])
+    # exact path itself matches the oracle on the mutated corpus
+    _oracle_check(idx, queries, live, 10)
+
+
+def test_mutated_index_roundtrips_through_store(mesh, tmp_path):
+    rng = np.random.default_rng(7)
+    idx, live = _fresh(rng, mesh, n=200)
+    idx.add(_rows(rng, 10), [f"n{i}" for i in range(10)])
+    idx.remove(["d0", "d100"])
+    idx.save(tmp_path / "mut")
+    re = DenseFlatIndex.load(tmp_path / "mut")
+    assert re.count == 208
+    assert set(re.docids) == (set(f"d{i}" for i in range(200)) - {"d0", "d100"}) | {
+        f"n{i}" for i in range(10)
+    }
+
+
+def test_int8_index_rejects_mutation(mesh):
+    rng = np.random.default_rng(8)
+    docs = _rows(rng, 256)
+    idx = DenseFlatIndex.build(docs, [str(i) for i in range(256)], dtype="int8")
+    idx.to_device(mesh, pad_multiple=128)
+    with pytest.raises(ValueError, match="int8"):
+        idx.add(_rows(rng, 1), ["x"])

@@ -163,6 +163,35 @@ class TestService:
         with pytest.raises(ValueError, match="sketch"):
             SearchService(FakeEncoder(), NoSketch(), approx=True)
 
+    def test_online_add_then_searchable(self, corpus_index):
+        enc, svc = make_service(corpus_index)
+        try:
+            before = corpus_index.count
+            out = svc.submit_add(
+                [{"docid": "live-1", "text": "freshly added doc"}]
+            ).result(timeout=30)
+            assert out["added"] == 1 and out["count"] == before + 1
+            # the doc's own text must retrieve it at rank 1 (FakeEncoder is
+            # deterministic text->vector, so the match is exact)
+            res = svc.search(["freshly added doc"], k=3)
+            assert res[0][0]["docid"] == "live-1"
+            out = svc.submit_remove(["live-1", "never-there"]).result(timeout=30)
+            assert out["removed"] == 1 and out["count"] == before
+            res = svc.search(["freshly added doc"], k=3)
+            assert all(r["docid"] != "live-1" for r in res[0])
+        finally:
+            svc.close()
+
+    def test_admin_validation(self, corpus_index):
+        enc, svc = make_service(corpus_index)
+        try:
+            with pytest.raises(ValueError, match="docid"):
+                svc.submit_add([{"text": "missing id"}])
+            with pytest.raises(ValueError, match="strings"):
+                svc.submit_remove([])
+        finally:
+            svc.close()
+
 
 class TestHTTP:
     @pytest.fixture()
@@ -209,3 +238,22 @@ class TestHTTP:
         assert self._req(addr, "POST", "/search", {"queries": "notalist"})[0] == 400
         assert self._req(addr, "GET", "/nope")[0] == 404
         assert self._req(addr, "POST", "/nope", {})[0] == 404
+
+    def test_add_remove_roundtrip(self, server):
+        addr, _, svc = server
+        before = svc.index.count
+        status, data = self._req(
+            addr, "POST", "/add",
+            {"docs": [{"docid": "http-doc", "text": "added over http"}]},
+        )
+        assert status == 200 and data["results"]["added"] == 1
+        status, data = self._req(
+            addr, "POST", "/search", {"queries": ["added over http"], "k": 1}
+        )
+        assert data["results"][0][0]["docid"] == "http-doc"
+        status, data = self._req(
+            addr, "POST", "/remove", {"docids": ["http-doc"]}
+        )
+        assert status == 200 and data["results"]["removed"] == 1
+        assert svc.index.count == before
+        assert self._req(addr, "POST", "/add", {"docs": []})[0] == 400
