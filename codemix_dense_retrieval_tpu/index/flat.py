@@ -367,8 +367,55 @@ class DenseFlatIndex:
             )
         )
         sk, tails = _jax.jit(sketch_rows)(self._docs_dev, proj)
-        self._sketch = (sk, tails, proj, {"expand": expand, "probe_bins": probe_bins})
+        self._sketch = (
+            sk, tails, proj,
+            {"expand": expand, "probe_bins": probe_bins, "probe_by_k": {}},
+        )
         return self
+
+    def calibrate_sketch(
+        self,
+        queries: Union[np.ndarray, jnp.ndarray],
+        k: int,
+        *,
+        recall_target: float = 0.99,
+        max_probe_factor: int = 64,
+    ) -> dict:
+        """Pick the minimal ``probe_bins`` hitting ``recall_target`` at
+        depth ``k``, measured against this index's own exact search on the
+        given sample queries — the FAISS ``ParameterSpace`` operating-
+        point analog, run on the REAL data rather than a model. The
+        calibrated value is remembered per ``k`` and used by subsequent
+        ``search(..., approx=True)`` calls.
+
+        Returns ``{"probe_bins", "recall", "certified_frac"}``.
+        """
+        if self._sketch is None:
+            self.enable_sketch()
+        skw = self._sketch[3]
+        _, exact_ids = self.search(queries, k, return_docids=False)
+        min_bins = -(-k // 8)
+        probe = None
+        recall = 0.0
+        factor = 2
+        while factor <= max_probe_factor:
+            probe = min(min_bins * factor, self._rows_per_shard // 8)
+            skw["probe_by_k"][k] = probe
+            _, ids = self.search(queries, k, return_docids=False, approx=True)
+            hits = [
+                len(set(ids[q]) & set(exact_ids[q])) / k
+                for q in range(len(ids))
+            ]
+            recall = float(np.mean(hits))
+            if recall >= recall_target or probe >= self._rows_per_shard // 8:
+                break
+            factor *= 2
+        skw["probe_by_k"][k] = probe
+        return {
+            "probe_bins": probe,
+            "recall": recall,
+            "certified_frac": float(np.mean(self.last_certified)),
+        }
 
     # ---------------- search ----------------
 
@@ -379,7 +426,7 @@ class DenseFlatIndex:
         *,
         return_docids: bool = True,
         query_block: int = 0,
-        approx: bool = False,
+        approx: Union[bool, str] = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k. Returns (scores (B,k) f32, docids (B,k) object) —
         or raw global row ids with ``return_docids=False``.
@@ -392,7 +439,10 @@ class DenseFlatIndex:
         :meth:`enable_sketch` first, or defaults are used): faster,
         approximate, with per-query exactness certificates left in
         ``self.last_certified`` (bool (B,): True rows are provably
-        identical to exact search).
+        identical to exact search). ``approx="guaranteed"`` additionally
+        re-runs the UNCERTIFIED queries through exact search, so results
+        are always exact — faster than plain exact search whenever the
+        certificate rate is high.
         """
         if self._docs_dev is None:
             self.to_device()
@@ -435,6 +485,8 @@ class DenseFlatIndex:
         # dispatch then overlaps host work (upload of block i+1, TREC
         # formatting upstream) with device search of block i
         if approx:
+            if approx not in (True, "guaranteed"):
+                raise ValueError(f"approx must be True/False/'guaranteed', got {approx!r}")
             if self._sketch is None:
                 self.enable_sketch()
             sk, tails, proj, skw = self._sketch
@@ -442,6 +494,7 @@ class DenseFlatIndex:
                 sharded_topk_ip_sketch,
             )
 
+            probe = skw["probe_by_k"].get(k, skw["probe_bins"])
             pending = [
                 sharded_topk_ip_sketch(
                     jnp.asarray(blk, dtype),
@@ -452,7 +505,8 @@ class DenseFlatIndex:
                     proj,
                     k,
                     mesh=self.mesh,
-                    **skw,
+                    probe_bins=probe,
+                    expand=skw["expand"],
                 )
                 for blk in blocks
             ]
@@ -474,6 +528,27 @@ class DenseFlatIndex:
             self.last_certified = None
         vals = np.concatenate([np.asarray(p[0]) for p in pending], axis=0)[:n_q]
         gids = np.concatenate([np.asarray(p[1]) for p in pending], axis=0)[:n_q]
+        if approx == "guaranteed" and not self.last_certified.all():
+            # escalate ONLY the uncertified queries through exact search,
+            # bucketed to a power of two (each distinct batch shape is a
+            # fresh compile) — results become provably exact
+            bad = np.flatnonzero(~self.last_certified)
+            bucket = 1
+            while bucket < len(bad):
+                bucket *= 2
+            sub = np.zeros((bucket, q.shape[1]), np.float32)
+            sub[: len(bad)] = q[bad]
+            ev, eg = sharded_topk_ip(
+                jnp.asarray(sub, dtype),
+                self._docs_dev,
+                self._counts_dev,
+                k,
+                mesh=self.mesh,
+                **self.search_kwargs,
+            )
+            vals[bad] = np.asarray(ev)[: len(bad)]
+            gids[bad] = np.asarray(eg)[: len(bad)]
+            self.last_certified = np.ones(n_q, bool)
         if not return_docids:
             return vals, gids
         return vals, self._docids[gids]

@@ -205,6 +205,56 @@ def test_index_approx_search(tmp_path, mesh):
         assert hit >= 0.8, (q, hit)
 
 
+def test_index_calibrate_sketch(mesh):
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(20)
+    n, d, k = 5000, 64, 10
+    docs = _anisotropic(rng, n, d, decay=0.05)
+    queries = _anisotropic(rng, 64, d, decay=0.05)
+    idx = DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)], dtype="bfloat16")
+    idx.to_device(mesh, pad_multiple=256)
+    idx.enable_sketch(sketch_dim=24)
+    out = idx.calibrate_sketch(queries, k, recall_target=0.95)
+    assert out["recall"] >= 0.95
+    assert idx._sketch[3]["probe_by_k"][k] == out["probe_bins"]
+    # subsequent approx searches use the calibrated probe depth
+    _, ids = idx.search(queries, k, return_docids=False, approx=True)
+    _, eids = idx.search(queries, k, return_docids=False)
+    recall = np.mean([len(set(ids[q]) & set(eids[q])) / k for q in range(len(ids))])
+    assert recall >= 0.95
+
+
+def test_index_guaranteed_mode_is_exact(mesh):
+    """Worst-case isotropic data with a thin probe: guaranteed mode must
+    still return EXACTLY the exact-search results (escalation path)."""
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(21)
+    n, d, k = 4096, 64, 10
+    docs = _normalize(rng.standard_normal((n, d)).astype(np.float32))
+    queries = _normalize(rng.standard_normal((16, d)).astype(np.float32))
+    idx = DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)], dtype="bfloat16")
+    idx.to_device(mesh, pad_multiple=256)
+    idx.enable_sketch(sketch_dim=8, probe_bins=8)
+    vals, ids = idx.search(queries, k, return_docids=False, approx="guaranteed")
+    assert idx.last_certified.all()
+    evals, eids = idx.search(queries, k, return_docids=False)
+    np.testing.assert_array_equal(ids, eids)
+    np.testing.assert_allclose(vals, evals, rtol=1e-5, atol=1e-5)
+
+
+def test_index_search_rejects_bad_approx_value(mesh):
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(22)
+    docs = _anisotropic(rng, 1024, 32)
+    idx = DenseFlatIndex.build(docs, [str(i) for i in range(1024)])
+    idx.to_device(mesh, pad_multiple=256)
+    with pytest.raises(ValueError, match="guaranteed"):
+        idx.search(docs[:4], 5, approx="yes-please")
+
+
 def test_index_sketch_rejects_int8(tmp_path, mesh):
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex
 
