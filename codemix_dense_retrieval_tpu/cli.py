@@ -179,6 +179,22 @@ def cmd_encode_corpus(args) -> None:
     print(json.dumps({lang: str(d) for lang, d in dirs.items()}, indent=2))
 
 
+def _approx_mode(args):
+    """Map --approx {off,fast,guaranteed} to the index.search value."""
+    mode = getattr(args, "approx", "off")
+    return {"off": False, "fast": True, "guaranteed": "guaranteed"}[mode]
+
+
+def _add_approx_flag(p):
+    p.add_argument("--approx", choices=["off", "fast", "guaranteed"],
+                   default="off",
+                   help="search through the PCA-sketch tier: 'fast' is "
+                        "approximate (certificate rate recorded in meta), "
+                        "'guaranteed' escalates uncertified queries to "
+                        "exact search, so run files are IDENTICAL to "
+                        "exact output, just faster when certificates hold")
+
+
 def cmd_run_mono(args) -> None:
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex
     from codemix_dense_retrieval_tpu.pipeline.runs import run_word_mix_search
@@ -189,7 +205,8 @@ def cmd_run_mono(args) -> None:
     if args.max_queries:
         sets = {k: v[: args.max_queries] for k, v in sets.items()}
     runs = run_word_mix_search(
-        index, encoder, sets, args.outdir, k=args.k, query_block=args.qblock
+        index, encoder, sets, args.outdir, k=args.k, query_block=args.qblock,
+        approx=_approx_mode(args),
     )
     print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
 
@@ -327,7 +344,7 @@ def cmd_run_mix(args) -> None:
         return
     runs = run_vector_mix_search(
         index, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
-        query_block=args.qblock,
+        query_block=args.qblock, approx=_approx_mode(args),
     )
     print(json.dumps({str(a): str(p) for a, p in runs.items()}, indent=2))
 
@@ -756,6 +773,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--qblock", type=int, default=256)
     p.add_argument("--max_queries", type=int, default=0)
+    _add_approx_flag(p)
     p.set_defaults(fn=cmd_run_mono)
 
     p = sub.add_parser(
@@ -851,6 +869,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused", action="store_true",
                    help="one-jit sweep with on-device metrics (needs --qrels)")
     p.add_argument("--qrels", help="qrels file for --fused on-device metrics")
+    _add_approx_flag(p)
     p.set_defaults(fn=cmd_run_mix)
 
     p = sub.add_parser("run-bilingual", help="bilingual hub word-mix search (collapse-max)")

@@ -41,9 +41,14 @@ def run_word_mix_search(
     query_block: int = 256,
     tag: str = "onepass",
     max_queries: int = 0,
+    approx=False,
 ) -> Dict[str, pathlib.Path]:
     """Encode + search each band's query set; one ``<set>.trec`` per set
-    (reference `onepass_dense_run.py:382-466`)."""
+    (reference `onepass_dense_run.py:382-466`).
+
+    ``approx``: search through the sketch tier (True = fast approximate,
+    ``"guaranteed"`` = certificate-escalated, output provably identical
+    to exact search)."""
     outdir = pathlib.Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     out: Dict[str, pathlib.Path] = {}
@@ -53,7 +58,7 @@ def run_word_mix_search(
         qids = [q for q, _ in rows]
         texts = [t for _, t in rows]
         qvecs = encoder.encode_queries(texts, batch_size=batch_size)
-        vals, docids = index.search(qvecs, k, query_block=query_block)
+        vals, docids = index.search(qvecs, k, query_block=query_block, approx=approx)
         run_path = outdir / f"{set_name}.trec"
         write_run(run_path, qids, docids, vals, tag=tag)
         out[set_name] = run_path
@@ -76,6 +81,7 @@ def run_vector_mix_search(
     write_meta: bool = False,
     meta_extra: Optional[Dict] = None,
     precision: int = 4,
+    approx=False,
 ) -> Dict[float, pathlib.Path]:
     """Alpha-sweep search with on-device mix+renorm.
 
@@ -91,7 +97,7 @@ def run_vector_mix_search(
     for alpha in alphas:
         label = format_alpha(alpha)
         q_matrix = np.asarray(mix_and_renorm_jit(p, s, float(alpha)))
-        vals, docids = index.search(q_matrix, k, query_block=query_block)
+        vals, docids = index.search(q_matrix, k, query_block=query_block, approx=approx)
         run_path = outdir / f"{run_prefix}{label}.trec"
         write_run(run_path, list(qids), docids, vals, tag=tag, precision=precision)
         out[alpha] = run_path
@@ -102,6 +108,9 @@ def run_vector_mix_search(
                 "k": k,
                 "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
             }
+            if approx and index.last_certified is not None:
+                meta["approx"] = str(approx)
+                meta["certified_frac"] = float(index.last_certified.mean())
             meta.update(meta_extra or {})
             (outdir / f"{run_prefix}{label}_meta.json").write_text(json.dumps(meta, indent=2))
         log.info("run saved: %s (%d queries, alpha=%s)", run_path, len(qids), label)

@@ -255,6 +255,34 @@ def test_index_search_rejects_bad_approx_value(mesh):
         idx.search(docs[:4], 5, approx="yes-please")
 
 
+def test_vector_mix_runner_guaranteed_identical_trec(tmp_path, mesh):
+    """--approx guaranteed contract: run files byte-identical to exact."""
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+    from codemix_dense_retrieval_tpu.pipeline.runs import run_vector_mix_search
+
+    rng = np.random.default_rng(30)
+    n, d = 4096, 64
+    docs = _anisotropic(rng, n, d, decay=0.05)
+    qa = _anisotropic(rng, 12, d, decay=0.05)
+    qb = _anisotropic(rng, 12, d, decay=0.05)
+    qids = [f"q{i}" for i in range(12)]
+    idx = DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)], dtype="bfloat16")
+    idx.to_device(mesh, pad_multiple=256)
+    idx.enable_sketch(sketch_dim=16, probe_bins=16)
+    exact = run_vector_mix_search(
+        idx, qids, qa, qb, [0.5], tmp_path / "exact", k=10, write_meta=True
+    )
+    grt = run_vector_mix_search(
+        idx, qids, qa, qb, [0.5], tmp_path / "grt", k=10,
+        approx="guaranteed", write_meta=True
+    )
+    assert exact[0.5].read_text() == grt[0.5].read_text()
+    import json
+
+    meta = json.loads((tmp_path / "grt" / "cm-alpha-0.5_meta.json").read_text())
+    assert meta["approx"] == "guaranteed" and meta["certified_frac"] == 1.0
+
+
 def test_index_sketch_rejects_int8(tmp_path, mesh):
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex
 
