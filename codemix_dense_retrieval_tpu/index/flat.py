@@ -338,11 +338,18 @@ class DenseFlatIndex:
         sample: int = 131072,
         expand: float = 4.0,
         probe_bins: Optional[int] = None,
+        cache: bool = True,
     ) -> "DenseFlatIndex":
         """Build the approximate tier: fit a PCA sketch on a row sample
         (host), project rows + tail bounds on-device (shard-local matmul),
         and arm ``search(..., approx=True)``. See
-        :mod:`~codemix_dense_retrieval_tpu.ops.sketch`."""
+        :mod:`~codemix_dense_retrieval_tpu.ops.sketch`.
+
+        ``cache=True`` persists the fitted projection (and any later
+        :meth:`calibrate_sketch` operating points) as ``sketch.npz`` in
+        the index directory, so serving restarts skip the refit and keep
+        their calibration. The cache is ignored when the stored
+        dim/count no longer match."""
         import jax as _jax
 
         from codemix_dense_retrieval_tpu.ops.sketch import fit_sketch, sketch_rows
@@ -355,23 +362,57 @@ class DenseFlatIndex:
             )
         if self._docs_dev is None:
             self.to_device()
-        # strided row sample so merged (per-language-grouped) stores
-        # contribute uniformly, not just the first language's block
-        vecs = self.store.vectors
-        stride = max(1, len(vecs) // max(sample, 1))
-        proj = jnp.asarray(
-            fit_sketch(
+        sketch_dim = min(sketch_dim, self.dim)
+        proj_np, probe_by_k = None, {}
+        cache_path = (self.store.dir / "sketch.npz") if (cache and self.store.dir) else None
+        if cache_path is not None and cache_path.exists():
+            z = np.load(cache_path, allow_pickle=False)
+            if (
+                z["proj"].shape == (self.dim, sketch_dim)
+                and int(z["count"]) == self.store.count
+            ):
+                proj_np = np.asarray(z["proj"], np.float32)
+                probe_by_k = {
+                    int(pk): int(pv)
+                    for pk, pv in zip(z["probe_ks"], z["probe_vals"])
+                }
+        if proj_np is None:
+            # strided row sample so merged (per-language-grouped) stores
+            # contribute uniformly, not just the first language's block
+            vecs = self.store.vectors
+            stride = max(1, len(vecs) // max(sample, 1))
+            proj_np = fit_sketch(
                 np.asarray(vecs[::stride][:sample], np.float32),
                 sketch_dim,
                 sample=sample,
             )
-        )
+        proj = jnp.asarray(proj_np)
         sk, tails = _jax.jit(sketch_rows)(self._docs_dev, proj)
         self._sketch = (
             sk, tails, proj,
-            {"expand": expand, "probe_bins": probe_bins, "probe_by_k": {}},
+            {
+                "expand": expand, "probe_bins": probe_bins,
+                "probe_by_k": probe_by_k, "cache_path": cache_path,
+            },
         )
+        if cache_path is not None:
+            self._save_sketch_cache()
         return self
+
+    def _save_sketch_cache(self) -> None:
+        _, _, proj, skw = self._sketch
+        if skw.get("cache_path") is None:
+            return
+        probe_by_k = skw["probe_by_k"]
+        np.savez(
+            skw["cache_path"],
+            proj=np.asarray(proj, np.float32),
+            count=np.int64(self.store.count),
+            probe_ks=np.asarray(sorted(probe_by_k), np.int64),
+            probe_vals=np.asarray(
+                [probe_by_k[pk] for pk in sorted(probe_by_k)], np.int64
+            ),
+        )
 
     def calibrate_sketch(
         self,
@@ -411,6 +452,7 @@ class DenseFlatIndex:
                 break
             factor *= 2
         skw["probe_by_k"][k] = probe
+        self._save_sketch_cache()
         return {
             "probe_bins": probe,
             "recall": recall,

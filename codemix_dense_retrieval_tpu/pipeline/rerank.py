@@ -178,6 +178,7 @@ class TwoStageSearcher:
         dedupe: bool = True,
         device_resident: Optional[bool] = None,
         device_budget_bytes: int = 6 << 30,
+        approx=False,
     ) -> None:
         if index.count != token_store.count:
             raise ValueError(
@@ -192,6 +193,10 @@ class TwoStageSearcher:
         # ship only UNIQUE candidate blocks per query block (queries share
         # hot documents); identical results, much less host->device volume
         self.dedupe = dedupe
+        # sketch-tier dense stage (True / "guaranteed"): MaxSim reorders
+        # the candidate pool anyway, so 'fast' approximation in stage 1
+        # only perturbs the pool's tail — and 'guaranteed' doesn't even that
+        self.approx = approx
         # effective depths of the most recent search() (k_dense may clamp)
         self.last_depths: dict = {}
         # HBM-resident token store (VERDICT r2 item 3): when the int8
@@ -275,7 +280,8 @@ class TwoStageSearcher:
             np.int32
         )
         _, gids = self.index.search(
-            q_vecs, k_dense, return_docids=False, query_block=query_block
+            q_vecs, k_dense, return_docids=False, query_block=query_block,
+            approx=self.approx,
         )
         k_got = gids.shape[1]  # index may clamp k_dense on tiny corpora
         if k_got < k_dense:

@@ -255,6 +255,50 @@ def test_index_search_rejects_bad_approx_value(mesh):
         idx.search(docs[:4], 5, approx="yes-please")
 
 
+def test_sketch_cache_roundtrip(tmp_path, mesh):
+    """Projection + calibrated operating points persist in the index dir
+    and are reloaded (no refit) by a fresh process's enable_sketch."""
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(40)
+    n, d, k = 4096, 64, 10
+    docs = _anisotropic(rng, n, d, decay=0.05)
+    queries = _anisotropic(rng, 32, d, decay=0.05)
+    DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)], dtype="bfloat16").save(
+        tmp_path / "idx"
+    )
+    idx = DenseFlatIndex.load(tmp_path / "idx")
+    idx.to_device(mesh, pad_multiple=256)
+    idx.enable_sketch(sketch_dim=24)
+    out = idx.calibrate_sketch(queries, k, recall_target=0.9)
+    assert (tmp_path / "idx" / "sketch.npz").exists()
+
+    re = DenseFlatIndex.load(tmp_path / "idx")
+    re.to_device(mesh, pad_multiple=256)
+    import codemix_dense_retrieval_tpu.ops.sketch as sketch_mod
+
+    orig_fit = sketch_mod.fit_sketch
+    try:
+        sketch_mod.fit_sketch = lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("refit should not happen on cache hit")
+        )
+        re.enable_sketch(sketch_dim=24)
+    finally:
+        sketch_mod.fit_sketch = orig_fit
+    assert re._sketch[3]["probe_by_k"][k] == out["probe_bins"]
+    np.testing.assert_array_equal(
+        np.asarray(re._sketch[2]), np.asarray(idx._sketch[2])
+    )
+
+    # a mutated (different-count) store invalidates the cache
+    re.add(_anisotropic(rng, 4, d), [f"x{i}" for i in range(4)])
+    re.save(tmp_path / "idx2")
+    re2 = DenseFlatIndex.load(tmp_path / "idx2")
+    re2.to_device(mesh, pad_multiple=256)
+    re2.enable_sketch(sketch_dim=24)  # no cache file there at all: refits
+    assert re2._sketch[3]["probe_by_k"] == {}
+
+
 def test_vector_mix_runner_guaranteed_identical_trec(tmp_path, mesh):
     """--approx guaranteed contract: run files byte-identical to exact."""
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex

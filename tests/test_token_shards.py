@@ -204,6 +204,21 @@ def test_two_stage_query_block_equivalence(rng, tmp_path, eight_cpu_devices):
     np.testing.assert_allclose(one[0], blk[0], rtol=1e-5, atol=1e-5)
 
 
+def test_two_stage_approx_guaranteed_parity(rng, tmp_path, eight_cpu_devices):
+    """approx='guaranteed' dense stage: final reranked output identical."""
+    dense, doc_toks, doc_lens, q_dense, q_toks, q_lens = _corpus(rng)
+    n = len(dense)
+    store = _write_store(tmp_path / "tok", doc_toks, doc_lens, dtype="bfloat16")
+    index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(n)], dtype="float32")
+    index.to_device(make_mesh(shard=8, devices=eight_cpu_devices), pad_multiple=8)
+    exact = TwoStageSearcher(index, store)
+    s_e, i_e = exact.search(q_dense, q_toks, q_lens, 5, k_dense=16, return_docids=False)
+    grt = TwoStageSearcher(index, store, approx="guaranteed")
+    s_g, i_g = grt.search(q_dense, q_toks, q_lens, 5, k_dense=16, return_docids=False)
+    np.testing.assert_array_equal(i_g, i_e)
+    np.testing.assert_allclose(s_g, s_e, rtol=1e-5, atol=1e-5)
+
+
 def test_two_stage_count_mismatch_rejected(rng, tmp_path):
     dense, doc_toks, doc_lens, *_ = _corpus(rng)
     store = _write_store(tmp_path / "tok", doc_toks[:10], doc_lens[:10])
