@@ -594,7 +594,7 @@ def cmd_serve(args) -> None:
     from codemix_dense_retrieval_tpu.serving import SearchService, make_server
 
     encoder = _build_encoder(args)
-    index = _device_index(DenseFlatIndex.load(args.index), args)
+    index = _load_hub(args)  # one dir, or several merged base#lang (hub)
     if args.approx:
         index.enable_sketch(
             sketch_dim=args.sketch_dim, probe_bins=args.probe_bins or None
@@ -818,7 +818,10 @@ def build_parser() -> argparse.ArgumentParser:
              "(GET /healthz, POST /search {queries, k})",
     )
     _add_common(p)
-    p.add_argument("--index", required=True, help="shard dir (DenseFlatIndex)")
+    p.add_argument("--index", nargs="+", required=True,
+                   help="shard dir(s); several merge into one base#lang "
+                        "hub index (the bilingual-serving layout)")
+    p.add_argument("--lang_tags", nargs="+")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--k", type=int, default=10, help="default result depth")

@@ -163,6 +163,17 @@ class SearchService:
         self._queue.put(_Pending([], 0, fut, op="add", payload=list(docs)))
         return fut
 
+    def submit_save(self, directory: str) -> Future:
+        """Enqueue an index snapshot to ``directory`` (persists online
+        mutations via ``to_store``); resolves to ``{"saved": dir}``."""
+        if not hasattr(self.index, "save"):
+            raise ValueError(f"{type(self.index).__name__} cannot save")
+        if not isinstance(directory, str) or not directory:
+            raise ValueError("dir must be a non-empty path string")
+        fut: Future = Future()
+        self._queue.put(_Pending([], 0, fut, op="save", payload=[directory]))
+        return fut
+
     def submit_remove(self, docids: Sequence[str]) -> Future:
         """Enqueue an online removal by docid; resolves to
         ``{"removed": n}`` (unknown docids are ignored, FAISS
@@ -305,6 +316,11 @@ class SearchService:
         elif p.op == "remove":
             n = self.index.remove(list(p.payload))
             p.future.set_result({"removed": n, "count": self.index.count})
+        elif p.op == "save":
+            self.index.save(p.payload[0])
+            p.future.set_result(
+                {"saved": p.payload[0], "count": self.index.count}
+            )
         else:  # pragma: no cover - enqueue paths set valid ops
             p.future.set_exception(ValueError(f"unknown op {p.op!r}"))
 
@@ -338,7 +354,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(200, info)
 
     def do_POST(self) -> None:  # noqa: N802
-        if self.path not in ("/search", "/add", "/remove"):
+        if self.path not in ("/search", "/add", "/remove", "/save"):
             self._reply(404, {"error": f"unknown path {self.path!r}"})
             return
         try:
@@ -348,6 +364,8 @@ class _Handler(BaseHTTPRequestHandler):
                 fut = self.service.submit_add(req.get("docs"))
             elif self.path == "/remove":
                 fut = self.service.submit_remove(req.get("docids"))
+            elif self.path == "/save":
+                fut = self.service.submit_save(req.get("dir"))
             else:
                 fut = self.service.submit(req.get("queries"), req.get("k"))
         except (ValueError, TypeError) as exc:

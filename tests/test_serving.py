@@ -239,6 +239,22 @@ class TestHTTP:
         assert self._req(addr, "GET", "/nope")[0] == 404
         assert self._req(addr, "POST", "/nope", {})[0] == 404
 
+    def test_save_snapshot_roundtrip(self, server, tmp_path):
+        from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+        addr, _, svc = server
+        self._req(
+            addr, "POST", "/add",
+            {"docs": [{"docid": "snap-doc", "text": "to be persisted"}]},
+        )
+        status, data = self._req(
+            addr, "POST", "/save", {"dir": str(tmp_path / "snap")}
+        )
+        assert status == 200 and data["results"]["saved"]
+        re = DenseFlatIndex.load(tmp_path / "snap")
+        assert "snap-doc" in set(re.docids)
+        self._req(addr, "POST", "/remove", {"docids": ["snap-doc"]})
+
     def test_add_remove_roundtrip(self, server):
         addr, _, svc = server
         before = svc.index.count
