@@ -342,9 +342,12 @@ def cmd_run_mix(args) -> None:
             }
         print(json.dumps(out, indent=2))
         return
+    approx = _approx_mode(args)
     runs = run_vector_mix_search(
         index, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
-        query_block=args.qblock, approx=_approx_mode(args),
+        query_block=args.qblock, approx=approx,
+        # meta carries the certificate rate the --approx help promises
+        write_meta=bool(approx),
     )
     print(json.dumps({str(a): str(p) for a, p in runs.items()}, indent=2))
 
@@ -605,6 +608,7 @@ def cmd_serve(args) -> None:
         max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1000.0,
         encode_batch=args.enc_batch,
         approx=args.approx,
+        snapshot_root=args.snapshot_root,
     )
     server = make_server(
         service, host=args.host, port=args.port,
@@ -840,6 +844,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--probe_bins", type=int, default=0,
                    help="bins probed per shard for --approx (0 = auto; "
                         "the FAISS nprobe analog)")
+    p.add_argument("--snapshot_root",
+                   help="enable POST /save, restricted to this directory "
+                        "(unset = snapshots disabled over HTTP)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

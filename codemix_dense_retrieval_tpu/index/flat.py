@@ -28,6 +28,28 @@ from codemix_dense_retrieval_tpu.io.shards import ShardStore, concat_stores
 from codemix_dense_retrieval_tpu.parallel.mesh import make_mesh
 from codemix_dense_retrieval_tpu.parallel.sharded_search import shard_rows, sharded_topk_ip
 
+# module-level jits so repeated online mutations hit the trace cache
+# (a fresh jax.jit(lambda) per call would retrace+recompile every time —
+# minutes per mutation on remote-compile TPU setups)
+_scatter_update = jax.jit(lambda a, p, v: a.at[p].set(v), donate_argnums=0)
+
+
+def _bucket_scatter(positions: np.ndarray, rows: np.ndarray):
+    """Pad a scatter batch to the next power of two so mutation batches of
+    varying size reuse compiled programs. Padding repeats entry 0 —
+    duplicate indices with IDENTICAL updates are deterministic."""
+    m = len(positions)
+    bucket = 1
+    while bucket < m:
+        bucket *= 2
+    if bucket == m:
+        return positions, rows
+    pad = bucket - m
+    return (
+        np.concatenate([positions, np.repeat(positions[:1], pad)]),
+        np.concatenate([rows, np.repeat(rows[:1], pad, axis=0)]),
+    )
+
 
 class DenseFlatIndex:
     """Exact IP index over one or more shard stores.
@@ -183,19 +205,19 @@ class DenseFlatIndex:
         self._refresh_counts()
         if len(positions) == 0:
             return
+        positions, rows = _bucket_scatter(
+            np.asarray(positions, np.int64), np.asarray(rows, np.float32)
+        )
         pos_dev = jnp.asarray(positions, jnp.int32)
         vals = jnp.asarray(rows, self._docs_dev.dtype)
-        upd = jax.jit(lambda a, p, v: a.at[p].set(v), donate_argnums=0)
-        self._docs_dev = upd(self._docs_dev, pos_dev, vals)
+        self._docs_dev = _scatter_update(self._docs_dev, pos_dev, vals)
         if self._sketch is not None:
-            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows
+            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows_jit
 
             sk, tails, proj, skw = self._sketch
-            new_sk, new_tails = jax.jit(sketch_rows)(
-                vals.astype(jnp.float32), proj
-            )
-            sk = upd(sk, pos_dev, new_sk.astype(sk.dtype))
-            tails = upd(tails, pos_dev, new_tails)
+            new_sk, new_tails = sketch_rows_jit(vals.astype(jnp.float32), proj)
+            sk = _scatter_update(sk, pos_dev, new_sk.astype(sk.dtype))
+            tails = _scatter_update(tails, pos_dev, new_tails)
             self._sketch = (sk, tails, proj, skw)
 
     def _grow(self, extra: int) -> None:
@@ -233,10 +255,10 @@ class DenseFlatIndex:
         self._refresh_counts()
         if sketch_cfg is not None:
             # re-project the regrown layout in one shard-local matmul
-            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows as _sr
+            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows_jit
 
             _, _, proj, skw = sketch_cfg
-            sk, tails = jax.jit(_sr)(self._docs_dev, proj)
+            sk, tails = sketch_rows_jit(self._docs_dev, proj)
             self._sketch = (sk, tails, proj, skw)
 
     def add(self, vectors: np.ndarray, docids: Sequence[str]) -> None:
@@ -254,6 +276,12 @@ class DenseFlatIndex:
         docids = [str(x) for x in docids]
         if len(docids) != len(vectors):
             raise ValueError(f"{len(vectors)} rows vs {len(docids)} docids")
+        if len(set(docids)) != len(docids):
+            # an in-batch duplicate would overwrite row_of and strand the
+            # first copy as an unremovable ghost row
+            seen: set = set()
+            dup = [x for x in docids if x in seen or seen.add(x)]
+            raise ValueError(f"duplicate docids within the batch: {dup[:5]}")
         dup = [x for x in docids if x in m["row_of"]]
         if dup:
             raise ValueError(f"docids already present: {dup[:5]}")
@@ -350,9 +378,10 @@ class DenseFlatIndex:
         the index directory, so serving restarts skip the refit and keep
         their calibration. The cache is ignored when the stored
         dim/count no longer match."""
-        import jax as _jax
-
-        from codemix_dense_retrieval_tpu.ops.sketch import fit_sketch, sketch_rows
+        from codemix_dense_retrieval_tpu.ops.sketch import (
+            fit_sketch,
+            sketch_rows_jit,
+        )
 
         if self.store.manifest.dtype == "int8":
             raise ValueError(
@@ -366,16 +395,23 @@ class DenseFlatIndex:
         proj_np, probe_by_k = None, {}
         cache_path = (self.store.dir / "sketch.npz") if (cache and self.store.dir) else None
         if cache_path is not None and cache_path.exists():
-            z = np.load(cache_path, allow_pickle=False)
-            if (
-                z["proj"].shape == (self.dim, sketch_dim)
-                and int(z["count"]) == self.store.count
-            ):
-                proj_np = np.asarray(z["proj"], np.float32)
-                probe_by_k = {
-                    int(pk): int(pv)
-                    for pk, pv in zip(z["probe_ks"], z["probe_vals"])
-                }
+            try:
+                z = np.load(cache_path, allow_pickle=False)
+                if (
+                    z["proj"].shape == (self.dim, sketch_dim)
+                    and int(z["count"]) == self.store.count
+                ):
+                    proj_np = np.asarray(z["proj"], np.float32)
+                    probe_by_k = {
+                        int(pk): int(pv)
+                        for pk, pv in zip(z["probe_ks"], z["probe_vals"])
+                    }
+            except Exception:  # corrupt/truncated cache: refit, don't brick
+                from codemix_dense_retrieval_tpu.utils.logging import get_logger
+
+                get_logger("index").warning(
+                    "ignoring unreadable sketch cache %s (refitting)", cache_path
+                )
         if proj_np is None:
             # strided row sample so merged (per-language-grouped) stores
             # contribute uniformly, not just the first language's block
@@ -387,7 +423,7 @@ class DenseFlatIndex:
                 sample=sample,
             )
         proj = jnp.asarray(proj_np)
-        sk, tails = _jax.jit(sketch_rows)(self._docs_dev, proj)
+        sk, tails = sketch_rows_jit(self._docs_dev, proj)
         self._sketch = (
             sk, tails, proj,
             {
@@ -400,12 +436,17 @@ class DenseFlatIndex:
         return self
 
     def _save_sketch_cache(self) -> None:
+        import os
+
         _, _, proj, skw = self._sketch
         if skw.get("cache_path") is None:
             return
         probe_by_k = skw["probe_by_k"]
+        # temp + atomic replace: a torn sketch.npz would brick restarts
+        # (.npz-suffixed temp name so np.savez doesn't append another)
+        tmp = skw["cache_path"].with_name(skw["cache_path"].stem + ".tmp.npz")
         np.savez(
-            skw["cache_path"],
+            tmp,
             proj=np.asarray(proj, np.float32),
             count=np.int64(self.store.count),
             probe_ks=np.asarray(sorted(probe_by_k), np.int64),
@@ -413,6 +454,17 @@ class DenseFlatIndex:
                 [probe_by_k[pk] for pk in sorted(probe_by_k)], np.int64
             ),
         )
+        os.replace(tmp, skw["cache_path"])
+
+    def _sketch_kernel_kwargs(self) -> dict:
+        """Subset of ``to_device(**search_kwargs)`` that the sketch path
+        understands — keeps tuned kernel constants consistent between the
+        exact and approx branches."""
+        return {
+            kk: vv
+            for kk, vv in self.search_kwargs.items()
+            if kk in ("bin_size", "super_size", "tile_n", "tile_b")
+        }
 
     def calibrate_sketch(
         self,
@@ -434,21 +486,30 @@ class DenseFlatIndex:
         if self._sketch is None:
             self.enable_sketch()
         skw = self._sketch[3]
+        # search() clamps k and keys probe_by_k by the CLAMPED value —
+        # calibrate with the same depth or the swept probe is never applied
+        k = min(k, self.count, self._rows_per_shard)
+        bin_size = self._sketch_kernel_kwargs().get("bin_size")
+        if bin_size is None:
+            from codemix_dense_retrieval_tpu.ops.sketch import DEFAULT_BIN_SIZE
+
+            bin_size = DEFAULT_BIN_SIZE
         _, exact_ids = self.search(queries, k, return_docids=False)
-        min_bins = -(-k // 8)
+        min_bins = -(-k // bin_size)
+        max_bins = self._rows_per_shard // bin_size
         probe = None
         recall = 0.0
         factor = 2
         while factor <= max_probe_factor:
-            probe = min(min_bins * factor, self._rows_per_shard // 8)
+            probe = min(min_bins * factor, max_bins)
             skw["probe_by_k"][k] = probe
             _, ids = self.search(queries, k, return_docids=False, approx=True)
             hits = [
-                len(set(ids[q]) & set(exact_ids[q])) / k
+                len(set(ids[q]) & set(exact_ids[q])) / ids.shape[1]
                 for q in range(len(ids))
             ]
             recall = float(np.mean(hits))
-            if recall >= recall_target or probe >= self._rows_per_shard // 8:
+            if recall >= recall_target or probe >= max_bins:
                 break
             factor *= 2
         skw["probe_by_k"][k] = probe
@@ -549,6 +610,7 @@ class DenseFlatIndex:
                     mesh=self.mesh,
                     probe_bins=probe,
                     expand=skw["expand"],
+                    **self._sketch_kernel_kwargs(),
                 )
                 for blk in blocks
             ]

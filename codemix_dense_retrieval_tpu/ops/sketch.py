@@ -52,14 +52,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from codemix_dense_retrieval_tpu.ops.topk import (
     NEG_INF,
-    _auto_bin_size,
     _ceil_to,
     _prep_shard,
     _rescore_candidates,
+    _select_bins_two_level,
 )
 
 # covers f32 accumulation round-off in the ub / refined-score comparison
 DEFAULT_CERT_MARGIN = 3e-5
+# the sketch tier's bin geometry (index/flat.py's calibrate/search must
+# agree with the sharded sketch path on this)
+DEFAULT_BIN_SIZE = 8
+DEFAULT_SUPER_SIZE = 8
 
 
 # --------------------------------------------------------------------------
@@ -101,6 +105,11 @@ def sketch_rows(
     # round-off at near-zero tails
     t2 = jnp.maximum(jnp.sum(x * x, axis=1) - jnp.sum(s * s, axis=1), 0.0)
     return s, jnp.sqrt(t2)
+
+
+# shared jitted instance — every jax.jit(sketch_rows) call would own a
+# separate trace cache, recompiling per call site
+sketch_rows_jit = jax.jit(sketch_rows)
 
 
 def sketch_queries(
@@ -189,42 +198,6 @@ def _binub_pallas(
 # phase 2: cover + certificate bound
 # --------------------------------------------------------------------------
 
-def _select_bins_two_level_cert(
-    bin_ub: jnp.ndarray,  # (B, nb) bin-major upper-bound maxima
-    k_bins: int,
-    super_size: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top ``k_bins`` bins by upper bound via the two-level slice-gather
-    cover (ops.topk._select_bins_two_level), plus the certificate bound:
-    ``unsel_ub[q]`` = max ub over every UNSELECTED bin — the max of the
-    best unselected super's max (bounds all its bins) and the best
-    covered-but-unselected bin. Returns (bin_ids (B, kb) asc, unsel_ub (B,)).
-    """
-    b, nb = bin_ub.shape
-    ns = nb // super_size
-    bm3 = bin_ub.reshape(b, ns, super_size)
-    super_max = bm3.max(axis=2)
-    ks = min(k_bins, ns)
-    sup_vals, sup_ids = lax.top_k(super_max, min(ks + 1, ns))
-    unsel_super = (
-        sup_vals[:, ks] if ns > ks else jnp.full((b,), NEG_INF, jnp.float32)
-    )
-    sup_ids = lax.sort(sup_ids[:, :ks], dimension=1)
-    cand_bm = jnp.take_along_axis(bm3, sup_ids[:, :, None], axis=1)  # (b, ks, M)
-    cand_bins = (
-        sup_ids[:, :, None] * super_size
-        + lax.broadcasted_iota(jnp.int32, (1, 1, super_size), 2)
-    ).reshape(b, ks * super_size)
-    n_cand = cand_bins.shape[1]
-    kb = min(k_bins, n_cand)
-    vals2, pos = lax.top_k(cand_bm.reshape(b, -1), min(kb + 1, n_cand))
-    unsel_cand = (
-        vals2[:, kb] if n_cand > kb else jnp.full((b,), NEG_INF, jnp.float32)
-    )
-    bin_ids = jnp.take_along_axis(cand_bins, pos[:, :kb], axis=1)
-    return lax.sort(bin_ids, dimension=1), jnp.maximum(unsel_super, unsel_cand)
-
-
 def _default_probe_bins(k: int, bin_size: int, nb: int, expand: float) -> int:
     min_bins = -(-k // bin_size)
     return max(min(nb, int(math.ceil(min_bins * expand))), min(min_bins + 4, nb))
@@ -240,8 +213,8 @@ def topk_ip_sketch(
     *,
     probe_bins: Optional[int] = None,
     expand: float = 4.0,
-    bin_size: int = 8,
-    super_size: int = 8,
+    bin_size: int = DEFAULT_BIN_SIZE,
+    super_size: int = DEFAULT_SUPER_SIZE,
     tile_b: int = 512,
     tile_n: int = 1024,
     interpret: Optional[bool] = None,
@@ -279,7 +252,9 @@ def topk_ip_sketch(
         bin_ub = bin_ub[:b]
         queries = queries[:b]
     kb = min(probe_bins, bin_ub.shape[1])
-    bin_ids, unsel_ub = _select_bins_two_level_cert(bin_ub, kb, super_size)
+    bin_ids, unsel_ub = _select_bins_two_level(
+        bin_ub, kb, super_size, return_unselected_bound=True
+    )
     if kb * bin_size < k:
         raise ValueError(
             f"probe_bins={kb} x bin_size={bin_size} < k={k}: too few candidates"

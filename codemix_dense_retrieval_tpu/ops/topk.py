@@ -597,29 +597,50 @@ def _select_bins_two_level(
     bin_max: jnp.ndarray,  # (B, nb) BIN-MAJOR bin maxima
     k_bins: int,
     super_size: int,
-) -> jnp.ndarray:
+    *,
+    return_unselected_bound: bool = False,
+):
     """Two-level bin selection with SLICE gathers only (no element
     gathers): super-max reduce -> top_k over ns supers -> gather the
     covered supers' M-contiguous bin maxima -> top_k -> k bin ids
     (ascending). Measured r3: gathering M-contiguous slices from the
     bin-major layout is ~3.5x faster than the element gather from the
-    transposed layout (probe_slice_gather)."""
+    transposed layout (probe_slice_gather).
+
+    ``return_unselected_bound=True`` additionally returns, per query, the
+    max ``bin_max`` over every UNSELECTED bin (the sketch tier's
+    exactness-certificate bound, ops/sketch.py): the max of the best
+    unselected super's max (bounds all its bins) and the best
+    covered-but-unselected bin — each one extra ``top_k`` column."""
     b, nb = bin_max.shape
     ns = nb // super_size
     bm3 = bin_max.reshape(b, ns, super_size)
     super_max = bm3.max(axis=2)
     ks = min(k_bins, ns)
-    _, sup_ids = lax.top_k(super_max, ks)
-    sup_ids = lax.sort(sup_ids, dimension=1)
+    extra = 1 if return_unselected_bound else 0
+    sup_vals, sup_ids = lax.top_k(super_max, min(ks + extra, ns))
+    unsel_super = (
+        sup_vals[:, ks] if (return_unselected_bound and ns > ks)
+        else jnp.full((b,), NEG_INF, jnp.float32)
+    )
+    sup_ids = lax.sort(sup_ids[:, :ks], dimension=1)
     cand_bm = jnp.take_along_axis(bm3, sup_ids[:, :, None], axis=1)  # (b, ks, M)
     cand_bins = (
         sup_ids[:, :, None] * super_size
         + lax.broadcasted_iota(jnp.int32, (1, 1, super_size), 2)
     ).reshape(b, ks * super_size)
-    kb = min(k_bins, cand_bins.shape[1])
-    _, pos = lax.top_k(cand_bm.reshape(b, -1), kb)
-    bin_ids = jnp.take_along_axis(cand_bins, pos, axis=1)
-    return lax.sort(bin_ids, dimension=1)
+    n_cand = cand_bins.shape[1]
+    kb = min(k_bins, n_cand)
+    vals2, pos = lax.top_k(cand_bm.reshape(b, -1), min(kb + extra, n_cand))
+    unsel_cand = (
+        vals2[:, kb] if (return_unselected_bound and n_cand > kb)
+        else jnp.full((b,), NEG_INF, jnp.float32)
+    )
+    bin_ids = jnp.take_along_axis(cand_bins, pos[:, :kb], axis=1)
+    bin_ids = lax.sort(bin_ids, dimension=1)
+    if return_unselected_bound:
+        return bin_ids, jnp.maximum(unsel_super, unsel_cand)
+    return bin_ids
 
 
 def topk_ip_rescore_two_level(

@@ -238,8 +238,8 @@ def sharded_topk_ip_sketch(
     axis: str = "shard",
     probe_bins: Optional[int] = None,
     expand: float = 4.0,
-    bin_size: int = 8,
-    super_size: int = 8,
+    bin_size: Optional[int] = None,
+    super_size: Optional[int] = None,
     tile_n: int = 1024,
     tile_b: int = 512,
     interpret: Optional[bool] = None,
@@ -252,8 +252,14 @@ def sharded_topk_ip_sketch(
     sharded rows. Returns replicated (values (B, k), global ids (B, k),
     certified (B,) bool).
     """
-    from codemix_dense_retrieval_tpu.ops.sketch import _default_probe_bins
+    from codemix_dense_retrieval_tpu.ops.sketch import (
+        DEFAULT_BIN_SIZE, DEFAULT_SUPER_SIZE, _default_probe_bins,
+    )
 
+    if bin_size is None:
+        bin_size = DEFAULT_BIN_SIZE
+    if super_size is None:
+        super_size = DEFAULT_SUPER_SIZE
     s = mesh.shape[axis]
     rows_per_shard = docs_sharded.shape[0] // s
     if k > rows_per_shard:

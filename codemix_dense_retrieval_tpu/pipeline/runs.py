@@ -62,6 +62,12 @@ def run_word_mix_search(
         run_path = outdir / f"{set_name}.trec"
         write_run(run_path, qids, docids, vals, tag=tag)
         out[set_name] = run_path
+        if approx and index.last_certified is not None:
+            (outdir / f"{set_name}_meta.json").write_text(json.dumps({
+                "approx": str(approx),
+                "certified_frac": float(index.last_certified.mean()),
+                "num_queries": len(qids), "k": k,
+            }, indent=2))
         log.info("run saved: %s (%d queries)", run_path, len(qids))
     return out
 

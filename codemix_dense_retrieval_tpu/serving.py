@@ -93,9 +93,13 @@ class SearchService:
         max_wait_s: float = 0.005,
         encode_batch: int = 64,
         approx: bool = False,
+        snapshot_root: Optional[str] = None,
     ) -> None:
         self.encoder = encoder
         self.index = index
+        # /save writes server-side files; restrict it to an explicit root
+        # (None = snapshots disabled over HTTP)
+        self.snapshot_root = snapshot_root
         # approximate (sketch) tier: faster search with per-query
         # exactness certificates surfaced in each result row
         self.approx = approx
@@ -164,14 +168,28 @@ class SearchService:
         return fut
 
     def submit_save(self, directory: str) -> Future:
-        """Enqueue an index snapshot to ``directory`` (persists online
-        mutations via ``to_store``); resolves to ``{"saved": dir}``."""
+        """Enqueue an index snapshot (persists online mutations via
+        ``to_store``); resolves to ``{"saved": dir}``. ``directory`` must
+        resolve inside the service's ``snapshot_root`` — an unrestricted
+        path would let any network client write files anywhere the
+        serving user can."""
+        import pathlib
+
         if not hasattr(self.index, "save"):
             raise ValueError(f"{type(self.index).__name__} cannot save")
+        if self.snapshot_root is None:
+            raise ValueError(
+                "snapshots disabled: start the service with snapshot_root "
+                "(serve --snapshot_root DIR)"
+            )
         if not isinstance(directory, str) or not directory:
             raise ValueError("dir must be a non-empty path string")
+        root = pathlib.Path(self.snapshot_root).resolve()
+        target = (root / directory).resolve()
+        if not target.is_relative_to(root):
+            raise ValueError(f"dir escapes snapshot_root: {directory!r}")
         fut: Future = Future()
-        self._queue.put(_Pending([], 0, fut, op="save", payload=[directory]))
+        self._queue.put(_Pending([], 0, fut, op="save", payload=[str(target)]))
         return fut
 
     def submit_remove(self, docids: Sequence[str]) -> Future:

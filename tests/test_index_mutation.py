@@ -103,9 +103,24 @@ def test_interleaved_add_remove_readd(mesh):
         for g in gone:
             live.pop(g)
         _oracle_check(idx, queries, live, 10)
-    # a removed docid can be re-added
+    # a removed docid can be re-added and is searchable again
+    gone_id = next(i for i in (f"d{j}" for j in range(300)) if i not in live)
     v = _rows(rng, 1)
-    idx.add(v, ["s0-0"]) if "s0-0" not in live else None
+    idx.add(v, [gone_id])
+    live[gone_id] = v[0]
+    assert idx.count == len(live)
+    _, docids = idx.search(v, 1)
+    assert str(docids[0][0]) == gone_id  # its own vector retrieves it
+    _oracle_check(idx, queries, live, 10)
+
+
+def test_add_rejects_in_batch_duplicates(mesh):
+    rng = np.random.default_rng(9)
+    idx, _ = _fresh(rng, mesh)
+    with pytest.raises(ValueError, match="within the batch"):
+        idx.add(_rows(rng, 2), ["same", "same"])
+    # nothing was inserted
+    assert idx.count == 500 and idx.remove(["same"]) == 0
 
 
 def test_growth_reshards(mesh):

@@ -239,21 +239,39 @@ class TestHTTP:
         assert self._req(addr, "GET", "/nope")[0] == 404
         assert self._req(addr, "POST", "/nope", {})[0] == 404
 
-    def test_save_snapshot_roundtrip(self, server, tmp_path):
+    def test_save_requires_snapshot_root(self, server):
+        addr, _, _ = server  # fixture service has no snapshot_root
+        status, data = self._req(addr, "POST", "/save", {"dir": "x"})
+        assert status == 400 and "snapshot_root" in data["error"]
+
+    def test_save_snapshot_roundtrip(self, corpus_index, tmp_path):
         from codemix_dense_retrieval_tpu.index import DenseFlatIndex
 
-        addr, _, svc = server
-        self._req(
-            addr, "POST", "/add",
-            {"docs": [{"docid": "snap-doc", "text": "to be persisted"}]},
+        enc, svc = make_service(
+            corpus_index, max_wait_s=0.01, snapshot_root=str(tmp_path)
         )
-        status, data = self._req(
-            addr, "POST", "/save", {"dir": str(tmp_path / "snap")}
-        )
-        assert status == 200 and data["results"]["saved"]
-        re = DenseFlatIndex.load(tmp_path / "snap")
-        assert "snap-doc" in set(re.docids)
-        self._req(addr, "POST", "/remove", {"docids": ["snap-doc"]})
+        srv = make_server(svc, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        addr = srv.server_address[:2]
+        try:
+            self._req(
+                addr, "POST", "/add",
+                {"docs": [{"docid": "snap-doc", "text": "to be persisted"}]},
+            )
+            status, data = self._req(addr, "POST", "/save", {"dir": "snap"})
+            assert status == 200 and data["results"]["saved"]
+            re = DenseFlatIndex.load(tmp_path / "snap")
+            assert "snap-doc" in set(re.docids)
+            # path escape rejected
+            status, data = self._req(
+                addr, "POST", "/save", {"dir": "../outside"}
+            )
+            assert status == 400 and "escapes" in data["error"]
+            self._req(addr, "POST", "/remove", {"docids": ["snap-doc"]})
+        finally:
+            srv.shutdown()
+            svc.close()
 
     def test_add_remove_roundtrip(self, server):
         addr, _, svc = server
