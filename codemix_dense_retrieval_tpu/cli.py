@@ -645,6 +645,28 @@ def cmd_tune(args) -> None:
         iters=args.iters,
     )
     update["tune_file"] = None if args.dry_run else str(tune_file_path())
+    if args.sketch_index:
+        # calibrate the sketch tier's operating points on a REAL index:
+        # corpus rows double as probe queries (self-retrieval proxy);
+        # results persist in that index's sketch.npz, not the tune file
+        import numpy as np
+
+        from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+        idx = DenseFlatIndex.load(args.sketch_index)
+        idx.to_device()
+        idx.enable_sketch(sketch_dim=args.sketch_dim)
+        n_probe = min(512, idx.count)
+        stride = max(1, idx.count // n_probe)
+        probes = np.asarray(
+            idx.store.vectors[::stride][:n_probe], np.float32
+        )
+        update["sketch"] = {
+            str(kk): idx.calibrate_sketch(
+                probes, kk, recall_target=args.sketch_recall
+            )
+            for kk in args.ks
+        }
     print(json.dumps(update))
 
 
@@ -865,6 +887,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_flash", action="store_true")
     p.add_argument("--dry_run", action="store_true",
                    help="print winners without writing the store")
+    p.add_argument("--sketch_index",
+                   help="also calibrate the sketch tier's probe depths on "
+                        "this index dir (self-retrieval probes; operating "
+                        "points persist in its sketch.npz)")
+    p.add_argument("--sketch_dim", type=int, default=128)
+    p.add_argument("--sketch_recall", type=float, default=0.99)
     p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("run-mix", help="vector-mix alpha sweep over one index")
