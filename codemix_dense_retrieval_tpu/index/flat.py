@@ -72,6 +72,10 @@ class DenseFlatIndex:
         self._sketch = None  # (sketch_sharded, tails_sharded, proj, kwargs)
         self.last_certified: Optional[np.ndarray] = None
         self._mutable = None  # host mirror for online add/remove
+        # bumped by every add/remove; consumers that cache row-aligned
+        # sidecars (TwoStageSearcher's token store) check it to detect
+        # that their row mapping went stale
+        self.mutation_epoch = 0
 
     # ---------------- constructors ----------------
 
@@ -301,6 +305,7 @@ class DenseFlatIndex:
             m["docids"][pos] = docids[i]
             m["row_of"][docids[i]] = pos
         m["rows"][positions] = vectors
+        self.mutation_epoch += 1
         self._scatter_rows(positions, vectors)
 
     def remove(self, docids: Sequence[str]) -> int:
@@ -330,6 +335,7 @@ class DenseFlatIndex:
             m["counts"][sh] -= 1
             touched.pop(last, None)  # beyond the count mask now
         if removed:
+            self.mutation_epoch += 1
             if touched:
                 positions = np.fromiter(touched, np.int64)
                 self._scatter_rows(positions, m["rows"][positions])

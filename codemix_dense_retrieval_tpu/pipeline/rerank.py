@@ -185,6 +185,14 @@ class TwoStageSearcher:
                 f"index count {index.count} != token store count "
                 f"{token_store.count} (not the same corpus?)"
             )
+        # a mutated index's row ids no longer map to token-store rows
+        self._index_epoch = getattr(index, "mutation_epoch", 0)
+        if self._index_epoch:
+            raise ValueError(
+                "dense index was mutated (add/remove) — its row ids no "
+                "longer align with the token store; rebuild both from the "
+                "same corpus"
+            )
         _check_row_alignment(index, token_store)
         self.index = index
         self.tokens = token_store
@@ -271,6 +279,13 @@ class TwoStageSearcher:
         """Top-``k`` by MaxSim among the dense stage's top-``k_dense``
         (default ``max(4*k, 100)`` — ColBERTv2's rerank-depth convention).
         Returns (scores (B, k) f32, docids object / global row ids)."""
+        if getattr(self.index, "mutation_epoch", 0) != self._index_epoch:
+            raise ValueError(
+                "dense index mutated since this TwoStageSearcher was "
+                "built — dense row ids would score the WRONG token "
+                "blocks; rebuild the searcher (token-store mutation is "
+                "not supported)"
+            )
         if k_dense is None:
             k_dense = max(4 * k, 100)
         k_dense = max(k_dense, k)

@@ -169,6 +169,38 @@ def test_mutated_index_roundtrips_through_store(mesh, tmp_path):
     }
 
 
+def test_mutation_invalidates_two_stage(mesh, tmp_path):
+    """A mutated dense index must be rejected by TwoStageSearcher — its
+    row ids no longer map to the (unmutated) token store's rows."""
+    from codemix_dense_retrieval_tpu.io.token_shards import (
+        TokenShardStore,
+        TokenShardWriter,
+    )
+    from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+    rng = np.random.default_rng(10)
+    n, d, td = 64, 32, 4
+    toks = rng.standard_normal((n, td, d)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    w = TokenShardWriter(tmp_path / "tok", token_dim=d, tokens_per_doc=td)
+    w.append(toks, np.full(n, td, np.int32), [f"d{i}" for i in range(n)])
+    w.finalize()
+    store = TokenShardStore.open(tmp_path / "tok")
+    dense = toks.sum(axis=1)
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    idx = DenseFlatIndex.build(dense, [f"d{i}" for i in range(n)], dtype="float32")
+    idx.to_device(mesh, pad_multiple=8)
+    s = TwoStageSearcher(idx, store)
+    q = _rows(rng, 2, d)
+    qt = rng.standard_normal((2, td, d)).astype(np.float32)
+    idx.add(_rows(rng, 1, d), ["extra"])
+    with pytest.raises(ValueError, match="mutated"):
+        s.search(q, qt, np.full(2, td), 3, k_dense=8)
+    # and a fresh searcher over the mutated index is rejected outright
+    with pytest.raises(ValueError, match="mutated|count"):
+        TwoStageSearcher(idx, store)
+
+
 def test_int8_index_rejects_mutation(mesh):
     rng = np.random.default_rng(8)
     docs = _rows(rng, 256)

@@ -137,6 +137,50 @@ def test_ragged_rows_and_single_query():
     _assert_certified_exact(vals, idx, cert, queries, docs, 5)
 
 
+def test_certificate_soundness_fuzz():
+    """Many seeds x regimes: certified => exactly the oracle result.
+    This is the sketch tier's load-bearing claim; the fuzz sweeps spectrum
+    shapes, sketch widths, probe depths, and bf16/f32 docs."""
+    import jax.numpy as jnp
+
+    violations = []
+    total_cert = 0
+    for seed in range(12):
+        rng = np.random.default_rng(1000 + seed)
+        decay = [0.0, 0.01, 0.05, 0.2][seed % 4]
+        d = [64, 128][seed % 2]
+        ds = [8, 16, d // 4][seed % 3]
+        n = 2048 + 173 * seed  # ragged row counts
+        k = [5, 17, 50][seed % 3]
+        probe = [8, 24, 64][(seed // 2) % 3]
+        if probe * 8 < k:
+            probe = -(-k // 8) + 2
+        docs = _anisotropic(rng, n, d, decay=decay) if decay else _normalize(
+            rng.standard_normal((n, d)).astype(np.float32)
+        )
+        queries = docs[rng.choice(n, 16, replace=False)] + 0.05 * rng.standard_normal(
+            (16, d)
+        ).astype(np.float32)
+        queries = _normalize(queries)
+        dtype = jnp.bfloat16 if seed % 2 else jnp.float32
+        docs_dev = jnp.asarray(docs, dtype)
+        docs_eff = np.asarray(docs_dev, np.float32)  # what the kernel scores
+        proj = fit_sketch(docs_eff, ds)
+        s, t = sketch_rows(docs_dev, jnp.asarray(proj))
+        vals, idx, cert = topk_ip_sketch(
+            jnp.asarray(queries), docs_dev, s, t, jnp.asarray(proj), k,
+            probe_bins=probe,
+        )
+        idx, cert = np.asarray(idx), np.asarray(cert)
+        _, oidx = topk_ip_oracle(queries, docs_eff, k)
+        total_cert += int(cert.sum())
+        for q in np.flatnonzero(cert):
+            if not np.array_equal(idx[q], oidx[q]):
+                violations.append((seed, int(q)))
+    assert not violations, violations
+    assert total_cert > 0  # the fuzz must actually exercise certificates
+
+
 def test_too_few_probe_bins_raises():
     rng = np.random.default_rng(7)
     docs = _anisotropic(rng, 2048, 64)
