@@ -368,7 +368,8 @@ def cmd_run_bilingual(args) -> None:
     hub = _load_hub(args)
     sets = _load_query_sets(args)
     runs = run_bilingual_word_mix(
-        hub, encoder, sets, args.outdir, k=args.k, query_block=args.qblock
+        hub, encoder, sets, args.outdir, k=args.k, query_block=args.qblock,
+        approx=_approx_mode(args),
     )
     print(json.dumps({k: str(v) for k, v in runs.items()}, indent=2))
 
@@ -421,6 +422,7 @@ def cmd_run_bilingual_mix(args) -> None:
     runs = run_bilingual_vector_mix(
         hub, qids, vecs_a, vecs_b, alphas,
         args.outdir, k=args.k, query_block=args.qblock,
+        approx=_approx_mode(args),
     )
     print(json.dumps({str(a): str(p) for a, p in runs.items()}, indent=2))
 
@@ -918,6 +920,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outdir", required=True)
     p.add_argument("--k", type=int, default=500)
     p.add_argument("--qblock", type=int, default=256)
+    _add_approx_flag(p)
     p.set_defaults(fn=cmd_run_bilingual)
 
     p = sub.add_parser("run-bilingual-mix", help="bilingual hub vector-mix sweep")
@@ -938,6 +941,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "rejected with an error; drop --fused to use the "
                         "host-side collapse, which handles any hub")
     p.add_argument("--qrels", help="qrels file for --fused on-device metrics")
+    _add_approx_flag(p)
     p.set_defaults(fn=cmd_run_bilingual_mix)
 
     p = sub.add_parser("cache-queries", help="pre-encode query TSVs into npz caches")

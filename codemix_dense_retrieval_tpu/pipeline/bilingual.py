@@ -42,6 +42,7 @@ def run_bilingual_word_mix(
     batch_size: int = 64,
     query_block: int = 256,
     tag: str = "bilingual-onepass",
+    approx=False,
 ) -> Dict[str, pathlib.Path]:
     """Pre-encode all band sets, search the combined index, write raw and
     collapsed runs per set. Returns {set_name: collapsed run path}."""
@@ -56,7 +57,9 @@ def run_bilingual_word_mix(
         encoded[set_name] = (qids, vecs)
     out: Dict[str, pathlib.Path] = {}
     for set_name, (qids, vecs) in encoded.items():
-        vals, docids = hub_index.search(vecs, k, query_block=query_block)
+        vals, docids = hub_index.search(
+            vecs, k, query_block=query_block, approx=approx
+        )
         raw = outdir / f"{set_name}_raw.trec"
         base = outdir / f"{set_name}_base.trec"
         write_run(raw, qids, docids, vals, tag=tag, precision=6)
@@ -70,6 +73,11 @@ def run_bilingual_word_mix(
                 "k": k,
                 "index_count": hub_index.count,
                 "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                **(
+                    {"approx": str(approx),
+                     "certified_frac": float(hub_index.last_certified.mean())}
+                    if approx and hub_index.last_certified is not None else {}
+                ),
             },
         )
         out[set_name] = base
@@ -217,6 +225,7 @@ def run_bilingual_vector_mix(
     k: int = 500,
     query_block: int = 1024,
     tag: str = "bilingual-onepass",
+    approx=False,
 ) -> Dict[float, pathlib.Path]:
     """Alpha sweep against the combined index; per alpha: raw run ->
     collapsed ``cm-alpha-<a>_base.trec`` + ``_meta.json``
@@ -224,7 +233,7 @@ def run_bilingual_vector_mix(
     outdir = pathlib.Path(outdir)
     raw_runs = run_vector_mix_search(
         hub_index, qids, primary_vecs, secondary_vecs, alphas, outdir,
-        k=k, query_block=query_block, tag=tag,
+        k=k, query_block=query_block, tag=tag, approx=approx,
         run_prefix="cm-alpha-", write_meta=False,
         # collapse parity needs the 6-decimal convention: 4-decimal
         # truncation manufactures ties that reorder the collapsed run
@@ -244,6 +253,13 @@ def run_bilingual_vector_mix(
                     "k": k,
                     "index_count": hub_index.count,
                     "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                    **(
+                        {"approx": str(approx),
+                         "certified_frac":
+                             float(hub_index.last_certified.mean())}
+                        if approx and hub_index.last_certified is not None
+                        else {}
+                    ),
                 },
                 indent=2,
             )

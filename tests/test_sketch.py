@@ -371,6 +371,33 @@ def test_vector_mix_runner_guaranteed_identical_trec(tmp_path, mesh):
     assert meta["approx"] == "guaranteed" and meta["certified_frac"] == 1.0
 
 
+def test_bilingual_vector_mix_guaranteed_identical(tmp_path, mesh):
+    """Bilingual hub + --approx guaranteed: collapsed runs byte-identical."""
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+    from codemix_dense_retrieval_tpu.pipeline.bilingual import (
+        run_bilingual_vector_mix,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 2048, 64
+    docs = _anisotropic(rng, n, d, decay=0.05)
+    a = DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)], lang="en")
+    b = DenseFlatIndex.build(docs[::-1], [f"d{i}" for i in range(n)], lang="zh")
+    hub = DenseFlatIndex.merged([a, b], lang_tags=["en", "zh"])
+    hub.to_device(mesh, pad_multiple=256)
+    hub.enable_sketch(sketch_dim=16, probe_bins=32)
+    qa = _anisotropic(rng, 8, d, decay=0.05)
+    qb = _anisotropic(rng, 8, d, decay=0.05)
+    qids = [f"q{i}" for i in range(8)]
+    exact = run_bilingual_vector_mix(
+        hub, qids, qa, qb, [0.5], tmp_path / "exact", k=20
+    )
+    grt = run_bilingual_vector_mix(
+        hub, qids, qa, qb, [0.5], tmp_path / "grt", k=20, approx="guaranteed"
+    )
+    assert exact[0.5].read_text() == grt[0.5].read_text()
+
+
 def test_index_sketch_rejects_int8(tmp_path, mesh):
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex
 
