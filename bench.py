@@ -31,26 +31,31 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def _timed_run(run, queries, docs, iters):
-    # warmup/compile — force a scalar device->host transfer: on the axon
-    # relay platform block_until_ready can return before a pallas program
-    # has actually compiled+run, which would push the compile into the
-    # first timed iteration
-    vals, idx = run(queries, docs)
-    _ = float(vals[0, 0])
-    vals, idx = run(queries, docs)
-    _ = float(vals[0, 0])
+def _timed_pair(run, args, iters):
+    # warmup/compile twice — force a scalar device->host transfer: on the
+    # axon relay platform block_until_ready can return before a pallas
+    # program has actually compiled+run, which would push the compile into
+    # the first timed iteration
+    out = run(*args)
+    _ = float(out[0][0, 0])
+    out = run(*args)
+    _ = float(out[0][0, 0])
     # timed: force device completion AND host transfer each iteration so
     # async-dispatch platforms cannot under-report; MEDIAN of per-iteration
     # times (the relay adds occasional multi-hundred-ms outliers)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        vals, idx = run(queries, docs)
-        _ = float(vals[0, 0])
+        out = run(*args)
+        _ = float(out[0][0, 0])
         times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2], idx
+    return times[len(times) // 2], out
+
+
+def _timed_run(run, queries, docs, iters):
+    dt, (vals, idx) = _timed_pair(run, (queries, docs), iters)
+    return dt, idx
 
 
 def _overlap(idx, queries, docs, oracle_docs_f32, k_check):
@@ -205,21 +210,6 @@ def _bench_sketch(jax, jnp, docs, queries, k_deep, block, iters):
         "sketch_cert_violations": int(viol),
         f"sketch_speedup_vs_exact_k{k_deep}": round(dt_e / dt_s, 2),
     }
-
-
-def _timed_pair(run, args, iters):
-    out = run(*args)
-    _ = float(out[0][0, 0])
-    out = run(*args)
-    _ = float(out[0][0, 0])
-    times = []
-    for _i in range(iters):
-        t0 = time.perf_counter()
-        out = run(*args)
-        _ = float(out[0][0, 0])
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2], out
 
 
 if __name__ == "__main__":

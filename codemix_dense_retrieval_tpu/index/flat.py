@@ -26,7 +26,12 @@ from jax.sharding import Mesh
 
 from codemix_dense_retrieval_tpu.io.shards import ShardStore, concat_stores
 from codemix_dense_retrieval_tpu.parallel.mesh import make_mesh
-from codemix_dense_retrieval_tpu.parallel.sharded_search import shard_rows, sharded_topk_ip
+from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+    _ceil_to,
+    shard_rows,
+    sharded_topk_ip,
+)
+from codemix_dense_retrieval_tpu.utils import next_pow2
 
 # module-level jits so repeated online mutations hit the trace cache
 # (a fresh jax.jit(lambda) per call would retrace+recompile every time —
@@ -39,9 +44,7 @@ def _bucket_scatter(positions: np.ndarray, rows: np.ndarray):
     varying size reuse compiled programs. Padding repeats entry 0 —
     duplicate indices with IDENTICAL updates are deterministic."""
     m = len(positions)
-    bucket = 1
-    while bucket < m:
-        bucket *= 2
+    bucket = next_pow2(m)
     if bucket == m:
         return positions, rows
     pad = bucket - m
@@ -204,9 +207,9 @@ class DenseFlatIndex:
 
     def _scatter_rows(self, positions: np.ndarray, rows: np.ndarray) -> None:
         """Write ``rows`` at global padded ``positions`` on device (one
-        jit scatter; GSPMD routes each row to its shard) and refresh the
-        per-shard counts + sketch sidecars."""
-        self._refresh_counts()
+        jit scatter; GSPMD routes each row to its shard), updating the
+        sketch sidecars in lockstep. Counts are the caller's job
+        (:meth:`_refresh_counts`)."""
         if len(positions) == 0:
             return
         positions, rows = _bucket_scatter(
@@ -230,7 +233,7 @@ class DenseFlatIndex:
         s = self.mesh.shape["shard"]
         n_valid = self.count
         target = int(1.5 * n_valid) + extra
-        new_rps = -(-max(1, -(-target // s)) // 1024) * 1024
+        new_rps = _ceil_to(max(1, -(-target // s)), 1024)
         rps = self._rows_per_shard
         rows = np.zeros((s * new_rps, self.dim), np.float32)
         docids = np.empty(s * new_rps, dtype=object)
@@ -280,11 +283,11 @@ class DenseFlatIndex:
         docids = [str(x) for x in docids]
         if len(docids) != len(vectors):
             raise ValueError(f"{len(vectors)} rows vs {len(docids)} docids")
-        if len(set(docids)) != len(docids):
-            # an in-batch duplicate would overwrite row_of and strand the
-            # first copy as an unremovable ghost row
-            seen: set = set()
-            dup = [x for x in docids if x in seen or seen.add(x)]
+        # an in-batch duplicate would overwrite row_of and strand the
+        # first copy as an unremovable ghost row
+        seen: set = set()
+        dup = [x for x in docids if x in seen or seen.add(x)]
+        if dup:
             raise ValueError(f"duplicate docids within the batch: {dup[:5]}")
         dup = [x for x in docids if x in m["row_of"]]
         if dup:
@@ -306,6 +309,7 @@ class DenseFlatIndex:
             m["row_of"][docids[i]] = pos
         m["rows"][positions] = vectors
         self.mutation_epoch += 1
+        self._refresh_counts()
         self._scatter_rows(positions, vectors)
 
     def remove(self, docids: Sequence[str]) -> int:
@@ -336,12 +340,10 @@ class DenseFlatIndex:
             touched.pop(last, None)  # beyond the count mask now
         if removed:
             self.mutation_epoch += 1
+            self._refresh_counts()
             if touched:
                 positions = np.fromiter(touched, np.int64)
                 self._scatter_rows(positions, m["rows"][positions])
-            else:
-                self._scatter_rows(np.empty((0,), np.int64),
-                                   np.empty((0, self.dim), np.float32))
         return removed
 
     def to_store(self) -> ShardStore:
@@ -643,9 +645,9 @@ class DenseFlatIndex:
             # bucketed to a power of two (each distinct batch shape is a
             # fresh compile) — results become provably exact
             bad = np.flatnonzero(~self.last_certified)
-            bucket = 1
-            while bucket < len(bad):
-                bucket *= 2
+            from codemix_dense_retrieval_tpu.utils import next_pow2 as _np2
+
+            bucket = _np2(len(bad))
             sub = np.zeros((bucket, q.shape[1]), np.float32)
             sub[: len(bad)] = q[bad]
             ev, eg = sharded_topk_ip(

@@ -45,6 +45,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from codemix_dense_retrieval_tpu.utils import next_pow2
+
 
 @dataclass
 class ServeStats:
@@ -263,10 +265,7 @@ class SearchService:
                 # a program per distinct depth); results slice to each
                 # request's own k
                 k_req = max(p.k for p in batch)
-                k_max = 1
-                while k_max < k_req:
-                    k_max *= 2
-                k_max = min(k_max, self.max_k, self.index.count)
+                k_max = min(next_pow2(k_req), self.max_k, self.index.count)
                 q = self.encoder.encode_queries(texts, batch_size=self.encode_batch)
                 q = np.asarray(q)
                 # bucket the device batch to the next power of two: every
@@ -274,10 +273,7 @@ class SearchService:
                 # program (minutes on a fresh TPU process) — coalescing
                 # produces arbitrary sizes, so unbucketed serving would
                 # recompile continually. Zero query rows are harmless.
-                bucket = 1
-                while bucket < len(texts):
-                    bucket *= 2
-                bucket = min(bucket, self.max_batch)
+                bucket = min(next_pow2(len(texts)), self.max_batch)
                 if bucket > len(texts):
                     q = np.concatenate(
                         [q, np.zeros((bucket - len(texts), q.shape[1]), q.dtype)]
