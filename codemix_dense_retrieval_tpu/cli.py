@@ -604,13 +604,26 @@ def cmd_serve(args) -> None:
         index.enable_sketch(
             sketch_dim=args.sketch_dim, probe_bins=args.probe_bins or None
         )
+    search_kwargs = {}
+    if args.token_store:
+        # two-stage (ColBERT) serving: dense recall + MaxSim rerank
+        from codemix_dense_retrieval_tpu.io.token_shards import TokenShardStore
+        from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+        index = TwoStageSearcher(
+            index, TokenShardStore.open(args.token_store),
+            approx=("guaranteed" if args.approx else False),
+        )
+        if args.k_dense:
+            search_kwargs["k_dense"] = args.k_dense
     service = SearchService(
         encoder, index,
         default_k=args.k, max_k=args.max_k,
         max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1000.0,
         encode_batch=args.enc_batch,
-        approx=args.approx,
+        approx=bool(args.approx) and not args.token_store,
         snapshot_root=args.snapshot_root,
+        index_search_kwargs=search_kwargs,
     )
     server = make_server(
         service, host=args.host, port=args.port,
@@ -871,6 +884,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snapshot_root",
                    help="enable POST /save, restricted to this directory "
                         "(unset = snapshots disabled over HTTP)")
+    p.add_argument("--token_store",
+                   help="serve TWO-STAGE: dense recall + MaxSim rerank "
+                        "against this token store (built by encode-corpus "
+                        "--tokens_per_doc); with --approx the dense stage "
+                        "runs guaranteed-exact through the sketch tier")
+    p.add_argument("--k_dense", type=int, default=0,
+                   help="two-stage dense recall depth (0 = max(4k, 100))")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

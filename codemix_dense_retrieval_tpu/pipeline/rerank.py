@@ -207,6 +207,8 @@ class TwoStageSearcher:
         self.approx = approx
         # effective depths of the most recent search() (k_dense may clamp)
         self.last_depths: dict = {}
+        # serving contract: anything behind SearchService exposes count
+        self.count = index.count
         # HBM-resident token store (VERDICT r2 item 3): when the int8
         # blocks (+ scales + lengths) fit the budget, upload ONCE and
         # gather candidates on-device by row id — the per-query host

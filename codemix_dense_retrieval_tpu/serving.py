@@ -96,6 +96,7 @@ class SearchService:
         encode_batch: int = 64,
         approx: bool = False,
         snapshot_root: Optional[str] = None,
+        index_search_kwargs: Optional[dict] = None,
     ) -> None:
         self.encoder = encoder
         self.index = index
@@ -107,6 +108,11 @@ class SearchService:
         self.approx = approx
         if approx and not hasattr(index, "enable_sketch"):
             raise ValueError(f"{type(index).__name__} has no sketch tier")
+        # two-stage (ColBERT MaxSim) serving: a TwoStageSearcher carries a
+        # token store and needs query TOKEN embeddings alongside the dense
+        # vectors — detected by its .tokens attribute
+        self.two_stage = hasattr(index, "tokens")
+        self.index_search_kwargs = dict(index_search_kwargs or {})
         self.default_k = default_k
         self.max_k = max_k
         self.max_batch = max_batch
@@ -278,11 +284,31 @@ class SearchService:
                     q = np.concatenate(
                         [q, np.zeros((bucket - len(texts), q.shape[1]), q.dtype)]
                     )
-                if self.approx:
+                if self.two_stage:
+                    # ColBERT serving: MaxSim rerank needs query token
+                    # embeddings; pad rows get zero-length masks (they
+                    # score exact zeros — never outrank a real hit)
+                    qt, ql = self.encoder.encode_queries_tokens(
+                        texts, batch_size=self.encode_batch
+                    )
+                    qt, ql = np.asarray(qt), np.asarray(ql)
+                    if bucket > len(texts):
+                        pad = bucket - len(texts)
+                        qt = np.concatenate(
+                            [qt, np.zeros((pad,) + qt.shape[1:], qt.dtype)]
+                        )
+                        ql = np.concatenate([ql, np.zeros(pad, ql.dtype)])
+                    scores, docids = self.index.search(
+                        q, qt, ql, k_max, **self.index_search_kwargs
+                    )
+                    certified = None
+                elif self.approx:
                     scores, docids = self.index.search(q, k_max, approx=True)
                     certified = self.index.last_certified
                 else:
-                    scores, docids = self.index.search(q, k_max)
+                    scores, docids = self.index.search(
+                        q, k_max, **self.index_search_kwargs
+                    )
                     certified = None
                 with self.stats._lock:
                     self.stats.batches += 1

@@ -33,6 +33,13 @@ class FakeEncoder:
             out[i] = v / np.linalg.norm(v)
         return out
 
+    def encode_queries_tokens(self, texts, batch_size=64):
+        """Deterministic per-text token block: the dense vector repeated
+        (so MaxSim agrees with the dense ranking on this fake)."""
+        dense = self.encode_queries(texts, batch_size)
+        toks = np.repeat(dense[:, None, :], 3, axis=1)
+        return toks, np.full(len(texts), 3, np.int32)
+
 
 @pytest.fixture(scope="module")
 def corpus_index():
@@ -179,6 +186,32 @@ class TestService:
             assert out["removed"] == 1 and out["count"] == before
             res = svc.search(["freshly added doc"], k=3)
             assert all(r["docid"] != "live-1" for r in res[0])
+        finally:
+            svc.close()
+
+    def test_two_stage_serving(self, tmp_path):
+        """ColBERT serving: SearchService drives a TwoStageSearcher with
+        encoder token embeddings; odd batch sizes exercise the zero-length
+        pad rows."""
+        from codemix_dense_retrieval_tpu.io.token_shards import TokenShardWriter, TokenShardStore
+        from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+        enc = FakeEncoder()
+        texts = [f"doc number {i}" for i in range(128)]
+        dense = enc.encode_queries(texts)
+        toks = np.repeat(dense[:, None, :], 3, axis=1)
+        w = TokenShardWriter(tmp_path / "tok", token_dim=enc.dim, tokens_per_doc=3)
+        w.append(toks, np.full(128, 3, np.int32), [f"d{i}" for i in range(128)])
+        w.finalize()
+        index = DenseFlatIndex.build(dense, [f"d{i}" for i in range(128)],
+                                     dtype="float32")
+        searcher = TwoStageSearcher(index, TokenShardStore.open(tmp_path / "tok"))
+        svc = SearchService(enc, searcher, index_search_kwargs={"k_dense": 16})
+        try:
+            assert svc.two_stage
+            res = svc.search([texts[7], texts[42], texts[99]], k=3)
+            # each query text IS a doc text -> its own doc must rank first
+            assert [r[0]["docid"] for r in res] == ["d7", "d42", "d99"]
         finally:
             svc.close()
 
