@@ -578,12 +578,18 @@ def cmd_profile(args) -> None:
     rng = np.random.default_rng(args.seed + 1)
     q = rng.standard_normal((args.queries, index.dim)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
+    approx = _approx_mode(args)
+    if approx:
+        index.enable_sketch()
     # compile outside the trace so the capture shows steady-state execution
-    index.search(q, args.k, return_docids=False)
+    index.search(q, args.k, return_docids=False, approx=approx)
     with maybe_trace("search", args.trace_dir):
         stats = timed_device_fn(
-            lambda: index.search(q, args.k, return_docids=False), iters=args.iters
+            lambda: index.search(q, args.k, return_docids=False, approx=approx),
+            iters=args.iters,
         )
+    if approx and index.last_certified is not None:
+        stats["certified_frac"] = float(index.last_certified.mean())
     stats.update(
         queries=args.queries, k=args.k, docs=index.count,
         qps=round(args.queries / stats["mean_s"], 1) if stats.get("mean_s") else None,
@@ -851,6 +857,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trace_dir", help="profiler output dir (also CDR_PROFILE_DIR)")
+    _add_approx_flag(p)
     p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser(
