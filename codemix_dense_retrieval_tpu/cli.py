@@ -727,9 +727,14 @@ def cmd_sweep(args) -> None:
 
 def cmd_collect(args) -> None:
     if args.ablation:
-        from codemix_dense_retrieval_tpu.analysis.ablation import collect_ablation_cli
+        from codemix_dense_retrieval_tpu.analysis.ablation import (
+            collect_ablation_cli,
+        )
 
-        collect_ablation_cli(args.results_root, args.out)
+        collect_ablation_cli(
+            args.results_root, args.out,
+            reference_format=getattr(args, "reference_format", False),
+        )
     else:
         from codemix_dense_retrieval_tpu.analysis.collect import collect_cli
 
