@@ -109,6 +109,26 @@ class TestProcessedCsvParity:
                     assert str(got[col]) == str(want[col]), (k, col)
 
 
+class TestFigureRenderingOnRealTree:
+    def test_all_families_render(self, collected, tmp_path):
+        """Every figure family renders from the REAL collected rows (not
+        just the synthetic trees the plots tests use) — the analysis
+        stack end-to-end on the reference's actual data."""
+        from codemix_dense_retrieval_tpu.analysis.collect import compute_summary
+        from codemix_dense_retrieval_tpu.analysis.plots import generate_all
+
+        paths = generate_all(collected, compute_summary(collected), tmp_path)
+        assert len(paths) >= 12
+        names = {p.name for p in paths}
+        for fam in (
+            "delta_hist", "ratio_curves", "lambda_star", "en_split",
+            "typology_scatter", "headroom", "hub_examples",
+            "mono_alignment",
+        ):
+            assert any(fam in n for n in names), (fam, sorted(names))
+        assert all(p.stat().st_size > 0 for p in paths)
+
+
 class TestPaperValuesParity:
     """Every paper_values.txt:9-24 headline, within rounding. The repo's
     stats run on 0-1 metrics; the reference reports x100."""
