@@ -215,6 +215,39 @@ class TestService:
         finally:
             svc.close()
 
+    def test_concurrent_search_and_mutation_stress(self, tmp_path):
+        """Hammer one service with interleaved searches and add/removes
+        from many threads: every future resolves (no deadlock), no
+        consumer errors, and the index ends at the expected count."""
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((256, 32)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        idx = DenseFlatIndex.build(vecs, [f"d{i}" for i in range(256)],
+                                   dtype="float32")
+        enc, svc = make_service(idx, max_wait_s=0.002)
+        futures = []
+        try:
+            for round_i in range(6):
+                for j in range(4):
+                    futures.append(svc.submit([f"q{round_i}-{j}"], k=5))
+                futures.append(svc.submit_add(
+                    [{"docid": f"live-{round_i}", "text": f"fresh {round_i}"}]
+                ))
+                for j in range(4):
+                    futures.append(svc.submit([f"r{round_i}-{j}"], k=3))
+                if round_i % 2:
+                    futures.append(svc.submit_remove([f"live-{round_i - 1}"]))
+            results = [f.result(timeout=60) for f in futures]
+            assert all(r for r in results)
+            assert svc.stats.snapshot()["errors"] == 0
+            # 6 adds, 3 removes (rounds 1,3,5 remove the previous round's doc)
+            assert idx.count == 256 + 6 - 3
+            # searches after the queue drains see the surviving live docs
+            res = svc.search(["fresh 5"], k=1)
+            assert res[0][0]["docid"] == "live-5"
+        finally:
+            svc.close()
+
     def test_admin_validation(self, corpus_index):
         enc, svc = make_service(corpus_index)
         try:
