@@ -398,6 +398,29 @@ def test_bilingual_vector_mix_guaranteed_identical(tmp_path, mesh):
     assert exact[0.5].read_text() == grt[0.5].read_text()
 
 
+def test_index_approx_query_block_equivalence(mesh):
+    """approx search through ragged query blocks == one dispatch (results
+    and certificates both; pad rows never leak)."""
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(33)
+    n, d, k = 4096, 64, 10
+    docs = _anisotropic(rng, n, d, decay=0.05)
+    queries = _anisotropic(rng, 21, d, decay=0.05)  # ragged vs block=8
+    idx = DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)])
+    idx.to_device(mesh, pad_multiple=256)
+    idx.enable_sketch(sketch_dim=24, probe_bins=32)
+    v1, i1 = idx.search(queries, k, return_docids=False, approx=True)
+    c1 = idx.last_certified.copy()
+    v2, i2 = idx.search(queries, k, return_docids=False, approx=True,
+                        query_block=8)
+    c2 = idx.last_certified
+    assert c1.shape == c2.shape == (21,)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(c1, c2)
+
+
 def test_index_sketch_rejects_int8(tmp_path, mesh):
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex
 
