@@ -100,7 +100,14 @@ def sketch_rows(
     ``tails[i] >= ||x_i - P P^T x_i||`` for the f32 value of row i.
     """
     x = docs.astype(jnp.float32)
-    s = x @ proj.astype(jnp.float32)
+    # HIGHEST precision: TPU f32 matmuls otherwise round operands to
+    # bf16 on the MXU, and a rounded sketch would undercut the tail
+    # bound the exactness certificate leans on (DEFAULT_CERT_MARGIN is
+    # sized for f32 accumulation, not bf16 rounding)
+    s = lax.dot_general(
+        x, proj.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )
     # ||x_tail||^2 = ||x||^2 - ||P^T x||^2 (P orthonormal); relu guards
     # round-off at near-zero tails
     t2 = jnp.maximum(jnp.sum(x * x, axis=1) - jnp.sum(s * s, axis=1), 0.0)
@@ -133,6 +140,8 @@ def _binub_pallas_kernel(nv_ref, qs_ref, qt_ref, ds_ref, dt_ref, binub_ref,
     s = jax.lax.dot_general(
         ds_ref[:], qs_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # see sketch_rows: the ub
+        # bound must not lose mantissa to the MXU's bf16 f32-matmul path
     )  # (tile_n, tile_b)
     ub = s + dt_ref[:] * qt_ref[:].reshape(1, -1)
     n_valid = nv_ref[0]
