@@ -79,6 +79,8 @@ class DenseFlatIndex:
         # sidecars (TwoStageSearcher's token store) check it to detect
         # that their row mapping went stale
         self.mutation_epoch = 0
+        # ordered (src, dst) row moves of the most recent remove() batch
+        self.last_swaps: list = []
 
     # ---------------- constructors ----------------
 
@@ -268,12 +270,14 @@ class DenseFlatIndex:
             sk, tails = sketch_rows_jit(self._docs_dev, proj)
             self._sketch = (sk, tails, proj, skw)
 
-    def add(self, vectors: np.ndarray, docids: Sequence[str]) -> None:
+    def add(self, vectors: np.ndarray, docids: Sequence[str]) -> np.ndarray:
         """Add rows to the live index (FAISS ``add_with_ids`` analog).
 
         New rows fill shard pad space (emptiest shard first, keeping the
         row balance); the index regrows automatically when full.
-        Duplicate docids are rejected.
+        Duplicate docids are rejected. Returns the global padded row
+        positions assigned (row-aligned sidecar owners — the resident
+        token store — mirror their writes there).
         """
         self._ensure_mutable()
         m = self._mutable
@@ -309,8 +313,10 @@ class DenseFlatIndex:
             m["row_of"][docids[i]] = pos
         m["rows"][positions] = vectors
         self.mutation_epoch += 1
+        self.last_swaps = []
         self._refresh_counts()
         self._scatter_rows(positions, vectors)
+        return positions
 
     def remove(self, docids: Sequence[str]) -> int:
         """Remove rows by docid (FAISS ``remove_ids`` analog); returns the
@@ -322,6 +328,10 @@ class DenseFlatIndex:
         rps = self._rows_per_shard
         touched = {}
         removed = 0
+        # ordered (src, dst) journal of this batch's row moves so
+        # row-aligned sidecar owners (the resident token store) can
+        # replay the SAME swaps on their arrays
+        self.last_swaps = []
         for did in map(str, docids):
             pos = m["row_of"].pop(did, None)
             if pos is None:
@@ -335,6 +345,7 @@ class DenseFlatIndex:
                 m["docids"][pos] = moved
                 m["row_of"][str(moved)] = pos
                 touched[pos] = None
+                self.last_swaps.append((int(last), int(pos)))
             m["docids"][last] = None
             m["counts"][sh] -= 1
             touched.pop(last, None)  # beyond the count mask now

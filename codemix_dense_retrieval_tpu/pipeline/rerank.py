@@ -35,6 +35,10 @@ from codemix_dense_retrieval_tpu.index.flat import DenseFlatIndex
 from codemix_dense_retrieval_tpu.io.token_shards import TokenShardStore
 from codemix_dense_retrieval_tpu.ops.maxsim import maxsim_rerank
 
+# module-level jit (one trace cache across mutations): replay a batch of
+# row moves, chains already resolved host-side to pre-batch sources
+_move_rows = jax.jit(lambda a, s, d: a.at[d].set(a[s]), donate_argnums=0)
+
 
 @functools.partial(jax.jit, static_argnames=("k", "use_pallas", "interpret"))
 def _rerank_block_unique(
@@ -185,13 +189,15 @@ class TwoStageSearcher:
                 f"index count {index.count} != token store count "
                 f"{token_store.count} (not the same corpus?)"
             )
-        # a mutated index's row ids no longer map to token-store rows
+        # a mutated index's row ids no longer map to token-store rows;
+        # mutations must flow through THIS searcher's add/remove (which
+        # mirror them onto the resident token arrays)
         self._index_epoch = getattr(index, "mutation_epoch", 0)
         if self._index_epoch:
             raise ValueError(
-                "dense index was mutated (add/remove) — its row ids no "
-                "longer align with the token store; rebuild both from the "
-                "same corpus"
+                "dense index was mutated (add/remove) before this "
+                "TwoStageSearcher was built — its row ids no longer align "
+                "with the token store; rebuild both from the same corpus"
             )
         _check_row_alignment(index, token_store)
         self.index = index
@@ -266,6 +272,126 @@ class TwoStageSearcher:
         self._lengths_dev = jnp.asarray(
             np.asarray(ts.lengths, np.int32)
         )
+
+    # ---------------- online mutation (device-resident store) ----------
+    #
+    # The memmap token store is read-only, so two-stage mutation is
+    # DEVICE-RESIDENT only: token blocks live in HBM padded to the dense
+    # index's capacity layout, adds scatter new blocks at the positions
+    # the dense add assigned, and removes replay the dense side's
+    # swap-delete journal (index.last_swaps) so both stay row-aligned.
+
+    def _mutation_capacity(self) -> int:
+        if not self.device_resident:
+            raise ValueError(
+                "two-stage mutation requires the device-resident token "
+                "store (the memmap store is read-only); construct with "
+                "device_resident=True"
+            )
+        idx = self.index
+        if idx._docs_dev is None:
+            idx.to_device()
+        cap = idx.mesh.shape["shard"] * idx._rows_per_shard
+        if self._tok_dev.shape[0] < cap:
+            pad = cap - self._tok_dev.shape[0]
+            self._tok_dev = jnp.pad(
+                self._tok_dev, ((0, pad), (0, 0), (0, 0))
+            )
+            if self._scales_dev is not None:
+                self._scales_dev = jnp.pad(
+                    self._scales_dev, ((0, pad), (0, 0)), constant_values=1.0
+                )
+            self._lengths_dev = jnp.pad(self._lengths_dev, (0, pad))
+        return cap
+
+    def add(
+        self,
+        vectors: np.ndarray,
+        docids,
+        token_embs: np.ndarray,  # (n, T, token_dim)
+        lengths,
+    ) -> np.ndarray:
+        """Two-stage ``add_with_ids``: dense rows + token blocks land at
+        the same padded positions. Raises (before mutating anything) if
+        the add would regrow the dense index — the resident token layout
+        cannot follow a re-shard; build with capacity headroom."""
+        from codemix_dense_retrieval_tpu.index.flat import (
+            _bucket_scatter,
+            _scatter_update,
+        )
+        from codemix_dense_retrieval_tpu.io.token_shards import (
+            _quantize_tokens_np,
+        )
+
+        cap = self._mutation_capacity()
+        vectors = np.asarray(vectors, np.float32)
+        if len(vectors) > cap - self.index.count:
+            raise ValueError(
+                f"add of {len(vectors)} rows would regrow the dense index "
+                f"(spare capacity {cap - self.index.count}); rebuild the "
+                "searcher over a roomier index instead"
+            )
+        token_embs = np.asarray(token_embs)
+        n, t, d = token_embs.shape
+        if d != self.tokens.token_dim:
+            raise ValueError(
+                f"token dim {d} != store token_dim {self.tokens.token_dim}"
+            )
+        td = self.tokens.tokens_per_doc
+        lengths = np.minimum(np.asarray(lengths, np.int32), min(t, td))
+        block = np.zeros((n, td, d), np.float32)
+        keep = min(t, td)
+        block[:, :keep] = token_embs[:, :keep].astype(np.float32)
+        block *= (np.arange(td)[None, :] < lengths[:, None])[..., None]
+        positions = self.index.add(vectors, docids)
+        if self._scales_dev is not None:
+            q, scales = _quantize_tokens_np(block)
+            pos_b, q = _bucket_scatter(positions, q)
+            _, scales = _bucket_scatter(positions, scales)
+            self._scales_dev = _scatter_update(
+                self._scales_dev, jnp.asarray(pos_b, jnp.int32),
+                jnp.asarray(scales),
+            )
+            blocks_dev = jnp.asarray(q)
+        else:
+            pos_b, block = _bucket_scatter(positions, block)
+            blocks_dev = jnp.asarray(block, self._tok_dev.dtype)
+        pos_dev = jnp.asarray(pos_b, jnp.int32)
+        self._tok_dev = _scatter_update(self._tok_dev, pos_dev, blocks_dev)
+        _, lens_b = _bucket_scatter(positions, lengths)
+        self._lengths_dev = _scatter_update(
+            self._lengths_dev, pos_dev, jnp.asarray(lens_b, jnp.int32)
+        )
+        self.count = self.index.count
+        self._index_epoch = self.index.mutation_epoch
+        return positions
+
+    def remove(self, docids) -> int:
+        """Two-stage ``remove_ids``: the dense side swap-deletes; its
+        (src, dst) journal replays on the resident token arrays, with
+        swap CHAINS resolved to pre-batch sources so one gather+scatter
+        reproduces the sequential semantics."""
+        from codemix_dense_retrieval_tpu.index.flat import _bucket_scatter
+
+        self._mutation_capacity()
+        removed = self.index.remove(docids)
+        if removed and self.index.last_swaps:
+            origin: dict = {}
+            for src, dst in self.index.last_swaps:
+                origin[dst] = origin.get(src, src)
+            dsts = np.fromiter(origin.keys(), np.int64)
+            srcs = np.asarray([origin[int(dv)] for dv in dsts], np.int64)
+            srcs, dsts = _bucket_scatter(srcs, dsts)  # pow2-bucket the count
+            s_dev = jnp.asarray(srcs, jnp.int32)
+            d_dev = jnp.asarray(dsts, jnp.int32)
+            self._tok_dev = _move_rows(self._tok_dev, s_dev, d_dev)
+            if self._scales_dev is not None:
+                self._scales_dev = _move_rows(self._scales_dev, s_dev, d_dev)
+            self._lengths_dev = _move_rows(self._lengths_dev, s_dev, d_dev)
+        if removed:
+            self.count = self.index.count
+            self._index_epoch = self.index.mutation_epoch
+        return removed
 
     def search(
         self,

@@ -342,16 +342,23 @@ class SearchService:
     def _apply_admin(self, p: _Pending) -> None:
         if p.op == "add":
             docs = list(p.payload)
-            # documents get the DOC-side encoder dialect (prompt prefixes
-            # differ per family — reference encode_documents vs
-            # encode_queries, `onepass_dense_mix_run_custom_lang.py:34-58`)
-            enc = getattr(
-                self.encoder, "encode_documents", self.encoder.encode_queries
-            )
-            vecs = np.asarray(
-                enc([d["text"] for d in docs], batch_size=self.encode_batch)
-            )
-            self.index.add(vecs, [d["docid"] for d in docs])
+            texts = [d["text"] for d in docs]
+            ids = [d["docid"] for d in docs]
+            if self.two_stage:
+                # one forward pass emits the dense row AND the token block
+                dense, toks, lens = self.encoder.encode_documents_with_tokens(
+                    texts, batch_size=self.encode_batch
+                )
+                self.index.add(np.asarray(dense), ids, np.asarray(toks), lens)
+            else:
+                # documents get the DOC-side encoder dialect (prompt
+                # prefixes differ per family — reference encode_documents
+                # vs encode_queries, `onepass_dense_mix_run_custom_lang.py:34-58`)
+                enc = getattr(
+                    self.encoder, "encode_documents", self.encoder.encode_queries
+                )
+                vecs = np.asarray(enc(texts, batch_size=self.encode_batch))
+                self.index.add(vecs, ids)
             p.future.set_result({"added": len(docs), "count": self.index.count})
         elif p.op == "remove":
             n = self.index.remove(list(p.payload))

@@ -169,6 +169,121 @@ def test_mutated_index_roundtrips_through_store(mesh, tmp_path):
     }
 
 
+def _tok_corpus(rng, n, td, d):
+    toks = rng.standard_normal((n, td, d)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    dense = toks.sum(axis=1)
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    return toks, dense
+
+
+def _write_tok_store(path, toks, lens, dtype="bfloat16"):
+    from codemix_dense_retrieval_tpu.io.token_shards import (
+        TokenShardStore,
+        TokenShardWriter,
+    )
+
+    w = TokenShardWriter(
+        path, token_dim=toks.shape[2], tokens_per_doc=toks.shape[1],
+        dtype=dtype,
+    )
+    w.append(toks, lens, [f"d{i}" for i in range(len(toks))])
+    w.finalize()
+    return TokenShardStore.open(path)
+
+
+def _brute_two_stage(q_dense, q_toks, live_toks, live_ids, k, k_dense):
+    """numpy oracle: dense top-k_dense then full MaxSim rerank."""
+    ids = sorted(live_ids)
+    dense = np.stack([live_toks[i].sum(0) for i in ids])
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    out = []
+    for qi in range(len(q_dense)):
+        dd = dense @ q_dense[qi]
+        cand = np.argsort(-dd, kind="stable")[:k_dense]
+        scored = []
+        for c in cand:
+            sims = q_toks[qi] @ live_toks[ids[c]].T  # (Tq, Td)
+            scored.append((float(sims.max(axis=1).sum()), ids[c]))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        out.append([s[1] for s in scored[:k]])
+    return out
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_two_stage_resident_mutation(mesh, tmp_path, dtype):
+    """Device-resident two-stage add/remove: the searcher mirrors the
+    dense side's positions and swap journal, and post-mutation rerank
+    matches a numpy dense->MaxSim oracle over the LIVE corpus."""
+    from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+    rng = np.random.default_rng(20)
+    n, td, d, k = 96, 4, 32, 5
+    toks, dense = _tok_corpus(rng, n, td, d)
+    store = _write_tok_store(tmp_path / f"tok-{dtype}", toks,
+                             np.full(n, td, np.int32), dtype=dtype)
+    idx = DenseFlatIndex.build(dense, [f"d{i}" for i in range(n)],
+                               dtype="float32")
+    idx.to_device(mesh, pad_multiple=32)
+    s = TwoStageSearcher(idx, store, device_resident=True)
+    live = {f"d{i}": toks[i] for i in range(n)}
+
+    new_toks, new_dense = _tok_corpus(rng, 7, td, d)
+    s.add(new_dense, [f"n{i}" for i in range(7)], new_toks,
+          np.full(7, td, np.int32))
+    live.update({f"n{i}": new_toks[i] for i in range(7)})
+    assert s.remove(["d0", "d33", "n2", "ghost"]) == 3
+    for g in ("d0", "d33", "n2"):
+        live.pop(g)
+    assert s.count == idx.count == n + 7 - 3
+
+    q_toks, q_dense = _tok_corpus(rng, 4, td, d)
+    scores, got = s.search(q_dense, q_toks, np.full(4, td), k,
+                           k_dense=24, return_docids=True)
+    want = _brute_two_stage(q_dense, q_toks, live, set(live), k, 24)
+    tol = 0.08 if dtype == "int8" else 0.02
+    for qi in range(4):
+        hit = len(set(map(str, got[qi])) & set(want[qi])) / k
+        assert hit >= (0.8 if dtype == "int8" else 1.0) or (
+            # int8 quantization may reorder near-ties at the boundary
+            hit >= 0.6 and dtype == "int8"
+        ), (qi, got[qi], want[qi])
+    # removed docids never come back
+    _, wide = s.search(q_dense, q_toks, np.full(4, td), 20, k_dense=64)
+    assert not (set(map(str, np.asarray(wide).ravel())) & {"d0", "d33", "n2"})
+
+
+def test_two_stage_mutation_requires_resident(mesh, tmp_path):
+    from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+    rng = np.random.default_rng(21)
+    toks, dense = _tok_corpus(rng, 48, 4, 32)
+    store = _write_tok_store(tmp_path / "tok", toks, np.full(48, 4, np.int32))
+    idx = DenseFlatIndex.build(dense, [f"d{i}" for i in range(48)],
+                               dtype="float32")
+    idx.to_device(mesh, pad_multiple=16)
+    s = TwoStageSearcher(idx, store, device_resident=False)
+    with pytest.raises(ValueError, match="device-resident"):
+        s.add(dense[:1], ["x"], toks[:1], [4])
+
+
+def test_two_stage_add_refuses_regrow(mesh, tmp_path):
+    from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+    rng = np.random.default_rng(22)
+    toks, dense = _tok_corpus(rng, 48, 4, 32)
+    store = _write_tok_store(tmp_path / "tok", toks, np.full(48, 4, np.int32))
+    idx = DenseFlatIndex.build(dense, [f"d{i}" for i in range(48)],
+                               dtype="float32")
+    idx.to_device(mesh, pad_multiple=8)  # capacity 64, spare 16
+    s = TwoStageSearcher(idx, store, device_resident=True)
+    big_toks, big_dense = _tok_corpus(rng, 20, 4, 32)
+    with pytest.raises(ValueError, match="regrow"):
+        s.add(big_dense, [f"b{i}" for i in range(20)], big_toks,
+              np.full(20, 4, np.int32))
+    assert idx.count == 48  # nothing mutated
+
+
 def test_mutation_invalidates_two_stage(mesh, tmp_path):
     """A mutated dense index must be rejected by TwoStageSearcher — its
     row ids no longer map to the (unmutated) token store's rows."""

@@ -40,6 +40,11 @@ class FakeEncoder:
         toks = np.repeat(dense[:, None, :], 3, axis=1)
         return toks, np.full(len(texts), 3, np.int32)
 
+    def encode_documents_with_tokens(self, texts, batch_size=64):
+        dense = self.encode_queries(texts, batch_size)
+        toks = np.repeat(dense[:, None, :], 3, axis=1)
+        return dense, toks, np.full(len(texts), 3, np.int32)
+
 
 @pytest.fixture(scope="module")
 def corpus_index():
@@ -212,6 +217,18 @@ class TestService:
             res = svc.search([texts[7], texts[42], texts[99]], k=3)
             # each query text IS a doc text -> its own doc must rank first
             assert [r[0]["docid"] for r in res] == ["d7", "d42", "d99"]
+            # online two-stage mutation through the consumer: add (dense +
+            # token block in one encoder pass), retrieve, remove, gone
+            out = svc.submit_add(
+                [{"docid": "live-2s", "text": "two stage live doc"}]
+            ).result(timeout=60)
+            assert out["added"] == 1 and out["count"] == 129
+            res = svc.search(["two stage live doc"], k=2)
+            assert res[0][0]["docid"] == "live-2s"
+            out = svc.submit_remove(["live-2s"]).result(timeout=60)
+            assert out["removed"] == 1 and out["count"] == 128
+            res = svc.search(["two stage live doc"], k=3)
+            assert all(r["docid"] != "live-2s" for r in res[0])
         finally:
             svc.close()
 
