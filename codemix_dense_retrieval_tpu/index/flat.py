@@ -357,6 +357,52 @@ class DenseFlatIndex:
                 self._scatter_rows(positions, m["rows"][positions])
         return removed
 
+    def rebalance(self) -> "DenseFlatIndex":
+        """Re-spread the live rows evenly across shards. Adds keep the
+        balance (emptiest shard first), but a skewed removal pattern can
+        concentrate load on some shards; search wall-time follows the
+        FULLEST shard, so heavy mutators should rebalance occasionally.
+        Row ids change (mutation_epoch bumps)."""
+        self._ensure_mutable()
+        m = self._mutable
+        s = self.mesh.shape["shard"]
+        rps = self._rows_per_shard
+        valid = np.concatenate([
+            np.arange(sh * rps, sh * rps + int(m["counts"][sh]))
+            for sh in range(s)
+        ])
+        n = len(valid)
+        per = -(-n // s) if n else 0
+        rows = np.zeros_like(m["rows"])
+        docids = np.empty(len(m["docids"]), dtype=object)
+        counts = np.zeros(s, np.int64)
+        for sh in range(s):
+            chunk = valid[sh * per : (sh + 1) * per]
+            rows[sh * rps : sh * rps + len(chunk)] = m["rows"][chunk]
+            docids[sh * rps : sh * rps + len(chunk)] = m["docids"][chunk]
+            counts[sh] = len(chunk)
+        m.update(
+            rows=rows, counts=counts, docids=docids,
+            row_of={
+                str(docids[i]): i
+                for i in np.flatnonzero(docids != None)  # noqa: E711
+            },
+        )
+        self._docids = docids
+        self.mutation_epoch += 1
+        self._refresh_counts()
+        # wholesale re-upload (the layout changed everywhere)
+        self._docs_dev, _, _ = shard_rows(
+            rows.astype(self._docs_dev.dtype), self.mesh, pad_multiple=rps
+        )
+        if self._sketch is not None:
+            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows_jit
+
+            _, _, proj, skw = self._sketch
+            sk, tails = sketch_rows_jit(self._docs_dev, proj)
+            self._sketch = (sk, tails, proj, skw)
+        return self
+
     def to_store(self) -> ShardStore:
         """Materialize the live (possibly mutated) rows as a ShardStore —
         the persistence path for mutated indexes (``save()`` uses it)."""

@@ -316,6 +316,30 @@ def test_mutation_invalidates_two_stage(mesh, tmp_path):
         TwoStageSearcher(idx, store)
 
 
+def test_rebalance_evens_shards_and_stays_exact(mesh):
+    rng = np.random.default_rng(30)
+    idx, live = _fresh(rng, mesh, n=512)
+    queries = _rows(rng, 6)
+    # skew: remove most of shard 0's rows (rps=128 -> rows d0..d63 + swaps)
+    gone = [f"d{i}" for i in range(0, 120)]
+    idx.remove(gone)
+    for g in gone:
+        live.pop(g)
+    counts = idx._mutable["counts"].copy()
+    assert counts.max() - counts.min() > 32  # actually skewed
+    idx.rebalance()
+    counts = idx._mutable["counts"]
+    assert counts.max() - counts.min() <= 1
+    assert idx.count == len(live)
+    _oracle_check(idx, queries, live, 20)
+    # sketch tier survives a rebalance
+    idx.enable_sketch(sketch_dim=16, probe_bins=48)
+    idx.rebalance()
+    vals, ids = idx.search(queries, 10, return_docids=False, approx="guaranteed")
+    evals, eids = idx.search(queries, 10, return_docids=False)
+    np.testing.assert_array_equal(ids, eids)
+
+
 def test_int8_index_rejects_mutation(mesh):
     rng = np.random.default_rng(8)
     docs = _rows(rng, 256)
