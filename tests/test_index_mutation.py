@@ -253,6 +253,62 @@ def test_two_stage_resident_mutation(mesh, tmp_path, dtype):
     assert not (set(map(str, np.asarray(wide).ravel())) & {"d0", "d33", "n2"})
 
 
+def test_two_stage_mutation_fuzz(mesh, tmp_path):
+    """10 rounds of random add/remove batches (removals biased to force
+    long swap chains within shards); after every round the resident token
+    arrays must score EXACTLY like a from-scratch oracle over the live
+    corpus — any journal-replay slip shows up as a wrong MaxSim score."""
+    from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
+
+    import jax.numpy as jnp
+
+    def bf16_corpus(rng_, m, td_, d_):
+        # bf16-REPRESENTABLE tokens: the store round-trips losslessly, so
+        # the numpy oracle and the resident arrays score identical values
+        t, _ = _tok_corpus(rng_, m, td_, d_)
+        t = np.asarray(jnp.asarray(t, jnp.bfloat16).astype(jnp.float32))
+        dn = t.sum(axis=1)
+        dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+        return t, dn
+
+    rng = np.random.default_rng(40)
+    n, td, d, k = 64, 3, 16, 4
+    toks, dense = bf16_corpus(rng, n, td, d)
+    store = _write_tok_store(tmp_path / "tok", toks, np.full(n, td, np.int32))
+    idx = DenseFlatIndex.build(dense, [f"d{i}" for i in range(n)],
+                               dtype="float32")
+    idx.to_device(mesh, pad_multiple=16)  # capacity 128
+    s = TwoStageSearcher(idx, store, device_resident=True)
+    live = {f"d{i}": toks[i] for i in range(n)}
+    serial = 0
+    for rnd in range(10):
+        n_add = int(rng.integers(0, 5))
+        if n_add and idx.count + n_add <= 120:
+            at, ad = bf16_corpus(rng, n_add, td, d)
+            names = [f"f{serial + i}" for i in range(n_add)]
+            serial += n_add
+            s.add(ad, names, at, np.full(n_add, td, np.int32))
+            live.update(zip(names, at))
+        pool = sorted(live)
+        n_rm = int(rng.integers(0, min(6, len(pool) - 8)))
+        gone = list(rng.choice(pool, size=n_rm, replace=False))
+        assert s.remove(gone) == n_rm
+        for g in gone:
+            live.pop(g)
+        assert s.count == idx.count == len(live)
+        # oracle check on a few queries; depth <= rows_per_shard (16) so
+        # the dense clamp never diverges the candidate pools
+        kd = min(12, len(live))
+        q_toks, q_dense = bf16_corpus(rng, 3, td, d)
+        scores, got = s.search(q_dense, q_toks, np.full(3, td), k,
+                               k_dense=kd, return_docids=True)
+        want = _brute_two_stage(q_dense, q_toks, live, set(live), k, kd)
+        for qi in range(3):
+            assert list(map(str, got[qi])) == want[qi], (
+                rnd, qi, got[qi], want[qi]
+            )
+
+
 def test_two_stage_mutation_requires_resident(mesh, tmp_path):
     from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
 
