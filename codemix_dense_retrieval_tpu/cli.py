@@ -725,6 +725,44 @@ def cmd_sweep(args) -> None:
     run_sweep_cli(args)
 
 
+def cmd_make_plan(args) -> None:
+    """Emit a sweep-plan JSON from the built-in experiment matrices
+    (replaces the bash schedulers' inline job tables:
+    run_all_vector_pairs.sh BILINGUAL_PAIRS_DEFAULT, reproduce_en_zh.sh,
+    run_ablation.sh model x block maps)."""
+    from codemix_dense_retrieval_tpu.orchestrate import plans as P
+
+    if args.kind == "all-pairs":
+        plan = P.build_all_pairs_plan(
+            index_root=args.index_root, query_tsv_root=args.query_tsv_root,
+            result_root=args.result_root, encoder=args.encoder,
+            checkpoint=args.checkpoint, qrels=args.qrels,
+        )
+    elif args.kind == "en-zh-repro":
+        plan = P.build_en_zh_repro_plan(
+            index_root=args.index_root,
+            query_tsv_en=str(pathlib.Path(args.query_tsv_root) / "queries.en.tsv"),
+            query_tsv_zh=str(pathlib.Path(args.query_tsv_root) / "queries.zh.tsv"),
+            band_dir=args.band_dir, result_root=args.result_root,
+            encoder=args.encoder, checkpoint=args.checkpoint,
+            qrels=args.qrels, size=args.size,
+        )
+    else:  # ablation
+        roots = dict(kv.split("=", 1) for kv in (args.index_root_by_model or []))
+        if not roots:
+            raise SystemExit(
+                "[ERROR] ablation needs --index_root_by_model TAG=ROOT ..."
+            )
+        cps = dict(kv.split("=", 1) for kv in (args.checkpoints or []))
+        plan = P.build_ablation_plan(
+            index_root_by_model=roots, query_tsv_root=args.query_tsv_root,
+            result_root=args.result_root, checkpoints=cps, qrels=args.qrels,
+            size=args.size,
+        )
+    out = P.write_plan(plan, args.out)
+    print(json.dumps({"plan": str(out), "jobs": len(plan["jobs"])}))
+
+
 def cmd_collect(args) -> None:
     if args.ablation:
         from codemix_dense_retrieval_tpu.analysis.ablation import (
@@ -1020,6 +1058,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--src", required=True, help="HF checkpoint dir")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser(
+        "make-plan",
+        help="emit a sweep-plan JSON from the built-in matrices "
+             "(all-pairs 105 jobs / en-zh-repro 6 jobs / ablation blocks)",
+    )
+    p.add_argument("kind", choices=["all-pairs", "en-zh-repro", "ablation"])
+    p.add_argument("--index_root")
+    p.add_argument("--index_root_by_model", nargs="+", metavar="TAG=ROOT")
+    p.add_argument("--query_tsv_root", required=True,
+                   help="directory of queries.<lang>.tsv files")
+    p.add_argument("--band_dir", help="word-mix band dir (en-zh-repro)")
+    p.add_argument("--result_root", required=True)
+    p.add_argument("--encoder", default="BAAI/bge-m3")
+    p.add_argument("--checkpoint")
+    p.add_argument("--checkpoints", nargs="+", metavar="TAG=PATH")
+    p.add_argument("--qrels")
+    p.add_argument("--size", type=int, default=100_000)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_make_plan)
 
     p = sub.add_parser("sweep", help="experiment scheduler (replaces the bash schedulers)")
     p.add_argument("--plan", required=True, help="JSON sweep plan file")
