@@ -365,12 +365,15 @@ def compute_reference_ablation_summary(ref_rows: List[Dict]) -> List[Dict]:
         row.update(factors)
         dm = str(row["doc_mix"])
         row["doc_type"] = "bi" if "+" in dm else "mono"
-        la, lb = (p.strip().upper() for p in str(row["pair"]).split("-")[:2])
+        pair_parts = [t.strip().upper() for t in str(row["pair"]).split("-") if t.strip()]
+        la, lb = (pair_parts + ["", ""])[:2]  # empty/one-token pairs survive
         dm_langs = {t for t in re.split(r"[^A-Z]+", dm.upper()) if t}
+        has_a = bool(la) and la in dm_langs
+        has_b = bool(lb) and lb in dm_langs
         row["doc_regime"] = (
-            "L1+L2 docs" if la in dm_langs and lb in dm_langs
-            else "L1 docs" if la in dm_langs
-            else "L2 docs" if lb in dm_langs
+            "L1+L2 docs" if has_a and has_b
+            else "L1 docs" if has_a
+            else "L2 docs" if has_b
             else "other docs"
         )
         out.append(row)

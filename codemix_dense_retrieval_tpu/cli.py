@@ -292,6 +292,11 @@ def cmd_run_mix(args) -> None:
     vecs_a = encode_cached(lang_a, texts_a)
     vecs_b = encode_cached(lang_b, texts_b)
     alphas = [float(a) for a in args.cm_alphas]
+    if args.fused and _approx_mode(args):
+        raise SystemExit(
+            "[ERROR] --fused runs the exact one-jit sweep; it does not "
+            "route through the sketch tier. Drop --approx (or --fused)."
+        )
     if args.fused and args.qrels:
         # one-jit sweep: mix + sharded search + ON-DEVICE metrics
         from codemix_dense_retrieval_tpu.evals.device_metrics import build_rel_matrix
@@ -392,6 +397,11 @@ def cmd_run_bilingual_mix(args) -> None:
     vecs_b = encoder.encode_queries(texts_b, batch_size=args.enc_batch)
     alphas = [float(a) for a in args.cm_alphas]
     if args.fused:
+        if _approx_mode(args):
+            raise SystemExit(
+                "[ERROR] --fused runs the exact one-jit sweep; it does not "
+                "route through the sketch tier. Drop --approx (or --fused)."
+            )
         from codemix_dense_retrieval_tpu.config import format_alpha
         from codemix_dense_retrieval_tpu.pipeline.bilingual import (
             run_bilingual_vector_mix_fused,
@@ -732,11 +742,13 @@ def cmd_make_plan(args) -> None:
     run_ablation.sh model x block maps)."""
     from codemix_dense_retrieval_tpu.orchestrate import plans as P
 
+    if args.kind in ("all-pairs", "en-zh-repro") and not args.index_root:
+        raise SystemExit(f"[ERROR] {args.kind} needs --index_root")
     if args.kind == "all-pairs":
         plan = P.build_all_pairs_plan(
             index_root=args.index_root, query_tsv_root=args.query_tsv_root,
             result_root=args.result_root, encoder=args.encoder,
-            checkpoint=args.checkpoint, qrels=args.qrels,
+            checkpoint=args.checkpoint, qrels=args.qrels, size=args.size,
         )
     elif args.kind == "en-zh-repro":
         plan = P.build_en_zh_repro_plan(

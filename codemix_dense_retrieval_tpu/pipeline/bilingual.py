@@ -231,9 +231,11 @@ def run_bilingual_vector_mix(
     collapsed ``cm-alpha-<a>_base.trec`` + ``_meta.json``
     (`onepass_bilingual_mix_hub_custom_lang.py:901-996`)."""
     outdir = pathlib.Path(outdir)
+    cert_by_alpha: Dict[float, float] = {}
     raw_runs = run_vector_mix_search(
         hub_index, qids, primary_vecs, secondary_vecs, alphas, outdir,
         k=k, query_block=query_block, tag=tag, approx=approx,
+        cert_out=cert_by_alpha,
         run_prefix="cm-alpha-", write_meta=False,
         # collapse parity needs the 6-decimal convention: 4-decimal
         # truncation manufactures ties that reorder the collapsed run
@@ -255,9 +257,8 @@ def run_bilingual_vector_mix(
                     "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
                     **(
                         {"approx": str(approx),
-                         "certified_frac":
-                             float(hub_index.last_certified.mean())}
-                        if approx and hub_index.last_certified is not None
+                         "certified_frac": cert_by_alpha[alpha]}
+                        if approx and alpha in cert_by_alpha
                         else {}
                     ),
                 },

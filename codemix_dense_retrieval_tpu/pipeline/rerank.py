@@ -273,6 +273,65 @@ class TwoStageSearcher:
             np.asarray(ts.lengths, np.int32)
         )
 
+    def save(self, directory) -> None:
+        """Persist the live two-stage corpus: the dense index under
+        ``directory`` and the token store under ``directory/tokens``
+        (the encode-corpus layout). Mutated device-resident token
+        arrays are gathered back to host in the dense side's live row
+        order; int8 blocks round-trip losslessly (dequantize ->
+        re-quantize reproduces the same codes and scales)."""
+        import pathlib
+
+        from codemix_dense_retrieval_tpu.io.token_shards import TokenShardWriter
+
+        directory = pathlib.Path(directory)
+        self.index.save(directory)
+        ts = self.tokens
+        if self._index_epoch == 0 or not self.device_resident:
+            # unmutated: stream the original store through a writer
+            w = TokenShardWriter(
+                directory / "tokens", token_dim=ts.token_dim,
+                tokens_per_doc=ts.tokens_per_doc, dtype=ts.dtype,
+            )
+            chunk = 65536
+            ids = list(self.index.docids[: ts.count])
+            all_lens = np.asarray(ts.lengths, np.int32)
+            for start in range(0, ts.count, chunk):
+                rows = np.arange(start, min(start + chunk, ts.count))
+                blocks, _ = ts.gather(rows)
+                w.append(
+                    blocks, all_lens[rows],
+                    [str(x) for x in ids[start : start + len(rows)]],
+                )
+            w.finalize()
+            return
+        # mutated: the dense mirror defines the live row order
+        m = self.index._mutable
+        rps = self.index._rows_per_shard
+        shards = self.index.mesh.shape["shard"]
+        w = TokenShardWriter(
+            directory / "tokens", token_dim=ts.token_dim,
+            tokens_per_doc=ts.tokens_per_doc, dtype=ts.dtype,
+        )
+        tok_host = np.asarray(self._tok_dev)
+        scales_host = (
+            None if self._scales_dev is None else np.asarray(self._scales_dev)
+        )
+        lens_host = np.asarray(self._lengths_dev)
+        for sh in range(shards):
+            c = int(m["counts"][sh])
+            if not c:
+                continue
+            rows = slice(sh * rps, sh * rps + c)
+            blocks = tok_host[rows].astype(np.float32)
+            if scales_host is not None:  # dequantize for the writer
+                blocks = blocks * scales_host[rows][..., None]
+            w.append(
+                blocks, lens_host[rows],
+                [str(x) for x in m["docids"][rows]],
+            )
+        w.finalize()
+
     # ---------------- online mutation (device-resident store) ----------
     #
     # The memmap token store is read-only, so two-stage mutation is

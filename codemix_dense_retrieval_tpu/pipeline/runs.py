@@ -88,6 +88,7 @@ def run_vector_mix_search(
     meta_extra: Optional[Dict] = None,
     precision: int = 4,
     approx=False,
+    cert_out: Optional[Dict[float, float]] = None,
 ) -> Dict[float, pathlib.Path]:
     """Alpha-sweep search with on-device mix+renorm.
 
@@ -104,6 +105,10 @@ def run_vector_mix_search(
         label = format_alpha(alpha)
         q_matrix = np.asarray(mix_and_renorm_jit(p, s, float(alpha)))
         vals, docids = index.search(q_matrix, k, query_block=query_block, approx=approx)
+        if cert_out is not None and index.last_certified is not None:
+            # per-alpha certificate rate, captured INSIDE the loop (the
+            # index only holds the most recent search's certificates)
+            cert_out[alpha] = float(index.last_certified.mean())
         run_path = outdir / f"{run_prefix}{label}.trec"
         write_run(run_path, list(qids), docids, vals, tag=tag, precision=precision)
         out[alpha] = run_path
