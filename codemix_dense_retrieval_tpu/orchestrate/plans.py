@@ -61,6 +61,7 @@ def vector_mix_job(
     qrels: Optional[str] = None,
     k: Optional[int] = None,
     query_cache_root: Optional[str] = None,
+    approx: Optional[str] = None,  # "fast" | "guaranteed" (sketch tier)
 ) -> Dict:
     """One vector-mix job dict for the Scheduler plan."""
     tag = encoder_tag(encoder)
@@ -98,6 +99,8 @@ def vector_mix_job(
             "--k", str(k or 100),
         ]
         run_suffix = ""
+    if approx:
+        argv += ["--approx", approx]
     if checkpoint:
         argv += ["--checkpoint", checkpoint]
     if query_cache_root and not bilingual:
