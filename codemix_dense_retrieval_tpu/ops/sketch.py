@@ -15,9 +15,10 @@ algorithm beats. This module breaks it for workloads that can tolerate
    linear map: ``q.x = (P^T q).(P^T x) + q_tail.x_tail``). Store the f32
    sketch ``S = X P`` and per-row tail norms ``t_x = ||x - P P^T x||``.
 2. **Probe**: a fused kernel computes per-bin maxima of the score UPPER
-   BOUND ``ub(x) = s_q.s_x + ||q_tail|| * t_x  (>= q.x`` by Cauchy-
-   Schwarz) — reading ``ds/d`` of the index bytes. The two-level
-   bin-max cover selects the top ``probe_bins`` bins by ``ub``.
+   BOUND ``ub(x) = s_q . s_x + ||q_tail|| * t_x >= q . x`` (Cauchy-
+   Schwarz on the orthogonal complement) — reading ``ds/d`` of the
+   index bytes. The two-level bin-max cover selects the top
+   ``probe_bins`` bins by ``ub``.
 3. **Refine**: covered bins' full-d rows are gathered (contiguous G-row
    slices) and rescored exactly on the MXU; final top-k.
 4. **Certify**: the cover's (probe_bins+1)-th bound is the max ``ub``
