@@ -153,7 +153,9 @@ def anisotropy(emb: np.ndarray, num_pairs: int = 50_000, seed: int = 42) -> Dict
     keep = i != j
     cos = np.einsum("bd,bd->b", normed[i[keep]], normed[j[keep]])
     return {
-        "mean_random_cosine": float(cos.mean()),
+        # keyed as the reference's shipped anisotropy.json names it
+        # (cm_analysis_dev_5_bge-m3/anisotropy.json: avg_random_cosine)
+        "avg_random_cosine": float(cos.mean()),
         "std_random_cosine": float(cos.std()),
         "num_pairs": int(keep.sum()),
     }

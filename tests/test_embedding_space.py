@@ -97,8 +97,8 @@ class TestHubnessAnisotropy:
         shifted = centered + 10.0
         a_c = anisotropy(centered, num_pairs=5000)
         a_s = anisotropy(shifted, num_pairs=5000)
-        assert a_s["mean_random_cosine"] > 0.9
-        assert abs(a_c["mean_random_cosine"]) < 0.2
+        assert a_s["avg_random_cosine"] > 0.9
+        assert abs(a_c["avg_random_cosine"]) < 0.2
 
 
 class TestAbtt:

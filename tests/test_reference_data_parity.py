@@ -62,3 +62,31 @@ def test_reference_agg_json_readable_by_collector():
         if r["doc_side"] == "bilingual-en-zh" and r["run"].startswith("cm0_")
     ]
     assert cm0 and abs(cm0[0]["ndcg10"] - 85.0417) < 0.01
+
+
+def test_analyzer_artifact_schema_matches_shipped_example():
+    """Our embedding-space analyzer must emit the reference's artifact
+    key sets (cm_analysis_dev_5_bge-m3/{hubness_stats,anisotropy}.json),
+    so downstream consumers of the shipped example work unchanged."""
+    import json
+    import pathlib
+
+    import numpy as np
+
+    from codemix_dense_retrieval_tpu.analysis.embedding_space import (
+        anisotropy,
+        hubness_stats,
+    )
+
+    ref = pathlib.Path("/root/reference/cm_analysis_dev_5_bge-m3")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference checkout not present")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((128, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ref_hub = set(json.loads((ref / "hubness_stats.json").read_text()))
+    assert ref_hub <= set(hubness_stats(x, k=5, use_device=False))
+    ref_ani = set(json.loads((ref / "anisotropy.json").read_text()))
+    assert ref_ani <= set(anisotropy(x, num_pairs=200))
