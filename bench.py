@@ -19,6 +19,7 @@ every chip searches its shard concurrently and the merge payload is ~KBs).
 import functools
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -29,6 +30,47 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Relay-proofing (VERDICT r3 weak 1): the TPU relay can be down in a mode
+# where backend init raises after ~15 min or jax.devices() hangs outright.
+# The official record must ALWAYS be one parsable JSON line:
+#   - a bounded subprocess probe decides TPU vs CPU-smoke before any
+#     in-process backend touch;
+#   - partial results accumulate in _RESULT and a watchdog emits them if
+#     the deadline passes (a mid-run relay death can stall a device sync);
+#   - main() wraps everything else in try/except -> error keys, rc 0.
+# ---------------------------------------------------------------------------
+
+_RESULT: dict = {
+    "metric": "search_qps_1100000x1024_bf16_k100",
+    "value": 0.0,
+    "unit": "queries/sec",
+    "vs_baseline": 0.0,
+}
+_EMITTED = threading.Event()
+
+
+def _emit() -> None:
+    if not _EMITTED.is_set():
+        _EMITTED.set()
+        print(json.dumps(_RESULT), flush=True)
+
+
+def _arm_watchdog() -> None:
+    deadline = float(os.environ.get("CDR_BENCH_DEADLINE", "3000"))
+    if deadline <= 0:
+        return
+
+    def _fire():
+        _RESULT["timeout"] = True
+        _RESULT.setdefault("error", f"watchdog: exceeded {deadline:.0f}s")
+        _emit()
+        os._exit(0)  # partial record beats a killed process with none
+
+    t = threading.Timer(deadline, _fire)
+    t.daemon = True
+    t.start()
 
 
 def _timed_pair(run, args, iters):
@@ -73,6 +115,22 @@ def _overlap(idx, queries, docs, oracle_docs_f32, k_check):
 
 
 def main() -> None:
+    _arm_watchdog()
+
+    from codemix_dense_retrieval_tpu.utils.devices import (
+        force_cpu_platform,
+        tpu_available,
+    )
+
+    # Bounded TPU availability check BEFORE any in-process backend touch
+    # (jax.default_backend() against a dead relay raises after ~15 min or
+    # hangs — the exact BENCH_r03 failure).
+    on_tpu = tpu_available(retries=2)
+    if not on_tpu:
+        force_cpu_platform(1)
+        _RESULT["backend"] = "cpu"
+        _RESULT["tpu_unavailable"] = True
+
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +144,6 @@ def main() -> None:
 
     n, dim, block = 1_100_000, 1024, 1024
     k, k_deep = 100, 1000
-    on_tpu = jax.default_backend() != "cpu"
     if not on_tpu:  # keep the CPU smoke honest but fast
         n, block, k_deep = 20_000, 256, 300
 
@@ -117,6 +174,16 @@ def main() -> None:
     dt, idx = _timed_run(run_100, queries, docs, iters)
     qps = block / dt
     overlap = _overlap(idx, queries, docs, oracle_docs, 20)
+    # bank the headline immediately — a later phase dying on the relay
+    # must not erase the number already measured
+    _RESULT.update({
+        "metric": f"search_qps_{n}x{dim}_bf16_k{k}",
+        "value": round(qps, 1),
+        "vs_baseline": round(qps / 10_000.0, 3),
+        "exact_overlap_at_20": round(overlap, 4),
+        "block": block,
+        "backend": jax.default_backend(),
+    })
 
     # deep-k (two-level cover, measured defaults)
     run_deep = jax.jit(functools.partial(
@@ -126,33 +193,24 @@ def main() -> None:
     dt_deep, idx_deep = _timed_run(run_deep, queries, docs, max(3, iters // 2))
     qps_deep = block / dt_deep
     overlap_deep = _overlap(idx_deep, queries, docs, oracle_docs, min(k_deep, 200))
-
-    sketch_keys = {}
-    if on_tpu:
-        try:
-            sketch_keys = _bench_sketch(
-                jax, jnp, docs, queries, k_deep, block, max(3, iters // 2)
-            )
-        except Exception as exc:  # noqa: BLE001 — never sink the record
-            sketch_keys = {"sketch_error": f"{type(exc).__name__}: {exc}"[:200]}
-
-    result = {
-        "metric": f"search_qps_{n}x{dim}_bf16_k{k}",
-        "value": round(qps, 1),
-        "unit": "queries/sec",
-        "vs_baseline": round(qps / 10_000.0, 3),
-        "exact_overlap_at_20": round(overlap, 4),
+    _RESULT.update({
         f"search_qps_k{k_deep}": round(qps_deep, 1),
         f"exact_overlap_k{k_deep}": round(overlap_deep, 4),
         # BASELINE.md's throughput row is ">=10k qps at EXACT IP
         # top-1000" — report the ratio at that depth, not only at k=100
         # (VERDICT r2 weak 1)
         f"vs_baseline_k{k_deep}": round(qps_deep / 10_000.0, 3),
-        "block": block,
-        "backend": jax.default_backend(),
-        **sketch_keys,
-    }
-    print(json.dumps(result))
+    })
+
+    if on_tpu:
+        try:
+            _RESULT.update(_bench_sketch(
+                jax, jnp, docs, queries, k_deep, block, max(3, iters // 2)
+            ))
+        except Exception as exc:  # noqa: BLE001 — never sink the record
+            _RESULT["sketch_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    _emit()
 
 
 def _bench_sketch(jax, jnp, docs, queries, k_deep, block, iters):
@@ -213,4 +271,13 @@ def _bench_sketch(jax, jnp, docs, queries, k_deep, block, iters):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except KeyboardInterrupt:
+        raise
+    except BaseException as exc:  # noqa: BLE001 — the record must parse
+        import traceback
+
+        traceback.print_exc()  # stderr keeps the full story
+        _RESULT["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        _emit()  # stdout stays one honest, parsable JSON line (rc 0)

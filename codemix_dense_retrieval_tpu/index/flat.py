@@ -314,8 +314,11 @@ class DenseFlatIndex:
         m["rows"][positions] = vectors
         self.mutation_epoch += 1
         self.last_swaps = []
-        self._refresh_counts()
+        # data first, THEN visibility: a search dispatched between the two
+        # device writes (callers bypassing SearchService's single-consumer
+        # serialization) must never score an unwritten row as valid
         self._scatter_rows(positions, vectors)
+        self._refresh_counts()
         return positions
 
     def remove(self, docids: Sequence[str]) -> int:
@@ -351,10 +354,13 @@ class DenseFlatIndex:
             touched.pop(last, None)  # beyond the count mask now
         if removed:
             self.mutation_epoch += 1
-            self._refresh_counts()
+            # mirror of add(): write the swapped-in rows BEFORE shrinking
+            # the counts, so an interleaved search can at worst see a
+            # still-counted duplicate of a live row — never removed data
             if touched:
                 positions = np.fromiter(touched, np.int64)
                 self._scatter_rows(positions, m["rows"][positions])
+            self._refresh_counts()
         return removed
 
     def rebalance(self) -> "DenseFlatIndex":

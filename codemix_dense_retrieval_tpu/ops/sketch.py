@@ -239,11 +239,44 @@ def topk_ip_sketch(
     refined score; strict comparison with ``cert_margin`` absorbing f32
     accumulation order). Recall of uncertified rows depends on the data's
     spectral decay; tune ``probe_bins``/``expand`` (``nprobe`` analog).
+
+    Queries are rounded to ``docs.dtype`` before scoring (the same cast
+    ``DenseFlatIndex.search`` applies), so "exact search" means the exact
+    top-k of ``round(q) . docs`` — the operands the score kernels see.
     """
     if probe_bins is None:
         nb_est = _ceil_to(docs.shape[0], tile_n) // bin_size
         probe_bins = _default_probe_bins(k, bin_size, nb_est, expand)
+    # The certificate must bound the operands the SCORE KERNELS see, not
+    # the caller's full-precision queries: the refine einsum and the
+    # exact-path kernels run at DEFAULT precision, which feeds bf16-
+    # rounded operands to the MXU (~1e-3 for unit vectors — 30x
+    # DEFAULT_CERT_MARGIN). Rounding queries to docs.dtype up front makes
+    # ub and refined scores see the same query values (and matches
+    # DenseFlatIndex.search, which casts queries to the index dtype).
+    # Round-TRIP back to f32 so the sketch/tail/bound math stays full
+    # precision over the (now exactly-representable) rounded values.
+    if queries.dtype != docs.dtype and jnp.issubdtype(docs.dtype, jnp.floating):
+        queries = queries.astype(docs.dtype).astype(jnp.float32)
     q_sketch, q_tail = sketch_queries(queries, proj)
+    # With sub-f32 docs the products are exact (bf16 x bf16 fits f32) and
+    # only f32 accumulation remains, which DEFAULT_CERT_MARGIN covers.
+    # f32 docs on TPU still get operand-rounded inside the DEFAULT-
+    # precision kernels, so the margin must absorb the product rounding:
+    # |kernel - true| <= 2 eps_bf16 * ||q|| * max_row_norm (eps = 2^-9).
+    cert_margin = jnp.asarray(cert_margin, jnp.float32)
+    if (
+        jnp.dtype(docs.dtype).itemsize >= 4
+        and jax.default_backend() == "tpu"
+    ):
+        eps = 2.0 ** -9
+        row_norm_max = jnp.sqrt(
+            jnp.max(jnp.sum(d_sketch * d_sketch, axis=1) + d_tail * d_tail)
+        )
+        q_norm = jnp.sqrt(
+            jnp.sum(q_sketch * q_sketch, axis=1) + q_tail * q_tail
+        )
+        cert_margin = cert_margin + 2.0 * eps * q_norm * row_norm_max
     (
         (docs, d_sketch, d_tail),
         (queries, q_sketch, q_tail),

@@ -303,7 +303,11 @@ class SearchService:
                     )
                     certified = None
                 elif self.approx:
-                    scores, docids = self.index.search(q, k_max, approx=True)
+                    # same service-level kwargs (query_block, ...) as the
+                    # exact branch — approx only adds the sketch tier
+                    scores, docids = self.index.search(
+                        q, k_max, approx=True, **self.index_search_kwargs
+                    )
                     certified = self.index.last_certified
                 else:
                     scores, docids = self.index.search(

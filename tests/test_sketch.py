@@ -172,7 +172,11 @@ def test_certificate_soundness_fuzz():
             probe_bins=probe,
         )
         idx, cert = np.asarray(idx), np.asarray(cert)
-        _, oidx = topk_ip_oracle(queries, docs_eff, k)
+        # contract: queries are rounded to the index dtype before scoring
+        # (same as DenseFlatIndex.search), so "exact" means exact top-k of
+        # round(q) . round(d) — the operands the score kernels actually see
+        queries_eff = np.asarray(jnp.asarray(queries, dtype), np.float32)
+        _, oidx = topk_ip_oracle(queries_eff, docs_eff, k)
         total_cert += int(cert.sum())
         for q in np.flatnonzero(cert):
             if not np.array_equal(idx[q], oidx[q]):
