@@ -62,3 +62,67 @@ def process_local_rows(n_total: int, rows_per_shard: int) -> range:
     start = first * rows_per_shard
     stop = min(n_total, start + rows_per_shard * len(devs))
     return range(start, max(start, stop))
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def shard_rows_multihost(
+    rows_fn,
+    n_total: int,
+    dim: int,
+    dtype,
+    mesh,
+    *,
+    axis: str = "shard",
+    pad_multiple: int = 1024,
+):
+    """Multi-process analog of ``parallel.sharded_search.shard_rows``.
+
+    Single-process ``shard_rows`` takes the full (N, d) host array; across
+    processes that would force every host to materialize the whole corpus.
+    Here each process supplies only ITS rows: ``rows_fn(start, stop)``
+    returns the (stop-start, dim) block for a global row range, and is
+    called only for ranges inside this process's
+    :func:`process_local_rows` window (``jax.make_array_from_callback``
+    invokes the callback for addressable shards only).
+
+    Returns the same contract as ``shard_rows``:
+    (docs (S*rows_per_shard, d) sharded P(axis, None),
+     per-shard valid-row counts (S,) sharded P(axis),
+     rows_per_shard).
+    """
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    s = mesh.shape[axis]
+    rows_per_shard = _ceil_to(max(1, -(-n_total // s)), pad_multiple)
+    n_pad = rows_per_shard * s
+    counts_np = np.clip(
+        n_total - rows_per_shard * np.arange(s), 0, rows_per_shard
+    ).astype(np.int32)
+
+    local = process_local_rows(n_pad, rows_per_shard)
+
+    def _cb(index):
+        start = index[0].start or 0
+        stop = min(index[0].stop or n_pad, n_total)
+        if not (local.start <= start and stop <= local.stop or start >= n_total):
+            raise RuntimeError(
+                f"non-local shard requested: [{start}, {stop}) outside "
+                f"process-local rows [{local.start}, {local.stop})"
+            )
+        block = np.zeros((rows_per_shard, dim), dtype=dtype)
+        if start < n_total:
+            block[: stop - start] = rows_fn(start, stop)
+        return block
+
+    docs = jax.make_array_from_callback(
+        (n_pad, dim), NamedSharding(mesh, P(axis, None)), _cb
+    )
+    counts = jax.make_array_from_callback(
+        (s,), NamedSharding(mesh, P(axis)), lambda idx: counts_np[idx]
+    )
+    return docs, counts, rows_per_shard
