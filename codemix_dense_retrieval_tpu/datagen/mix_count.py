@@ -8,9 +8,12 @@ environment, so the default pipeline is:
    from Latin runs — the reference's script regex at `mix_count.py:16,39-44`),
 2. URL / digit / punctuation filtering,
 3. per-token classification by Unicode script (deterministic for
-   script-distinct pairs like EN-ZH/EN-AR/EN-RU/EN-JA/EN-HI), with a
-   pluggable ``classifier(token) -> lang`` hook for script-sharing pairs
-   (the reference plugs langid in the same place).
+   script-distinct pairs like EN-ZH/EN-AR/EN-RU/EN-JA/EN-HI); for
+   script-sharing pairs (EN-FR/ES/PT/IT/DE/NL/ID/VI) the bundled pairwise
+   lexicon+diacritic+affix model (:mod:`.lexid`) discriminates per token —
+   the analog of the reference's pair-constrained langid
+   (`mix_count.py:30-37,111`) — with a pluggable ``classifier(token) ->
+   lang`` hook overriding it.
 """
 
 from __future__ import annotations
@@ -103,11 +106,23 @@ def count_two_langs(
     Word counting convention follows the reference: each Han char run
     counts its CHARACTERS as words for CJK (a Chinese 'word' per char run
     is approximated by char count), while space-delimited runs count once.
-    Script-ambiguous tokens go through ``classifier`` when provided, else
+
+    Script-ambiguous tokens go through ``classifier`` when provided.
+    When the pair SHARES a script (EN-FR/ES/PT/IT/DE/NL/ID/VI) and no
+    classifier is given, the bundled pairwise model
+    (:func:`~codemix_dense_retrieval_tpu.datagen.lexid.default_pair_classifier`)
+    is used — the stand-in for the reference's pair-constrained langid
+    (`/root/reference/mix_count.py:30-37,111`). Tokens neither resolves
     default to ``lang_a``.
     """
     scripts_a = set(_LANG_SCRIPTS.get(lang_a, ("latin",)))
     scripts_b = set(_LANG_SCRIPTS.get(lang_b, ("latin",)))
+    if classifier is None and scripts_a & scripts_b:
+        from codemix_dense_retrieval_tpu.datagen.lexid import (
+            default_pair_classifier,
+        )
+
+        classifier = default_pair_classifier(lang_a, lang_b)
     count_a = count_b = 0
     for tok in tokenize(text):
         script = char_script(tok[0])
