@@ -104,7 +104,11 @@ def _per_query(
     judged: Dict[str, int],
     rows: Sequence[Tuple[str, float]],
 ) -> Dict[str, float]:
-    ranked = sort_run_rows(rows)
+    # pytrec_eval receives the run as {qid: {docid: score}} — a docid
+    # repeated in the TREC file collapses to its LAST score (dict
+    # assignment order). Scoring the raw rows would count a duplicated
+    # relevant doc twice in P/R/AP; collapse identically first.
+    ranked = sort_run_rows(list(dict(rows).items()))
     rels = [judged.get(docid, 0) for docid, _ in ranked]
     num_rel_total = sum(1 for r in judged.values() if r > 0)
 

@@ -40,12 +40,87 @@ RUN = {
 }
 MEASURES = ["nDCG@3", "nDCG@10", "RR@10", "P@3", "P@10", "R@3", "R@10", "AP"]
 
+# --- second fixture: deep cutoffs + degenerate runs (VERDICT r3 item 9) ----
+OUT_DEEP = OUT.parent / "trec_golden_deep.json"
+MEASURES_DEEP = [
+    "nDCG@20", "nDCG@100", "RR@5", "RR@100",
+    "P@20", "P@100", "R@20", "R@100", "AP",
+]
+
+
+def _deep_fixture():
+    """Adversarial deep-cutoff fixture:
+
+    - ``qA``: 120-doc run (cutoff 100 < run depth), graded rels up to 4,
+      score ties in the interior AND at the rank-100 boundary;
+    - ``qB``: duplicate docids in the run — same doc at two scores (the
+      LAST occurrence's score wins, pytrec_eval dict semantics) and an
+      exact duplicate row;
+    - ``qC``: judged query present in the run with ZERO rows;
+    - ``qD``: judged query entirely absent from the run;
+    - ``qE``: cross-qid score ties — every score also appears in qA, so
+      any accidental global (cross-query) sort would corrupt both;
+    - ``qZ``: run-only query with no qrels row (must be ignored).
+    """
+    import random
+
+    r = random.Random(13)
+    qrels = {
+        "qA": {f"a{i:03d}": r.choice([0, 0, 1, 2, 3, 4]) for i in range(60)},
+        "qB": {"b1": 2, "b2": 1, "b3": 0},
+        "qC": {"c1": 1, "c2": 3},
+        "qD": {"d1": 1},
+        "qE": {"e1": 1, "e2": 2},
+    }
+    # qA: 120 retrieved docs; half judged, half not; tie plateaus at
+    # scores 0.500 (ranks ~40-45) and 0.100 (straddling rank 100)
+    rows_a = []
+    for i in range(120):
+        doc = f"a{i:03d}" if i < 60 else f"u{i:03d}"
+        if 40 <= i < 46:
+            score = 0.500
+        elif 96 <= i < 106:
+            score = 0.100
+        else:
+            score = round(1.0 - i * 0.007, 4)
+        rows_a.append([doc, score])
+    r.shuffle(rows_a)  # file order must not matter
+    run = {
+        "qA": rows_a,
+        # b1 repeated at different scores (last wins -> 0.9 outranks b2);
+        # b3 exact duplicate row
+        "qB": [["b1", 0.2], ["b2", 0.5], ["b1", 0.9], ["b3", 0.1], ["b3", 0.1]],
+        "qC": [],
+        "qE": [["e2", 0.500], ["e1", 0.100], ["x9", 0.300]],
+        "qZ": [["z1", 0.7]],
+    }
+    return qrels, run
+
+
+def standalone_expected_deep():
+    qrels, run = _deep_fixture()
+    scored_qids = [q for q in qrels]  # qrels-driven iteration; qZ ignored
+    perquery = {
+        q: {m: _metrics(qrels[q], run.get(q, []), m) for m in MEASURES_DEEP}
+        for q in scored_qids
+    }
+    agg = {
+        m: sum(perquery[q][m] for q in scored_qids) / len(scored_qids)
+        for m in MEASURES_DEEP
+    }
+    return qrels, run, perquery, agg
+
 
 # --- standalone reference implementation (independent of evals.metrics) ----
 
 def _ranked(rows):
+    # pytrec_eval's run is {qid: {docid: score}} — duplicate docids
+    # collapse to the LAST occurrence before ranking
+    dedup = {}
+    for d, s in rows:
+        dedup[d] = s
     # trec_eval: score desc, then docid lexicographically DESCENDING
-    return [d for d, s in sorted(rows, key=lambda r: (-r[1], [-ord(c) for c in r[0]]))]
+    return [d for d, s in sorted(dedup.items(), key=lambda r: (-r[1], [-ord(c) for c in r[0]]))]
 
 
 def _metrics(qrels, rows, measure):
@@ -128,6 +203,17 @@ def main():
         "expected_agg": agg,
     }, indent=1, sort_keys=True) + "\n")
     print(f"wrote {OUT} (source={source})")
+
+    qrels_d, run_d, perquery_d, agg_d = standalone_expected_deep()
+    OUT_DEEP.write_text(json.dumps({
+        "source": "standalone",
+        "measures": MEASURES_DEEP,
+        "qrels": qrels_d,
+        "run": run_d,
+        "expected_perquery": perquery_d,
+        "expected_agg": agg_d,
+    }, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {OUT_DEEP} (source=standalone)")
 
 
 if __name__ == "__main__":

@@ -82,6 +82,84 @@ class TestGoldenNumbers:
             assert all(v == 0.0 for v in golden["expected_perquery"][q].values())
 
 
+DEEP_FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "trec_golden_deep.json"
+
+
+@pytest.fixture(scope="module")
+def golden_deep():
+    return json.loads(DEEP_FIXTURE.read_text())
+
+
+class TestDeepGolden:
+    """Deep-cutoff + degenerate-run golden (VERDICT r3 item 9): 120-doc
+    run with tie plateaus straddling rank 100, duplicate docids, an
+    empty-but-present run query, an absent query, cross-qid score ties,
+    and a run-only qid."""
+
+    def test_aggregate_matches_golden(self, golden_deep):
+        measures = M.parse_measures(golden_deep["measures"])
+        agg = M.aggregate(measures, golden_deep["qrels"], _as_run(golden_deep["run"]))
+        for name, want in golden_deep["expected_agg"].items():
+            assert agg[name] == pytest.approx(want, abs=1e-12), name
+
+    def test_perquery_matches_golden(self, golden_deep):
+        measures = M.parse_measures(golden_deep["measures"])
+        got = {q: {} for q in golden_deep["qrels"]}
+        for qid, name, val in M.iter_calc(
+            measures, golden_deep["qrels"], _as_run(golden_deep["run"])
+        ):
+            got[qid][name] = val
+        assert "qZ" not in got  # run-only query ignored (qrels-driven)
+        for qid, vals in golden_deep["expected_perquery"].items():
+            for name, want in vals.items():
+                assert got[qid][name] == pytest.approx(want, abs=1e-12), (qid, name)
+
+    def test_duplicate_docids_collapse_last_wins(self, golden_deep):
+        """qB by hand: run [b1@0.2, b2@0.5, b1@0.9, b3@0.1, b3@0.1] —
+        pytrec_eval's {docid: score} run collapses b1 to its LAST score
+        0.9, so ranking is b1(rel2), b2(rel1), b3(rel0): AP = 1.0,
+        P@20 = 2/20. Counting the duplicate twice would give AP < 1."""
+        pq = golden_deep["expected_perquery"]["qB"]
+        assert pq["AP"] == pytest.approx(1.0, abs=1e-12)
+        assert pq["RR@5"] == pytest.approx(1.0, abs=1e-12)
+        assert pq["P@20"] == pytest.approx(2 / 20, abs=1e-12)
+        assert pq["nDCG@20"] == pytest.approx(1.0, abs=1e-12)
+
+    def test_degenerate_queries_zero(self, golden_deep):
+        """qC (present with zero rows) and qD (absent) both contribute
+        exact zeros to every metric."""
+        for q in ("qC", "qD"):
+            assert all(
+                v == 0.0 for v in golden_deep["expected_perquery"][q].values()
+            ), q
+
+    def test_cross_qid_ties_stay_per_query(self, golden_deep):
+        """qE shares every score with qA rows; its ranking must be purely
+        per-query: e2(0.5, rel2) then x9(0.3, unjudged) then e1(0.1,
+        rel1) -> RR@5 = 1, R@20 = 1, nDCG@20 hand-derived."""
+        pq = golden_deep["expected_perquery"]["qE"]
+        assert pq["RR@5"] == pytest.approx(1.0, abs=1e-12)
+        assert pq["R@20"] == pytest.approx(1.0, abs=1e-12)
+        dcg = 2 / math.log2(2) + 1 / math.log2(4)
+        idcg = 2 / math.log2(2) + 1 / math.log2(3)
+        assert pq["nDCG@20"] == pytest.approx(dcg / idcg, abs=1e-12)
+
+    def test_rank100_boundary_tie_order(self, golden_deep):
+        """The 0.100 plateau spans ranks 97-106 pre-truncation; trec_eval
+        breaks those ties docid-DESCENDING, so which docs survive the @100
+        cutoff depends on tie ordering. Recompute R@100 from first
+        principles to pin it."""
+        qrels = golden_deep["qrels"]["qA"]
+        rows = [(d, float(s)) for d, s in golden_deep["run"]["qA"]]
+        ranked = M.sort_run_rows(rows)
+        top100 = [d for d, _ in ranked[:100]]
+        n_rel = sum(1 for r in qrels.values() if r > 0)
+        want = sum(1 for d in top100 if qrels.get(d, 0) > 0) / n_rel
+        assert golden_deep["expected_perquery"]["qA"]["R@100"] == pytest.approx(
+            want, abs=1e-12
+        )
+
+
 class TestAggJsonSchemaParity:
     def test_evaluator_emits_reference_key_set(self, golden, tmp_path):
         """Full evaluator CLI on the fixture -> agg.json keys are exactly
