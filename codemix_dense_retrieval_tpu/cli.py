@@ -744,11 +744,15 @@ def cmd_make_plan(args) -> None:
 
     if args.kind in ("all-pairs", "en-zh-repro") and not args.index_root:
         raise SystemExit(f"[ERROR] {args.kind} needs --index_root")
+    runner_args = []
+    for spec in args.runner_arg or []:
+        runner_args.extend(spec.split())
     if args.kind == "all-pairs":
         plan = P.build_all_pairs_plan(
             index_root=args.index_root, query_tsv_root=args.query_tsv_root,
             result_root=args.result_root, encoder=args.encoder,
             checkpoint=args.checkpoint, qrels=args.qrels, size=args.size,
+            k=args.k, extra_runner_args=runner_args,
         )
     elif args.kind == "en-zh-repro":
         plan = P.build_en_zh_repro_plan(
@@ -758,6 +762,7 @@ def cmd_make_plan(args) -> None:
             band_dir=args.band_dir, result_root=args.result_root,
             encoder=args.encoder, checkpoint=args.checkpoint,
             qrels=args.qrels, size=args.size,
+            k=args.k, extra_runner_args=runner_args,
         )
     else:  # ablation
         roots = dict(kv.split("=", 1) for kv in (args.index_root_by_model or []))
@@ -1088,6 +1093,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoints", nargs="+", metavar="TAG=PATH")
     p.add_argument("--qrels")
     p.add_argument("--size", type=int, default=100_000)
+    p.add_argument("--k", type=int, help="search depth override for every job")
+    p.add_argument("--runner_arg", action="append", metavar="'--flag value'",
+                   help="extra args appended to every runner argv "
+                        "(repeatable; e.g. --runner_arg '--smoke_dim 32')")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_make_plan)
 

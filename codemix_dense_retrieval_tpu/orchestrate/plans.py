@@ -62,8 +62,14 @@ def vector_mix_job(
     k: Optional[int] = None,
     query_cache_root: Optional[str] = None,
     approx: Optional[str] = None,  # "fast" | "guaranteed" (sketch tier)
+    extra_runner_args: Sequence[str] = (),
 ) -> Dict:
-    """One vector-mix job dict for the Scheduler plan."""
+    """One vector-mix job dict for the Scheduler plan.
+
+    ``extra_runner_args`` are appended verbatim to the runner argv (e.g.
+    ``--smoke_dim 32`` for synthetic round-trips, ``--enc_batch``
+    overrides) — the analog of the bash schedulers' per-model env
+    overrides (`run_encode_index_ablation.sh:118-132`)."""
     tag = encoder_tag(encoder)
     bilingual = doc_side == "bilingual"
     if bilingual:
@@ -105,6 +111,7 @@ def vector_mix_job(
         argv += ["--checkpoint", checkpoint]
     if query_cache_root and not bilingual:
         argv += ["--query_cache", str(pathlib.Path(query_cache_root) / f"{lang_a}-{lang_b}")]
+    argv += list(extra_runner_args)
 
     eval_after: List[List[str]] = []
     expected = [f"cm-alpha-{lab}{run_suffix}.trec" for lab in alpha_labels]
@@ -238,9 +245,15 @@ def build_en_zh_repro_plan(
     checkpoint: Optional[str] = None,
     qrels: Optional[str] = None,
     size: int = 100_000,
+    k: Optional[int] = None,
+    extra_runner_args: Sequence[str] = (),
 ) -> Dict:
     """The six-job EN-ZH reproduction (`reproduce_en_zh.sh:127-341`):
-    mono-EN/ZH x word/vector mix + bilingual word/vector mix."""
+    mono-EN/ZH x word/vector mix + bilingual word/vector mix.
+
+    With ``qrels``, word-mix jobs get per-band eval steps (the band set
+    is read from ``band_dir`` at plan-build time — the analog of
+    `reproduce_en_zh.sh`'s per-band eval loop)."""
     tag = encoder_tag(encoder)
     jobs: List[Dict] = []
     for doc in ("en", "zh"):
@@ -249,7 +262,8 @@ def build_en_zh_repro_plan(
                 doc_side=doc, lang_a="en", lang_b="zh", index_root=index_root,
                 query_tsv_a=query_tsv_en, query_tsv_b=query_tsv_zh,
                 result_root=result_root, encoder=encoder, checkpoint=checkpoint,
-                qrels=qrels, dataset="mmarco", size=size,
+                qrels=qrels, dataset="mmarco", size=size, k=k,
+                extra_runner_args=extra_runner_args,
             )
         )
     jobs.append(
@@ -257,10 +271,35 @@ def build_en_zh_repro_plan(
             doc_side="bilingual", lang_a="en", lang_b="zh", index_root=index_root,
             query_tsv_a=query_tsv_en, query_tsv_b=query_tsv_zh,
             result_root=result_root, encoder=encoder, checkpoint=checkpoint,
-            qrels=qrels, dataset="mmarco", size=size,
+            qrels=qrels, dataset="mmarco", size=size, k=k,
+            extra_runner_args=extra_runner_args,
         )
     )
     if band_dir:
+        bands = sorted(
+            f.stem.replace("queries-", "")
+            for f in pathlib.Path(band_dir).glob("queries-cm*.tsv")
+        )
+
+        def _word_job(name, argv, outdir, suffix):
+            expected = (
+                [f"{b}{suffix}.trec" for b in bands]
+                if bands else [f"cm*{suffix}.trec"]
+            )
+            eval_after: List[List[str]] = []
+            if qrels and bands:
+                for b in bands:
+                    eval_after.append([
+                        "evaluate", "--dataset", "mmarco",
+                        "--run", str(pathlib.Path(outdir) / f"{b}{suffix}.trec"),
+                        "--qrels", qrels, "--outdir", outdir,
+                    ])
+                expected += [f"{b}{suffix}_dev_*-agg.json" for b in bands]
+            return {
+                "name": name, "argv": argv, "outdir": outdir,
+                "expected": expected, "eval_after": eval_after,
+            }
+
         for doc in ("en", "zh"):
             side = LANG_NAMES[doc]
             exp = f"mmarco-{size}-{side}-en-zh-5bands-{tag}"
@@ -272,15 +311,12 @@ def build_en_zh_repro_plan(
                 "--outdir", outdir,
                 "--encoder", encoder,
             ]
+            if k:
+                argv += ["--k", str(k)]
             if checkpoint:
                 argv += ["--checkpoint", checkpoint]
-            jobs.append({
-                "name": f"wordmix-{side}-en-zh-{tag}",
-                "argv": argv,
-                "outdir": outdir,
-                "expected": ["cm*.trec"],
-                "eval_after": [],
-            })
+            argv += list(extra_runner_args)
+            jobs.append(_word_job(f"wordmix-{side}-en-zh-{tag}", argv, outdir, ""))
         exp = f"mmarco-{size}-bilingual-en-zh-5bands-{tag}"
         outdir = str(pathlib.Path(result_root) / exp)
         argv = [
@@ -291,15 +327,14 @@ def build_en_zh_repro_plan(
             "--outdir", outdir,
             "--encoder", encoder,
         ]
+        if k:
+            argv += ["--k", str(k)]
         if checkpoint:
             argv += ["--checkpoint", checkpoint]
-        jobs.append({
-            "name": f"wordmix-bilingual-en-zh-{tag}",
-            "argv": argv,
-            "outdir": outdir,
-            "expected": ["cm*_base.trec"],
-            "eval_after": [],
-        })
+        argv += list(extra_runner_args)
+        jobs.append(
+            _word_job(f"wordmix-bilingual-en-zh-{tag}", argv, outdir, "_base")
+        )
     return {"jobs": jobs}
 
 
