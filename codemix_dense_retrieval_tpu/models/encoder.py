@@ -9,6 +9,7 @@ prefixes the reference's ``encode_queries``/``encode_documents`` do.
 
 from __future__ import annotations
 
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -64,6 +65,9 @@ class TextEncoder:
         # batch splitting): inputs sharded on the batch axis, params
         # replicated, outputs batch-sharded.
         self.mesh = mesh
+        # phase walls of the most recent encode call (tokenize/dispatch/
+        # readback seconds — see _new_phase_stats); None until one runs
+        self.last_phase_stats: Optional[dict] = None
         self._dp = 1
         if mesh is not None and mesh_axis in mesh.axis_names:
             self._dp = mesh.shape[mesh_axis]
@@ -158,12 +162,29 @@ class TextEncoder:
         inv[order] = np.arange(len(order))
         return inv
 
+    @staticmethod
+    def _new_phase_stats() -> dict:
+        """Per-call pipeline phase accumulators (seconds; see
+        ``last_phase_stats``). Single-writer per key: ``tokenize_work``
+        is written only by the prefetch worker, ``readback_work`` only
+        by the reader worker, the rest by the main thread."""
+        return {
+            "tokenize_work": 0.0,  # prefetch thread: encode_batch + pad
+            "tokenize_wait": 0.0,  # main thread blocked on the prefetch
+            "job_iter": 0.0,       # main thread: tokenize_wait + dispatch
+            "readback_work": 0.0,  # reader thread: device->host + cast
+            "readback_wait": 0.0,  # main thread draining the reader
+            "wall": 0.0,
+            "batches": 0,
+        }
+
     def _batch_inputs(
         self,
         texts: Sequence[str],
         batch_size: int,
         prefix: str,
         max_length: Optional[int],
+        stats: Optional[dict] = None,
     ):
         """Yield padded (ids, mask, n_valid) batches with tokenization
         running on a prefetch thread.
@@ -185,6 +206,7 @@ class TextEncoder:
         batch_size = ((batch_size + self._dp - 1) // self._dp) * self._dp
 
         def prep(start: int):
+            t0 = time.perf_counter()
             chunk = [prefix + t for t in texts[start : start + batch_size]]
             ids, mask = self.tokenizer.encode_batch(chunk, ml)
             # pad to (bucketed length, full batch) for stable jit shapes
@@ -194,6 +216,8 @@ class TextEncoder:
             mask_p = np.zeros((b, s), np.int32)
             ids_p[: len(chunk), : ids.shape[1]] = ids[:, :s]
             mask_p[: len(chunk), : mask.shape[1]] = mask[:, :s]
+            if stats is not None:
+                stats["tokenize_work"] += time.perf_counter() - t0
             return ids_p, mask_p, len(chunk)
 
         starts = iter(range(0, len(texts), batch_size))
@@ -203,13 +227,17 @@ class TextEncoder:
                 for s in itertools.islice(starts, self._PREFETCH_DEPTH)
             )
             while futs:
+                t0 = time.perf_counter()
                 out = futs.popleft().result()
+                if stats is not None:
+                    stats["tokenize_wait"] += time.perf_counter() - t0
+                    stats["batches"] += 1
                 nxt = next(starts, None)
                 if nxt is not None:
                     futs.append(ex.submit(prep, nxt))
                 yield out
 
-    def _overlap_read(self, jobs) -> List:
+    def _overlap_read(self, jobs, stats: Optional[dict] = None) -> List:
         """Drain ``(fn, args)`` jobs with ``fn`` running on a reader thread.
 
         The jobs generator is driven on the MAIN thread (so device
@@ -219,19 +247,52 @@ class TextEncoder:
         dispatch. The in-flight window is bounded by _PREFETCH_DEPTH so
         at most that many batch outputs are resident on device.
         Returns the results in job order.
+
+        With ``stats``, phase walls accumulate (``job_iter`` = generator
+        steps on the main thread, i.e. tokenize_wait + device dispatch;
+        ``readback_work`` on the reader; ``readback_wait`` = main thread
+        blocked draining it; ``wall`` = everything) so the e2e-vs-forward
+        overlap gap is attributable per phase (VERDICT r3 item 7).
         """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        t_wall = time.perf_counter()
+        it = iter(jobs)
+
+        def step():
+            t0 = time.perf_counter()
+            item = next(it, None)
+            if stats is not None:
+                stats["job_iter"] += time.perf_counter() - t0
+            return item
+
+        def timed_fn(fn, args):
+            t0 = time.perf_counter()
+            r = fn(*args)
+            if stats is not None:
+                stats["readback_work"] += time.perf_counter() - t0
+            return r
+
+        def drain(futs):
+            t0 = time.perf_counter()
+            r = futs.popleft().result()
+            if stats is not None:
+                stats["readback_wait"] += time.perf_counter() - t0
+            return r
+
         out: List = []
         with ThreadPoolExecutor(max_workers=1) as ex:
             futs = deque()
-            for fn, args in jobs:
-                futs.append(ex.submit(fn, *args))
+            while (item := step()) is not None:
+                fn, args = item
+                futs.append(ex.submit(timed_fn, fn, args))
                 while len(futs) > self._PREFETCH_DEPTH:
-                    out.append(futs.popleft().result())
+                    out.append(drain(futs))
             while futs:
-                out.append(futs.popleft().result())
+                out.append(drain(futs))
+        if stats is not None:
+            stats["wall"] += time.perf_counter() - t_wall
         return out
 
     def _encode(
@@ -258,13 +319,15 @@ class TextEncoder:
         def read(dev, n):
             return np.asarray(dev)[:n].astype(np.float32)
 
+        stats = self.last_phase_stats = self._new_phase_stats()
         out = self._overlap_read(
             (
                 (read, (self._fwd(self.params, ids_p, mask_p, task), n))
                 for ids_p, mask_p, n in self._batch_inputs(
-                    texts, batch_size, prefix, max_length
+                    texts, batch_size, prefix, max_length, stats=stats
                 )
-            )
+            ),
+            stats=stats,
         )
         if not out:
             dim = self.cfg.hidden_size
@@ -294,14 +357,16 @@ class TextEncoder:
         def read(dev, n):
             return np.asarray(dev)[:n].astype(np.float32)
 
+        stats = self.last_phase_stats = self._new_phase_stats()
+
         def jobs():
             for ids_p, mask_p, n in self._batch_inputs(
-                texts, batch_size, prefix, max_length
+                texts, batch_size, prefix, max_length, stats=stats
             ):
                 lengths.append(mask_p[:n].sum(axis=1).astype(np.int32))
                 yield read, (self._fwd_tokens(self.params, ids_p, mask_p, task), n)
 
-        arrs = self._overlap_read(jobs())
+        arrs = self._overlap_read(jobs(), stats=stats)
         if not arrs:
             return np.zeros((0, 0, self.cfg.hidden_size), np.float32), np.zeros(0, np.int32)
         # batches are length-sorted longest-first, so the first batch
@@ -338,14 +403,16 @@ class TextEncoder:
                 np.asarray(tv)[:n].astype(np.float32),
             )
 
+        stats = self.last_phase_stats = self._new_phase_stats()
+
         def jobs():
             for ids_p, mask_p, n in self._batch_inputs(
-                texts, batch_size, prefix, max_length
+                texts, batch_size, prefix, max_length, stats=stats
             ):
                 lengths.append(mask_p[:n].sum(axis=1).astype(np.int32))
                 yield read, (self._fwd_both(self.params, ids_p, mask_p, task), n)
 
-        pairs = self._overlap_read(jobs())
+        pairs = self._overlap_read(jobs(), stats=stats)
         if not pairs:
             d = self.cfg.hidden_size
             return (

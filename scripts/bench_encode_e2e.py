@@ -196,6 +196,20 @@ def main() -> None:
     assert vecs.shape[0] == len(texts)
     e2e_pps = len(texts) / e2e_s
 
+    # phase attribution of the e2e-vs-forward gap (VERDICT r3 item 7):
+    # dispatch ~= job_iter - tokenize_wait; residue = wall not accounted
+    # to any seam (python glue, concat, inverse permutation upstream)
+    ph = dict(enc.last_phase_stats or {})
+    ph_report = {
+        "phase_tokenize_work_s": round(ph.get("tokenize_work", 0.0), 2),
+        "phase_tokenize_wait_s": round(ph.get("tokenize_wait", 0.0), 2),
+        "phase_dispatch_s": round(
+            ph.get("job_iter", 0.0) - ph.get("tokenize_wait", 0.0), 2),
+        "phase_readback_work_s": round(ph.get("readback_work", 0.0), 2),
+        "phase_readback_wait_s": round(ph.get("readback_wait", 0.0), 2),
+        "phase_wall_s": round(ph.get("wall", 0.0), 2),
+    }
+
     print(json.dumps({
         "metric": "encode_e2e_passages_per_sec",
         "value": round(e2e_pps, 1),
@@ -210,6 +224,7 @@ def main() -> None:
         "bpe_train_s": round(train_s, 1),
         "vocab_size": vocab_actual,
         "backend": jax.default_backend(),
+        **ph_report,
     }))
 
 
