@@ -204,22 +204,29 @@ def main() -> None:
 
     if on_tpu:
         try:
-            _RESULT.update(_bench_sketch(
-                jax, jnp, docs, queries, k_deep, block, max(3, iters // 2)
-            ))
+            # banks keys into _RESULT incrementally — a mid-phase relay
+            # death (watchdog) still records everything measured so far
+            _bench_sketch(jax, jnp, docs, queries, k_deep, block, max(3, iters // 2))
         except Exception as exc:  # noqa: BLE001 — never sink the record
             _RESULT["sketch_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        try:
+            _bench_mutation_scatter(jax, jnp, docs, max(3, iters // 2))
+        except Exception as exc:  # noqa: BLE001
+            _RESULT["mutation_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     _emit()
 
 
-def _bench_sketch(jax, jnp, docs, queries, k_deep, block, iters):
+def _bench_sketch(jax, jnp, docs, queries, k_deep, block, iters, interpret=False):
     """Approximate (sketch) tier at the deep depth on a REALISTIC
     anisotropic workload (iid gaussian is the sketch's adversarial worst
     case; sentence embeddings concentrate — the reference's own
     anisotropy analysis). The anisotropic corpus is derived on-device
     from the already-uploaded rows (no second 2.3 GB tunnel transfer).
-    Reported as extra keys; any failure degrades to a sketch_error key."""
+    Banks keys into _RESULT as they are measured, including the
+    guaranteed-exact EFFECTIVE rate (sketch + escalating the uncertified
+    queries through exact — the k=1000 north-star answer, VERDICT r3
+    item 3); any failure degrades to a sketch_error key."""
     from codemix_dense_retrieval_tpu.ops.sketch import (
         fit_sketch, sketch_rows_jit, topk_ip_sketch,
     )
@@ -244,10 +251,12 @@ def _bench_sketch(jax, jnp, docs, queries, k_deep, block, iters):
     # main deep-k program -> compile-cache hit)
     run_exact = jax.jit(functools.partial(
         topk_ip_bins_two_level, k=k_deep, tile_b=512, tile_n=1024,
-        interpret=False,
+        interpret=interpret,
     ))
     dt_e, (ev, ei) = _timed_pair(run_exact, (queries_a, docs_a), iters)
-    run_sk = jax.jit(functools.partial(topk_ip_sketch, k=k_deep, probe_bins=256))
+    run_sk = jax.jit(functools.partial(
+        topk_ip_sketch, k=k_deep, probe_bins=256, interpret=interpret,
+    ))
     dt_s, (sv, si, cert) = _timed_pair(
         run_sk, (queries_a, docs_a, d_sk, d_tail, proj), iters
     )
@@ -261,13 +270,60 @@ def _bench_sketch(jax, jnp, docs, queries, k_deep, block, iters):
     viol = sum(
         not np.array_equal(si_np[q], ei_np[q]) for q in np.flatnonzero(cert_np)
     )
-    return {
+    _RESULT.update({
         f"sketch_qps_k{k_deep}": round(block / dt_s, 1),
         f"sketch_recall_k{k_deep}": round(recall, 4),
         "sketch_cert_frac": round(float(cert_np.mean()), 4),
         "sketch_cert_violations": int(viol),
         f"sketch_speedup_vs_exact_k{k_deep}": round(dt_e / dt_s, 2),
-    }
+    })
+
+    # guaranteed-exact effective rate: per block, the sketch pass plus one
+    # exact pass over the UNCERTIFIED queries (pow2-bucketed, exactly
+    # DenseFlatIndex.search(approx="guaranteed")'s escalation); certified
+    # rows already equal exact (viol asserted above), so this is the cost
+    # of provably exact results through the sketch tier
+    esc = np.flatnonzero(~cert_np)
+    dt_esc = 0.0
+    if len(esc):
+        bucket = 1 << max(3, int(np.ceil(np.log2(len(esc)))))
+        sub = np.zeros((bucket, dim), np.float32)
+        sub[: len(esc)] = np.asarray(queries_a[esc], np.float32)
+        sub_dev = jnp.asarray(sub, queries_a.dtype)
+        dt_esc, _ = _timed_pair(run_exact, (sub_dev, docs_a), iters)
+    _RESULT.update({
+        f"guaranteed_qps_k{k_deep}": round(block / (dt_s + dt_esc), 1),
+        "guaranteed_escalated": int(len(esc)),
+        f"vs_baseline_guaranteed_k{k_deep}": round(
+            block / (dt_s + dt_esc) / 10_000.0, 3),
+    })
+
+
+def _bench_mutation_scatter(jax, jnp, docs, iters):
+    """Online-mutation hot path on hardware: the donated row scatter +
+    count-mask refresh that index.add()/remove() dispatch
+    (`index/flat.py` _scatter_update — the exact jitted program, so
+    Mosaic/relay behavior of donated scatters is measured, VERDICT r3
+    weak 5). 256-row batch, median latency in ms."""
+    from codemix_dense_retrieval_tpu.index.flat import _scatter_update
+
+    n, dim = docs.shape
+    rng = np.random.default_rng(7)
+    rows = jnp.asarray(
+        rng.standard_normal((256, dim), dtype=np.float32), docs.dtype
+    )
+    pos = jnp.asarray(rng.choice(n, 256, replace=False).astype(np.int32))
+    buf = _scatter_update(docs, pos, rows)  # compile (donates `docs`)
+    _ = float(buf[0, 0])
+    times = []
+    for _ in range(iters * 2):
+        t0 = time.perf_counter()
+        buf = _scatter_update(buf, pos, rows)
+        _ = float(buf[0, 0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    _RESULT["mutation_scatter_256rows_ms"] = round(
+        times[len(times) // 2] * 1e3, 2)
 
 
 if __name__ == "__main__":
