@@ -63,10 +63,12 @@ def _build_encoder(args):
     """TextEncoder from --encoder/--checkpoint via the registry (any
     family); random-init + hash tokenizer when no checkpoint (smoke mode)."""
     mesh = _encode_mesh(args)
+    wq = getattr(args, "weight_quant", None)
     if args.checkpoint:
         from codemix_dense_retrieval_tpu.models.registry import load_encoder
 
-        return load_encoder(args.encoder, args.checkpoint, seed=args.seed, mesh=mesh)
+        return load_encoder(args.encoder, args.checkpoint, seed=args.seed,
+                            mesh=mesh, weight_quant=wq)
     log.warning("no --checkpoint: random-init encoder + hash tokenizer (smoke mode)")
     from codemix_dense_retrieval_tpu.models.dialects import default_pooling
     from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
@@ -80,7 +82,7 @@ def _build_encoder(args):
         pooling=default_pooling(args.encoder),
         use_flash=False,
     )
-    return TextEncoder(args.encoder, cfg, seed=args.seed, mesh=mesh)
+    return TextEncoder(args.encoder, cfg, seed=args.seed, mesh=mesh, weight_quant=wq)
 
 
 def _device_index(index, args):
@@ -833,6 +835,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--encoder", default="BAAI/bge-m3")
     p.add_argument("--checkpoint", help="converted HF checkpoint dir (config.json + weights)")
     p.add_argument("--smoke_dim", type=int, default=64, help="hidden size for random-init smoke mode")
+    p.add_argument("--weight_quant", choices=("int8", "nf4"),
+                   help="quantize encoder Linear weights in HBM (the "
+                        "bitsandbytes load_in_8bit/4bit analog)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--enc_batch", type=int, default=64)
     p.add_argument("--dp", type=int, default=1,

@@ -36,6 +36,7 @@ class TextEncoder:
         length_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512),
         mesh=None,
         mesh_axis: str = "shard",
+        weight_quant: Optional[str] = None,
     ) -> None:
         self.name = name
         self.cfg = cfg
@@ -58,6 +59,20 @@ class TextEncoder:
             ids = jnp.zeros((1, 8), jnp.int32)
             mask = jnp.ones((1, 8), jnp.int32)
             params = self.model.init(jax.random.key(seed), ids, mask)
+        # bitsandbytes load_in_8bit/4bit analog (`onepass_dense_run.py:
+        # 177-187`): large Linear kernels stay int8/nf4-resident in HBM,
+        # dequant fuses into the matmuls inside the jitted forward
+        self.weight_quant = weight_quant
+        if weight_quant:
+            from codemix_dense_retrieval_tpu.ops.weight_quant import (
+                dequantize_tree,
+                quantize_tree,
+            )
+
+            params = quantize_tree(params, weight_quant)
+            _deq = lambda p: dequantize_tree(p, cfg.dtype)  # noqa: E731
+        else:
+            _deq = lambda p: p  # noqa: E731
         self.params = params
         # data-parallel corpus encode over the mesh (SURVEY §2.3: "shard
         # the passage stream across devices" — the 4-way process
@@ -79,37 +94,37 @@ class TextEncoder:
             rep = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, rep)
             self._fwd = jax.jit(
-                lambda p, ids, mask, task: self.model.apply(p, ids, mask, task),
+                lambda p, ids, mask, task: self.model.apply(_deq(p), ids, mask, task),
                 in_shardings=(rep, data_sh, data_sh, rep),
                 out_shardings=data_sh,
             )
             tok_sh = NamedSharding(mesh, P(mesh_axis, None, None))
             self._fwd_tokens = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(
-                    p, ids, mask, task, method="token_embeddings"
+                    _deq(p), ids, mask, task, method="token_embeddings"
                 ),
                 in_shardings=(rep, data_sh, data_sh, rep),
                 out_shardings=tok_sh,
             )
             self._fwd_both = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(
-                    p, ids, mask, task, method="embed_with_tokens"
+                    _deq(p), ids, mask, task, method="embed_with_tokens"
                 ),
                 in_shardings=(rep, data_sh, data_sh, rep),
                 out_shardings=(data_sh, tok_sh),
             )
         else:
             self._fwd = jax.jit(
-                lambda p, ids, mask, task: self.model.apply(p, ids, mask, task)
+                lambda p, ids, mask, task: self.model.apply(_deq(p), ids, mask, task)
             )
             self._fwd_tokens = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(
-                    p, ids, mask, task, method="token_embeddings"
+                    _deq(p), ids, mask, task, method="token_embeddings"
                 )
             )
             self._fwd_both = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(
-                    p, ids, mask, task, method="embed_with_tokens"
+                    _deq(p), ids, mask, task, method="embed_with_tokens"
                 )
             )
 

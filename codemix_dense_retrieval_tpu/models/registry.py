@@ -43,6 +43,7 @@ def load_encoder(
     use_flash: Optional[bool] = None,
     seed: int = 0,
     mesh=None,
+    weight_quant: Optional[str] = None,
 ) -> TextEncoder:
     """Build a TextEncoder for any supported family.
 
@@ -65,12 +66,12 @@ def load_encoder(
         use_flash = jax.default_backend() == "tpu"
 
     if checkpoint_dir is None:
-        return _random_init(name, family, dtype, use_flash, seed, mesh)
+        return _random_init(name, family, dtype, use_flash, seed, mesh, weight_quant)
 
     d = pathlib.Path(checkpoint_dir)
     if (d / "params.npz").exists():
         # pre-converted: XLM-R-family only for now (the convert CLI path)
-        return TextEncoder.from_checkpoint(name, d, seed=seed, mesh=mesh)
+        return TextEncoder.from_checkpoint(name, d, seed=seed, mesh=mesh, weight_quant=weight_quant)
     hf_cfg = json.loads((d / "config.json").read_text())
     model_type = hf_cfg.get("model_type", "xlm-roberta")
     sd = _load_state_dict(d)
@@ -86,7 +87,7 @@ def load_encoder(
         prefix = _detect_prefix(sd, "embed_tokens.weight")
         params = convert_qwen3_state_dict(sd, cfg, prefix=prefix)
         tok = load_tokenizer(d, cfg.max_position_embeddings - 2, vocab_size=cfg.vocab_size)
-        return TextEncoder(name, cfg, params, tok, model=Qwen3Encoder(cfg), seed=seed, mesh=mesh)
+        return TextEncoder(name, cfg, params, tok, model=Qwen3Encoder(cfg), seed=seed, mesh=mesh, weight_quant=weight_quant)
 
     if model_type == "new" or family == "gte":
         from codemix_dense_retrieval_tpu.models.gte import (
@@ -109,7 +110,7 @@ def load_encoder(
         prefix = _detect_prefix(sd, "embeddings.word_embeddings.weight")
         params = convert_gte_state_dict(sd, cfg, prefix=prefix)
         tok = load_tokenizer(d, cfg.max_position_embeddings - 2, vocab_size=cfg.vocab_size)
-        return TextEncoder(name, cfg, params, tok, model=GTEEncoder(cfg), seed=seed, mesh=mesh)
+        return TextEncoder(name, cfg, params, tok, model=GTEEncoder(cfg), seed=seed, mesh=mesh, weight_quant=weight_quant)
 
     # XLM-R family (incl. jina-v3 LoRA)
     from codemix_dense_retrieval_tpu.models.convert import (
@@ -127,7 +128,7 @@ def load_encoder(
     )
     params = convert_xlmr_state_dict(sd, cfg, prefix=detect_prefix(sd))
     tok = load_tokenizer(d, cfg.max_position_embeddings - 2, vocab_size=cfg.vocab_size)
-    return TextEncoder(name, cfg, params, tok, seed=seed, mesh=mesh)
+    return TextEncoder(name, cfg, params, tok, seed=seed, mesh=mesh, weight_quant=weight_quant)
 
 
 def _detect_prefix(sd, marker: str) -> str:
@@ -137,18 +138,18 @@ def _detect_prefix(sd, marker: str) -> str:
     raise KeyError(f"no {marker} in state dict")
 
 
-def _random_init(name, family, dtype, use_flash, seed, mesh=None) -> TextEncoder:
+def _random_init(name, family, dtype, use_flash, seed, mesh=None, weight_quant=None) -> TextEncoder:
     """Smoke-mode random-init encoder of the right family shape (tiny)."""
     if family == "qwen3":
         from codemix_dense_retrieval_tpu.models.qwen3 import Qwen3Config, Qwen3Encoder
 
         cfg = Qwen3Config.tiny(vocab_size=30_000, dtype=dtype)
-        return TextEncoder(name, cfg, model=Qwen3Encoder(cfg), seed=seed, mesh=mesh)
+        return TextEncoder(name, cfg, model=Qwen3Encoder(cfg), seed=seed, mesh=mesh, weight_quant=weight_quant)
     if family == "gte":
         from codemix_dense_retrieval_tpu.models.gte import GTEConfig, GTEEncoder
 
         cfg = GTEConfig.tiny(vocab_size=30_000, dtype=dtype)
-        return TextEncoder(name, cfg, model=GTEEncoder(cfg), seed=seed, mesh=mesh)
+        return TextEncoder(name, cfg, model=GTEEncoder(cfg), seed=seed, mesh=mesh, weight_quant=weight_quant)
     from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
 
     extra = dict(lora_rank=4, lora_tasks=5) if family == "jina-v3" else {}
@@ -157,4 +158,4 @@ def _random_init(name, family, dtype, use_flash, seed, mesh=None) -> TextEncoder
         pooling=dialects.default_pooling(name), dtype=dtype, use_flash=use_flash,
         **extra,
     )
-    return TextEncoder(name, cfg, seed=seed, mesh=mesh)
+    return TextEncoder(name, cfg, seed=seed, mesh=mesh, weight_quant=weight_quant)

@@ -1,6 +1,11 @@
 from codemix_dense_retrieval_tpu.ops.topk import topk_ip, topk_ip_full, topk_ip_bins
 from codemix_dense_retrieval_tpu.ops.mix import mix_and_renorm, l2_normalize
 from codemix_dense_retrieval_tpu.ops.sketch import fit_sketch, sketch_rows, topk_ip_sketch
+from codemix_dense_retrieval_tpu.ops.weight_quant import (
+    QuantizedTensor,
+    dequantize_tree,
+    quantize_tree,
+)
 
 __all__ = [
     "topk_ip",
@@ -11,4 +16,7 @@ __all__ = [
     "fit_sketch",
     "sketch_rows",
     "topk_ip_sketch",
+    "QuantizedTensor",
+    "quantize_tree",
+    "dequantize_tree",
 ]
