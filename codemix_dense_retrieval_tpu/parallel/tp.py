@@ -57,21 +57,44 @@ def shard_params_tp(params: Dict, mesh: Mesh, family: str) -> Dict:
 
     Dims not divisible by the tp axis fall back to replication (with the
     same numerics, just no memory savings for that tensor).
+
+    Composes with weight quantization (the bitsandbytes-on-2-GPUs setup,
+    reference `onepass_dense_run.py:177-213`): int8
+    :class:`~codemix_dense_retrieval_tpu.ops.weight_quant.QuantizedTensor`
+    kernels shard their codes with the kernel's spec and the per-output-
+    channel scale with the kernel's out-axis spec; nf4 records replicate
+    (their packed-block layout doesn't align with kernel axes).
     """
+    from codemix_dense_retrieval_tpu.ops.weight_quant import QuantizedTensor
+
     tp = mesh.shape.get("tp", 1)
+
+    def _divisible(shape, spec) -> bool:
+        for dim, name in zip(range(len(shape)), spec):
+            if name == "tp" and shape[dim] % tp:
+                return False
+        return True
 
     def place(keypath, leaf):
         spec = tp_spec_for_path(_path_str(keypath), family)
-        # divisibility guard
-        ok = True
-        for dim, name in zip(range(leaf.ndim), spec):
-            if name == "tp" and leaf.shape[dim] % tp:
-                ok = False
-        if not ok:
+        if isinstance(leaf, QuantizedTensor):
+            if leaf.kind != "int8" or not _divisible(leaf.codes.shape, spec):
+                spec = P()
+            # scale is indexed by the kernel's LAST (out) axis
+            sspec = P(spec[-1]) if len(spec) == leaf.codes.ndim else P()
+            return QuantizedTensor(
+                leaf.kind,
+                jax.device_put(leaf.codes, NamedSharding(mesh, spec)),
+                jax.device_put(leaf.scale, NamedSharding(mesh, sspec)),
+                leaf.shape,
+            )
+        if not _divisible(leaf.shape, spec):
             spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map_with_path(
+        place, params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+    )
 
 
 def replicate_params(params: Dict, mesh: Mesh) -> Dict:
