@@ -109,6 +109,9 @@ def main() -> None:
                     help="BPE vocab to train (250_000 = XLM-R scale)")
     ap.add_argument("--train_texts", type=int, default=5_000,
                     help="passages used to train the BPE")
+    ap.add_argument("--weight_quant", choices=("int8", "nf4"),
+                    help="encoder Linear weights quantized in HBM "
+                         "(bitsandbytes load_in_8bit/4bit analog)")
     args = ap.parse_args()
 
     import jax
@@ -150,7 +153,8 @@ def main() -> None:
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_flash=on_tpu, pooling="cls",
     )
-    enc = TextEncoder("BAAI/bge-m3", cfg, tokenizer=tok)
+    enc = TextEncoder("BAAI/bge-m3", cfg, tokenizer=tok,
+                      weight_quant=args.weight_quant)
 
     # warm EVERY length bucket the sorted e2e pass will realize — a
     # single leading-batch warmup leaves later (shorter) buckets to
@@ -223,6 +227,7 @@ def main() -> None:
         "layers": layers,
         "bpe_train_s": round(train_s, 1),
         "vocab_size": vocab_actual,
+        "weight_quant": args.weight_quant,
         "backend": jax.default_backend(),
         **ph_report,
     }))
