@@ -643,6 +643,10 @@ def cmd_serve(args) -> None:
         snapshot_root=args.snapshot_root,
         index_search_kwargs=search_kwargs,
     )
+    if args.warm:
+        # compile every (batch, k) serving bucket BEFORE accepting
+        # traffic — a cold bucket costs minutes on a fresh TPU process
+        print(json.dumps({"warmup": service.warmup()}))
     server = make_server(
         service, host=args.host, port=args.port,
         info={"model": args.encoder, "docs": index.count},
@@ -963,6 +967,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "runs guaranteed-exact through the sketch tier")
     p.add_argument("--k_dense", type=int, default=0,
                    help="two-stage dense recall depth (0 = max(4k, 100))")
+    p.add_argument("--warm", action="store_true",
+                   help="precompile every (batch, k) serving bucket before "
+                        "accepting traffic (minutes per cold program on a "
+                        "fresh TPU process; cached per device kind)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

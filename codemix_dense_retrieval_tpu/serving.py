@@ -215,6 +215,31 @@ class SearchService:
         self._queue.put(_Pending([], 0, fut, op="remove", payload=list(docids)))
         return fut
 
+    def warmup(self, ks=None, batches=None, text: str = "warm query") -> dict:
+        """Precompile the serving programs before traffic.
+
+        Every distinct (batch-bucket, k-bucket) shape traces and compiles
+        a fresh program — 1-10 minutes per program through the TPU relay —
+        so the first real request at a cold bucket otherwise pays it
+        (make_server's request timeout is sized for exactly that). Drives
+        the REAL path (encode -> search -> format) via submit(), one
+        request per combination; with the persistent compile cache the
+        cost is once per device kind. Returns {"programs", "seconds"}.
+        """
+        k_hi = min(self.max_k, self.index.count)
+        kset = sorted({min(k, k_hi) for k in (ks or (self.default_k, k_hi))})
+        buckets = sorted({
+            min(next_pow2(max(1, int(b))), self.max_batch)
+            for b in (batches or (1, self.max_batch))
+        })
+        t0 = time.monotonic()
+        n = 0
+        for b in buckets:
+            for k in kset:
+                self.submit([text] * b, k).result()
+                n += 1
+        return {"programs": n, "seconds": round(time.monotonic() - t0, 1)}
+
     def close(self) -> None:
         self._queue.put(None)
         self._thread.join(timeout=5)

@@ -374,3 +374,29 @@ class TestHTTP:
         assert status == 200 and data["results"]["removed"] == 1
         assert svc.index.count == before
         assert self._req(addr, "POST", "/add", {"docs": []})[0] == 400
+
+
+class TestWarmup:
+    def test_warmup_compiles_every_bucket(self, corpus_index):
+        enc, svc = make_service(corpus_index, max_batch=8, default_k=5, max_k=32)
+        try:
+            out = svc.warmup()
+            # default combos: batches {1, max_batch} x ks {default_k, max_k}
+            assert out["programs"] == 4
+            assert out["seconds"] >= 0
+            with svc.stats._lock:
+                assert svc.stats.batches == 4
+            # warmed service still serves correctly
+            res = svc.search(["hello"], k=3)
+            assert len(res[0]) == 3
+        finally:
+            svc.close()
+
+    def test_warmup_explicit_combos_clamped(self, corpus_index):
+        enc, svc = make_service(corpus_index, max_batch=4, max_k=16)
+        try:
+            # k above max_k clamps; duplicate batch buckets dedupe
+            out = svc.warmup(ks=[50_000], batches=[3, 4])
+            assert out["programs"] == 1
+        finally:
+            svc.close()
