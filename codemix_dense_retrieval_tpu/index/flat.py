@@ -451,17 +451,16 @@ class DenseFlatIndex:
         dim/count no longer match."""
         from codemix_dense_retrieval_tpu.ops.sketch import (
             fit_sketch,
+            sketch_rows_int8_jit,
             sketch_rows_jit,
         )
 
-        if self.store.manifest.dtype == "int8":
-            raise ValueError(
-                "sketch tier requires a float index (int8 rows lack the "
-                "per-row scale inside the tail-bound math); build the "
-                "index as bfloat16"
-            )
         if self._docs_dev is None:
             self.to_device()
+        # int8 indexes sketch their EFFECTIVE corpus — the dequantized
+        # rows the int8 kernels rank — so certificates prove parity with
+        # the int8 exact path (ops.sketch.topk_ip_sketch_int8)
+        is_int8 = self.store.manifest.dtype == "int8"
         sketch_dim = min(sketch_dim, self.dim)
         proj_np, probe_by_k = None, {}
         cache_path = (self.store.dir / "sketch.npz") if (cache and self.store.dir) else None
@@ -488,13 +487,19 @@ class DenseFlatIndex:
             # contribute uniformly, not just the first language's block
             vecs = self.store.vectors
             stride = max(1, len(vecs) // max(sample, 1))
-            proj_np = fit_sketch(
-                np.asarray(vecs[::stride][:sample], np.float32),
-                sketch_dim,
-                sample=sample,
-            )
+            sample_rows = np.asarray(vecs[::stride][:sample], np.float32)
+            if is_int8:
+                sample_rows = sample_rows * np.asarray(
+                    self.store.scales[::stride][:sample], np.float32
+                )[:, None]
+            proj_np = fit_sketch(sample_rows, sketch_dim, sample=sample)
         proj = jnp.asarray(proj_np)
-        sk, tails = sketch_rows_jit(self._docs_dev, proj)
+        if is_int8:
+            sk, tails = sketch_rows_int8_jit(
+                self._docs_dev, self.search_kwargs["doc_scales"], proj
+            )
+        else:
+            sk, tails = sketch_rows_jit(self._docs_dev, proj)
         self._sketch = (
             sk, tails, proj,
             {
@@ -681,6 +686,7 @@ class DenseFlatIndex:
                     mesh=self.mesh,
                     probe_bins=probe,
                     expand=skw["expand"],
+                    doc_scales=self.search_kwargs.get("doc_scales"),
                     **self._sketch_kernel_kwargs(),
                 )
                 for blk in blocks

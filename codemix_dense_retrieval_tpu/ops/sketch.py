@@ -305,3 +305,99 @@ def topk_ip_sketch(
     vals, idx = _rescore_candidates(docs, queries, bin_ids, bin_size, n_valid, k)
     certified = (unsel_ub + cert_margin) < vals[:, -1]
     return vals, idx, certified
+
+
+def sketch_rows_int8(
+    d_vals: jnp.ndarray, d_scales: jnp.ndarray, proj: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sketch + tail bounds over a quantized index's EFFECTIVE corpus —
+    the dequantized rows ``vals * scale`` (what the int8 score kernels
+    actually rank; `ops/quant.py` int8_ip_scores). jit-able, shard-local."""
+    from codemix_dense_retrieval_tpu.ops.quant import dequantize
+
+    return sketch_rows(dequantize(d_vals, d_scales), proj)
+
+
+sketch_rows_int8_jit = jax.jit(sketch_rows_int8)
+
+
+def topk_ip_sketch_int8(
+    queries: jnp.ndarray,  # (B, d) float
+    d_vals: jnp.ndarray,  # (N, d) int8
+    d_scales: jnp.ndarray,  # (N,) f32 per-row scales
+    d_sketch: jnp.ndarray,  # (N, ds) f32 from sketch_rows_int8
+    d_tail: jnp.ndarray,  # (N,) f32
+    proj: jnp.ndarray,  # (d, ds) f32
+    k: int,
+    *,
+    probe_bins: Optional[int] = None,
+    expand: float = 4.0,
+    bin_size: int = DEFAULT_BIN_SIZE,
+    super_size: int = DEFAULT_SUPER_SIZE,
+    tile_b: int = 512,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    n_valid=None,
+    cert_margin: float = DEFAULT_CERT_MARGIN,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Approximate top-k over an INT8 index with exactness certificates.
+
+    "Exact" here is the int8 path's own contract: the top-k of the int8
+    MXU scores (`topk_ip_bins_int8` — int32-exact accumulation, f32
+    rescale; reference analog: the bitsandbytes 8-bit model variants,
+    `onepass_dense_run.py:177-187`). The math reduces to the float case
+    because integer accumulation is exact: the effective corpus is the
+    dequantized rows (sketch/tails built over them —
+    :func:`sketch_rows_int8`) and the effective query is the dequantized
+    quantized query ``q_eff = q_i8 * q_scale`` (exactly representable),
+    so ``score = q_eff . x_eff`` exactly, modulo two f32 scale multiplies
+    (~2 ulp, inside ``cert_margin``). The Cauchy-Schwarz upper bound then
+    applies verbatim to ``q_eff``; phase 1 runs the SAME fused f32-sketch
+    kernel, and the refine gathers 1-byte rows — half the bf16 tier's
+    dominant gather volume at deep k.
+    """
+    from codemix_dense_retrieval_tpu.ops.quant import quantize_rows
+    from codemix_dense_retrieval_tpu.ops.topk import _rescore_candidates_int8
+
+    if probe_bins is None:
+        nb_est = _ceil_to(d_vals.shape[0], tile_n) // bin_size
+        probe_bins = _default_probe_bins(k, bin_size, nb_est, expand)
+    # quantize the query ONCE; every downstream phase (bound + rescore)
+    # sees the same effective query the exact int8 kernels see
+    q_i8, q_sc = quantize_rows(queries.astype(jnp.float32))
+    q_eff = q_i8.astype(jnp.float32) * q_sc[:, None]
+    q_sketch, q_tail = sketch_queries(q_eff, proj)
+    # no TPU-f32 operand-rounding margin needed here: the bound-side
+    # matmuls run HIGHEST over exactly-representable values, and the
+    # rescore accumulates in int32 (exact)
+    cert_margin = jnp.asarray(cert_margin, jnp.float32)
+    (
+        (d_vals, d_scales, d_sketch, d_tail),
+        (q_i8, q_sc, q_sketch, q_tail),
+        n_valid, eff_tile_b, b, b_pad, interpret,
+    ) = _prep_shard(
+        k, n_valid, tile_b, tile_n, interpret,
+        [d_vals, d_scales.reshape(-1, 1), d_sketch, d_tail.reshape(-1, 1)],
+        [q_i8, q_sc.reshape(-1, 1), q_sketch, q_tail.reshape(-1, 1)],
+        chunk=bin_size * super_size,
+    )
+    bin_ub = _binub_pallas(
+        q_sketch, q_tail, d_sketch, d_tail, bin_size, n_valid,
+        tile_b=eff_tile_b, tile_n=tile_n, interpret=interpret,
+    )
+    if b_pad != b:
+        bin_ub = bin_ub[:b]
+        q_i8, q_sc = q_i8[:b], q_sc[:b]
+    kb = min(probe_bins, bin_ub.shape[1])
+    bin_ids, unsel_ub = _select_bins_two_level(
+        bin_ub, kb, super_size, return_unselected_bound=True
+    )
+    if kb * bin_size < k:
+        raise ValueError(
+            f"probe_bins={kb} x bin_size={bin_size} < k={k}: too few candidates"
+        )
+    vals, idx = _rescore_candidates_int8(
+        d_vals, d_scales[:, 0], q_i8, q_sc[:, 0], bin_ids, bin_size, n_valid, k
+    )
+    certified = (unsel_ub + cert_margin) < vals[:, -1]
+    return vals, idx, certified

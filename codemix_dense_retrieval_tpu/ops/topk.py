@@ -146,6 +146,41 @@ def _rescore_candidates(
     return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
+def _rescore_candidates_int8(
+    d_vals: jnp.ndarray,  # (N, d) int8
+    d_scales: jnp.ndarray,  # (N,) f32
+    q_vals: jnp.ndarray,  # (B, d) int8
+    q_scales: jnp.ndarray,  # (B,) f32
+    bin_ids: jnp.ndarray,  # (B, kb), sorted ascending
+    bin_size: int,
+    n_valid,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Int8 rescore tail (sketch refine over a quantized index): int8 x
+    int8 -> int32 accumulation (EXACT), then the same ``(acc * d_scale) *
+    q_scale`` f32 rescale order as the fused int8 kernel
+    (:func:`_bin_scores_pallas_int8_kernel`) so refined scores match the
+    exact int8 path bit-for-bit. Gathered candidate rows cost 1 byte per
+    element — half the bf16 rescore's HBM gather volume."""
+    b, kb = bin_ids.shape
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    flat = cand_idx.reshape(-1)
+    cand_rows = jnp.take(d_vals, flat, axis=0).reshape(
+        b, kb * bin_size, d_vals.shape[1]
+    )
+    cand_sc = jnp.take(d_scales, flat, axis=0).reshape(b, kb * bin_size)
+    acc = jnp.einsum(
+        "bcd,bd->bc", cand_rows, q_vals, preferred_element_type=jnp.int32
+    )
+    cand_scores = acc.astype(jnp.float32) * cand_sc * q_scales[:, None]
+    cand_scores = jnp.where(cand_idx < n_valid, cand_scores, NEG_INF)
+    vals, pos = lax.top_k(cand_scores, k)
+    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
 def topk_ip_oracle(queries: np.ndarray, docs: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """Exact reference: f32 matmul + (score desc, id asc) argsort."""
     scores = queries.astype(np.float32) @ docs.astype(np.float32).T

@@ -188,6 +188,7 @@ def _build_sharded_sketch_search(
     tile_b: int,
     interpret: bool,
     rows_per_shard: int,
+    int8_mode: bool = False,
 ):
     """Compiled sharded SKETCH search (approximate + certified), cached by
     static config like :func:`_build_sharded_search`.
@@ -195,18 +196,29 @@ def _build_sharded_sketch_search(
     Each shard probes its local bins; the all-gather merge is identical to
     the exact path. A query's global certificate is the AND of its
     per-shard certificates — every shard's local top-k being provably
-    exact makes the merged global top-k provably exact.
+    exact makes the merged global top-k provably exact. With
+    ``int8_mode`` the per-shard kernel is
+    :func:`~codemix_dense_retrieval_tpu.ops.sketch.topk_ip_sketch_int8`
+    (certificates prove parity with the int8 exact path).
     """
     from codemix_dense_retrieval_tpu.ops import sketch as sketch_ops
 
-    def local_search(q, d, cnt, d_sk, d_tail, proj):
+    def local_search(q, d, cnt, scales, d_sk, d_tail, proj):
         shard_id = lax.axis_index(axis)
-        vals, idx, cert = sketch_ops.topk_ip_sketch(
-            q, d, d_sk, d_tail, proj, k,
-            probe_bins=probe_bins, bin_size=bin_size, super_size=super_size,
-            tile_b=tile_b, tile_n=tile_n, interpret=interpret,
-            n_valid=cnt[0],
-        )
+        if int8_mode:
+            vals, idx, cert = sketch_ops.topk_ip_sketch_int8(
+                q, d, scales, d_sk, d_tail, proj, k,
+                probe_bins=probe_bins, bin_size=bin_size,
+                super_size=super_size, tile_b=tile_b, tile_n=tile_n,
+                interpret=interpret, n_valid=cnt[0],
+            )
+        else:
+            vals, idx, cert = sketch_ops.topk_ip_sketch(
+                q, d, d_sk, d_tail, proj, k,
+                probe_bins=probe_bins, bin_size=bin_size, super_size=super_size,
+                tile_b=tile_b, tile_n=tile_n, interpret=interpret,
+                n_valid=cnt[0],
+            )
         gids = idx + shard_id * rows_per_shard
         vals_all = lax.all_gather(vals, axis, axis=1, tiled=True)  # (B, S*k)
         gids_all = lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -218,7 +230,10 @@ def _build_sharded_sketch_search(
         shard_map(
             local_search,
             mesh=mesh,
-            in_specs=(P(), P(axis, None), P(axis), P(axis, None), P(axis), P()),
+            in_specs=(
+                P(), P(axis, None), P(axis), P(axis), P(axis, None), P(axis),
+                P(),
+            ),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
@@ -243,14 +258,17 @@ def sharded_topk_ip_sketch(
     tile_n: int = 1024,
     tile_b: int = 512,
     interpret: Optional[bool] = None,
+    doc_scales: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Approximate global top-k over a row-sharded index with per-query
     exactness certificates (:mod:`~codemix_dense_retrieval_tpu.ops.sketch`).
 
     ``sketch_sharded``/``tails_sharded`` as produced by jitting
     :func:`~codemix_dense_retrieval_tpu.ops.sketch.sketch_rows` over the
-    sharded rows. Returns replicated (values (B, k), global ids (B, k),
-    certified (B,) bool).
+    sharded rows (for int8 docs: ``sketch_rows_int8`` and per-row
+    ``doc_scales`` sharded like counts — certificates then prove parity
+    with the int8 exact path). Returns replicated (values (B, k), global
+    ids (B, k), certified (B,) bool).
     """
     from codemix_dense_retrieval_tpu.ops.sketch import (
         DEFAULT_BIN_SIZE, DEFAULT_SUPER_SIZE, _default_probe_bins,
@@ -272,11 +290,23 @@ def sharded_topk_ip_sketch(
         probe_bins = _default_probe_bins(
             k, bin_size, rows_per_shard // bin_size, expand
         )
+    int8_mode = docs_sharded.dtype == jnp.int8
+    if int8_mode and doc_scales is None:
+        raise ValueError("int8 index requires doc_scales")
+    if doc_scales is None:
+        # dummy per-shard scalar keeps the program signature static (see
+        # sharded_topk_ip: an N-sized dummy would bake into outer-jit HLO)
+        doc_scales = jax.device_put(
+            np.zeros(s, np.float32), NamedSharding(mesh, P(axis))
+        )
     fn = _build_sharded_sketch_search(
         mesh, axis, k, probe_bins, bin_size, super_size, tile_n, tile_b,
-        bool(interpret), rows_per_shard,
+        bool(interpret), rows_per_shard, int8_mode,
     )
-    return fn(queries, docs_sharded, counts, sketch_sharded, tails_sharded, proj)
+    return fn(
+        queries, docs_sharded, counts, doc_scales, sketch_sharded,
+        tails_sharded, proj,
+    )
 
 
 def sharded_topk_ip(

@@ -425,12 +425,17 @@ def test_index_approx_query_block_equivalence(mesh):
     np.testing.assert_array_equal(c1, c2)
 
 
-def test_index_sketch_rejects_int8(tmp_path, mesh):
+def test_index_sketch_int8_supported(tmp_path, mesh):
+    """int8 indexes get the sketch tier too (certificates prove parity
+    with the int8 exact path — full coverage in test_sketch_int8.py)."""
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex
 
     rng = np.random.default_rng(12)
     docs = _anisotropic(rng, 1024, 32)
     idx = DenseFlatIndex.build(docs, [str(i) for i in range(1024)], dtype="int8")
     idx.to_device(mesh, pad_multiple=256)
-    with pytest.raises(ValueError, match="int8"):
-        idx.enable_sketch(sketch_dim=8)
+    idx.enable_sketch(sketch_dim=8, cache=False)
+    q = _anisotropic(rng, 6, 32)
+    ev, ei = idx.search(q, 5, return_docids=False)
+    gv, gi = idx.search(q, 5, return_docids=False, approx="guaranteed")
+    np.testing.assert_array_equal(gi, ei)
