@@ -44,7 +44,11 @@ def int8_ip_scores(
     acc = lax.dot_general(
         q_vals, d_vals, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
-    return acc.astype(jnp.float32) * q_scales[:, None] * d_scales[None, :]
+    # multiply order matters at the ulp level (f32 is not associative):
+    # (acc * d_scale) * q_scale matches the fused Pallas kernel
+    # (_bin_scores_pallas_int8_kernel) and the sketch rescore tail, so
+    # every int8 path ranks bit-identical scores
+    return acc.astype(jnp.float32) * d_scales[None, :] * q_scales[:, None]
 
 
 def dequantize(vals: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--decay", type=float, default=0.009)
     ap.add_argument("--recall_target", type=float, default=0.99)
+    ap.add_argument("--dtype", default="bfloat16", choices=("bfloat16", "int8"),
+                    help="index storage dtype (int8: certificates prove "
+                         "parity with the int8 exact path; 1-byte gathers)")
     ap.add_argument("--quick", action="store_true", help="65k rows, k=100 only")
     args = ap.parse_args()
     if args.quick:
@@ -62,12 +65,15 @@ def main():
 
     from codemix_dense_retrieval_tpu.index import DenseFlatIndex
 
-    print(f"backend={jax.default_backend()} n={args.n} dim={args.dim} ds={args.ds}")
+    print(f"backend={jax.default_backend()} n={args.n} dim={args.dim} "
+          f"ds={args.ds} dtype={args.dtype}")
     docs = anisotropic_rows(args.n, args.dim, args.decay, 1)
     queries = anisotropic_rows(args.b, args.dim, args.decay, 2)
 
     t0 = time.perf_counter()
-    idx = DenseFlatIndex.build(docs, [f"d{i}" for i in range(args.n)])
+    idx = DenseFlatIndex.build(
+        docs, [f"d{i}" for i in range(args.n)], dtype=args.dtype
+    )
     del docs
     idx.to_device()
     print(f"index resident: {time.perf_counter() - t0:.1f}s")

@@ -25,6 +25,7 @@ run guaranteed_quick 2400 python scripts/bench_guaranteed.py --quick || exit 1
 # the full measurements (VERDICT items 2 + 3)
 run sketch_full      5400 python scripts/bench_sketch.py
 run guaranteed_full  5400 python scripts/bench_guaranteed.py
+run guaranteed_int8  5400 python scripts/bench_guaranteed.py --dtype int8
 run mutation         3600 python scripts/bench_mutation.py
 # encode e2e overlap profile (item 7)
 run encode_e2e       3600 python scripts/bench_encode_e2e.py
