@@ -175,11 +175,6 @@ class DenseFlatIndex:
     def _ensure_mutable(self) -> None:
         if self._docs_dev is None:
             self.to_device()
-        if self.store.manifest.dtype == "int8":
-            raise ValueError(
-                "online mutation requires a float index (int8 rows would "
-                "need scale-sidecar swaps); build the index as bfloat16"
-            )
         if self._mutable is not None:
             return
         s = self.mesh.shape["shard"]
@@ -187,6 +182,11 @@ class DenseFlatIndex:
         n, d = self.store.count, self.dim
         rows = np.zeros((s * rps, d), np.float32)
         rows[:n] = np.asarray(self.store.vectors, np.float32)
+        if self._is_int8():
+            # the host mirror holds the DEQUANTIZED f32 values; the device
+            # boundary (_scatter_rows / _grow / rebalance) re-quantizes
+            # and keeps the per-row scale sidecar in lockstep
+            rows[:n] *= np.asarray(self.store.scales, np.float32)[:, None]
         counts = np.clip(n - rps * np.arange(s), 0, rps).astype(np.int64)
         docids = np.empty(s * rps, dtype=object)
         docids[:n] = self._docids[:n]
@@ -207,27 +207,86 @@ class DenseFlatIndex:
             NamedSharding(self.mesh, P("shard")),
         )
 
+    def _is_int8(self) -> bool:
+        return self.store.manifest.dtype == "int8"
+
     def _scatter_rows(self, positions: np.ndarray, rows: np.ndarray) -> None:
         """Write ``rows`` at global padded ``positions`` on device (one
         jit scatter; GSPMD routes each row to its shard), updating the
-        sketch sidecars in lockstep. Counts are the caller's job
-        (:meth:`_refresh_counts`)."""
+        sketch sidecars in lockstep. int8 indexes re-quantize at this
+        boundary and scatter the per-row scale sidecar too (FAISS
+        ``add_with_ids`` works regardless of storage). Counts are the
+        caller's job (:meth:`_refresh_counts`)."""
         if len(positions) == 0:
             return
         positions, rows = _bucket_scatter(
             np.asarray(positions, np.int64), np.asarray(rows, np.float32)
         )
         pos_dev = jnp.asarray(positions, jnp.int32)
-        vals = jnp.asarray(rows, self._docs_dev.dtype)
-        self._docs_dev = _scatter_update(self._docs_dev, pos_dev, vals)
+        if self._is_int8():
+            from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+
+            q_vals, q_scales = quantize_rows_np(rows)
+            vals = jnp.asarray(q_vals)
+            self._docs_dev = _scatter_update(self._docs_dev, pos_dev, vals)
+            self.search_kwargs["doc_scales"] = _scatter_update(
+                self.search_kwargs["doc_scales"], pos_dev,
+                jnp.asarray(q_scales),
+            )
+            # the sketch tier bounds the EFFECTIVE (dequantized) rows
+            eff = jnp.asarray(
+                q_vals.astype(np.float32) * q_scales[:, None]
+            )
+        else:
+            vals = jnp.asarray(rows, self._docs_dev.dtype)
+            self._docs_dev = _scatter_update(self._docs_dev, pos_dev, vals)
+            eff = vals.astype(jnp.float32)
         if self._sketch is not None:
             from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows_jit
 
             sk, tails, proj, skw = self._sketch
-            new_sk, new_tails = sketch_rows_jit(vals.astype(jnp.float32), proj)
+            new_sk, new_tails = sketch_rows_jit(eff, proj)
             sk = _scatter_update(sk, pos_dev, new_sk.astype(sk.dtype))
             tails = _scatter_update(tails, pos_dev, new_tails)
             self._sketch = (sk, tails, proj, skw)
+
+    def _project_sketch(self, proj) -> tuple:
+        """(sketch, tails) over the device-resident rows — dequantized
+        first for int8 (the sketch bounds the EFFECTIVE corpus the int8
+        kernels rank, not the raw codes)."""
+        from codemix_dense_retrieval_tpu.ops.sketch import (
+            sketch_rows_int8_jit,
+            sketch_rows_jit,
+        )
+
+        if self._is_int8():
+            return sketch_rows_int8_jit(
+                self._docs_dev, self.search_kwargs["doc_scales"], proj
+            )
+        return sketch_rows_jit(self._docs_dev, proj)
+
+    def _upload_mirror(self, rows: np.ndarray, rps: int) -> None:
+        """Wholesale device re-upload of the per-shard-laid-out f32 mirror
+        (grow/rebalance): int8 indexes re-quantize and rebuild the scale
+        sidecar; float indexes cast to the storage dtype."""
+        from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+            shard_row_sidecar,
+        )
+
+        if self._is_int8():
+            from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+
+            q_vals, q_scales = quantize_rows_np(rows)
+            self._docs_dev, _, _ = shard_rows(
+                q_vals, self.mesh, pad_multiple=rps
+            )
+            self.search_kwargs["doc_scales"] = shard_row_sidecar(
+                q_scales, self.mesh, rps
+            )
+        else:
+            self._docs_dev, _, _ = shard_rows(
+                rows.astype(self._docs_dev.dtype), self.mesh, pad_multiple=rps
+            )
 
     def _grow(self, extra: int) -> None:
         """Re-shard with amortized headroom (>= 1.5x valid rows + extra)."""
@@ -258,16 +317,12 @@ class DenseFlatIndex:
         # 1:1 onto devices; its derived counts are wrong for a padded
         # layout (they assume one contiguous valid prefix) — refresh from
         # the real per-shard counts
-        self._docs_dev, _, _ = shard_rows(
-            rows.astype(self._docs_dev.dtype), self.mesh, pad_multiple=new_rps
-        )
+        self._upload_mirror(rows, new_rps)
         self._refresh_counts()
         if sketch_cfg is not None:
             # re-project the regrown layout in one shard-local matmul
-            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows_jit
-
             _, _, proj, skw = sketch_cfg
-            sk, tails = sketch_rows_jit(self._docs_dev, proj)
+            sk, tails = self._project_sketch(proj)
             self._sketch = (sk, tails, proj, skw)
 
     def add(self, vectors: np.ndarray, docids: Sequence[str]) -> np.ndarray:
@@ -398,14 +453,10 @@ class DenseFlatIndex:
         self.mutation_epoch += 1
         self._refresh_counts()
         # wholesale re-upload (the layout changed everywhere)
-        self._docs_dev, _, _ = shard_rows(
-            rows.astype(self._docs_dev.dtype), self.mesh, pad_multiple=rps
-        )
+        self._upload_mirror(rows, rps)
         if self._sketch is not None:
-            from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows_jit
-
             _, _, proj, skw = self._sketch
-            sk, tails = sketch_rows_jit(self._docs_dev, proj)
+            sk, tails = self._project_sketch(proj)
             self._sketch = (sk, tails, proj, skw)
         return self
 
@@ -449,18 +500,14 @@ class DenseFlatIndex:
         the index directory, so serving restarts skip the refit and keep
         their calibration. The cache is ignored when the stored
         dim/count no longer match."""
-        from codemix_dense_retrieval_tpu.ops.sketch import (
-            fit_sketch,
-            sketch_rows_int8_jit,
-            sketch_rows_jit,
-        )
+        from codemix_dense_retrieval_tpu.ops.sketch import fit_sketch
 
         if self._docs_dev is None:
             self.to_device()
         # int8 indexes sketch their EFFECTIVE corpus — the dequantized
         # rows the int8 kernels rank — so certificates prove parity with
         # the int8 exact path (ops.sketch.topk_ip_sketch_int8)
-        is_int8 = self.store.manifest.dtype == "int8"
+        is_int8 = self._is_int8()
         sketch_dim = min(sketch_dim, self.dim)
         proj_np, probe_by_k = None, {}
         cache_path = (self.store.dir / "sketch.npz") if (cache and self.store.dir) else None
@@ -494,12 +541,7 @@ class DenseFlatIndex:
                 )[:, None]
             proj_np = fit_sketch(sample_rows, sketch_dim, sample=sample)
         proj = jnp.asarray(proj_np)
-        if is_int8:
-            sk, tails = sketch_rows_int8_jit(
-                self._docs_dev, self.search_kwargs["doc_scales"], proj
-            )
-        else:
-            sk, tails = sketch_rows_jit(self._docs_dev, proj)
+        sk, tails = self._project_sketch(proj)
         self._sketch = (
             sk, tails, proj,
             {

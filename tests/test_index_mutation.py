@@ -396,10 +396,93 @@ def test_rebalance_evens_shards_and_stays_exact(mesh):
     np.testing.assert_array_equal(ids, eids)
 
 
-def test_int8_index_rejects_mutation(mesh):
+def test_int8_index_mutates(mesh):
+    """int8 indexes mutate online too (r4): the f32 host mirror is
+    authoritative, the device boundary re-quantizes rows AND the scale
+    sidecar in lockstep, and quantize(dequantize(quantize(x))) is an
+    exact roundtrip (the max code is always +-127), so searches stay
+    bit-consistent with a from-scratch int8 index over the live rows."""
+    from codemix_dense_retrieval_tpu.ops.quant import quantize_rows_np
+
     rng = np.random.default_rng(8)
     docs = _rows(rng, 256)
     idx = DenseFlatIndex.build(docs, [str(i) for i in range(256)], dtype="int8")
     idx.to_device(mesh, pad_multiple=128)
-    with pytest.raises(ValueError, match="int8"):
-        idx.add(_rows(rng, 1), ["x"])
+
+    new = _rows(rng, 5)
+    idx.add(new, [f"x{i}" for i in range(5)])
+    assert idx.remove(["3", "77", "ghost"]) == 2
+    assert idx.count == 256 + 5 - 2
+
+    # oracle: exact int8 scores over the live corpus, FAISS tie-break
+    live_ids = [str(i) for i in range(256) if i not in (3, 77)] + [
+        f"x{i}" for i in range(5)
+    ]
+    live = {str(i): docs[i] for i in range(256) if i not in (3, 77)}
+    live.update({f"x{i}": new[i] for i in range(5)})
+    rows_f32 = np.stack([live[d] for d in live_ids])
+    dv, dsc = quantize_rows_np(rows_f32)
+    q = _rows(rng, 9)
+    qv, qs = quantize_rows_np(q)
+    scores = (qv.astype(np.int32) @ dv.astype(np.int32).T).astype(np.float32)
+    scores = scores * dsc[None, :] * qs[:, None]
+    want_top = [live_ids[j] for j in scores.argmax(axis=1)]
+
+    vals, got = idx.search(q, 1)
+    assert [str(g[0]) for g in got] == want_top
+
+    # added rows are their own nearest neighbor; removed rows are gone
+    va, ga = idx.search(new, 1)
+    assert [str(g[0]) for g in ga] == [f"x{i}" for i in range(5)]
+    _, wide = idx.search(q, 20)
+    assert not ({"3", "77"} & set(map(str, np.asarray(wide).ravel())))
+
+
+def test_int8_mutation_with_sketch_and_persistence(mesh, tmp_path):
+    """Sketch sidecars track int8 mutations; to_store() persists the
+    mutated corpus and a reload searches identically."""
+    rng = np.random.default_rng(9)
+    docs = _rows(rng, 256)
+    idx = DenseFlatIndex.build(docs, [str(i) for i in range(256)], dtype="int8")
+    idx.to_device(mesh, pad_multiple=128)
+    idx.enable_sketch(sketch_dim=8, cache=False)
+
+    new = _rows(rng, 4)
+    idx.add(new, [f"x{i}" for i in range(4)])
+    idx.remove(["0", "100"])
+    q = _rows(rng, 8)
+    ev, ei = idx.search(q, 5, return_docids=False)
+    gv, gi = idx.search(q, 5, return_docids=False, approx="guaranteed")
+    np.testing.assert_array_equal(gi, ei)
+
+    idx.save(tmp_path / "snap")
+    re = DenseFlatIndex.load(tmp_path / "snap")
+    re.to_device(mesh, pad_multiple=128)
+    rv, ri = re.search(q, 5)
+    ov, oi = idx.search(q, 5)
+    assert [list(map(str, r)) for r in ri] == [list(map(str, o)) for o in oi]
+    np.testing.assert_allclose(rv, ov, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_grow_and_rebalance_keep_sketch_consistent(mesh):
+    """Regrowth and rebalance over an int8 index re-quantize the mirror,
+    rebuild the scale sidecar, and re-project the sketch from the
+    DEQUANTIZED rows — guaranteed search stays byte-equal to exact."""
+    rng = np.random.default_rng(10)
+    docs = _rows(rng, 256)
+    idx = DenseFlatIndex.build(docs, [str(i) for i in range(256)], dtype="int8")
+    idx.to_device(mesh, pad_multiple=32)  # tight capacity: adds force _grow
+    idx.enable_sketch(sketch_dim=8, cache=False)
+
+    extra = _rows(rng, 80)
+    idx.add(extra, [f"x{i}" for i in range(80)])  # 256 -> 336 > capacity
+    # skewed removals then rebalance
+    idx.remove([str(i) for i in range(0, 60, 2)])
+    idx.rebalance()
+
+    q = _rows(rng, 8)
+    ev, ei = idx.search(q, 7, return_docids=False)
+    gv, gi = idx.search(q, 7, return_docids=False, approx="guaranteed")
+    np.testing.assert_array_equal(gi, ei)
+    va, ga = idx.search(extra[:5], 1)
+    assert [str(g[0]) for g in ga] == [f"x{i}" for i in range(5)]
