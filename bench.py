@@ -286,7 +286,9 @@ def _bench_sketch(jax, jnp, docs, queries, k_deep, block, iters, interpret=False
     esc = np.flatnonzero(~cert_np)
     dt_esc = 0.0
     if len(esc):
-        bucket = 1 << max(3, int(np.ceil(np.log2(len(esc)))))
+        from codemix_dense_retrieval_tpu.utils import next_pow2
+
+        bucket = next_pow2(len(esc))  # same bucketing as flat.py's escalation
         sub = np.zeros((bucket, dim), np.float32)
         sub[: len(esc)] = np.asarray(queries_a[esc], np.float32)
         sub_dev = jnp.asarray(sub, queries_a.dtype)

@@ -233,17 +233,18 @@ class DenseFlatIndex:
                 self.search_kwargs["doc_scales"], pos_dev,
                 jnp.asarray(q_scales),
             )
-            # the sketch tier bounds the EFFECTIVE (dequantized) rows
-            eff = jnp.asarray(
-                q_vals.astype(np.float32) * q_scales[:, None]
-            )
         else:
             vals = jnp.asarray(rows, self._docs_dev.dtype)
             self._docs_dev = _scatter_update(self._docs_dev, pos_dev, vals)
-            eff = vals.astype(jnp.float32)
         if self._sketch is not None:
             from codemix_dense_retrieval_tpu.ops.sketch import sketch_rows_jit
 
+            # the sketch tier bounds the EFFECTIVE rows the kernels rank:
+            # dequantized for int8, storage-dtype-rounded for floats
+            if self._is_int8():
+                eff = jnp.asarray(q_vals.astype(np.float32) * q_scales[:, None])
+            else:
+                eff = vals.astype(jnp.float32)
             sk, tails, proj, skw = self._sketch
             new_sk, new_tails = sketch_rows_jit(eff, proj)
             sk = _scatter_update(sk, pos_dev, new_sk.astype(sk.dtype))

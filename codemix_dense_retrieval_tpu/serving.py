@@ -225,12 +225,20 @@ class SearchService:
         the REAL path (encode -> search -> format) via submit(), one
         request per combination; with the persistent compile cache the
         cost is once per device kind. Returns {"programs", "seconds"}.
+
+        Default coverage: EVERY pow2 batch bucket up to ``max_batch``
+        (request coalescing realizes arbitrary batch sizes) crossed with
+        the two depth buckets real traffic hits — ``default_k``'s and
+        ``max_k``'s. A non-default ``k`` in between still compiles its
+        own program on first use; pass ``ks`` to pre-warm those too.
         """
         k_hi = min(self.max_k, self.index.count)
         kset = sorted({min(k, k_hi) for k in (ks or (self.default_k, k_hi))})
+        if batches is None:
+            batches = [1 << i for i in range((self.max_batch).bit_length())]
+            batches.append(self.max_batch)  # the coalescing cap itself
         buckets = sorted({
-            min(next_pow2(max(1, int(b))), self.max_batch)
-            for b in (batches or (1, self.max_batch))
+            min(next_pow2(max(1, int(b))), self.max_batch) for b in batches
         })
         t0 = time.monotonic()
         n = 0

@@ -381,11 +381,12 @@ class TestWarmup:
         enc, svc = make_service(corpus_index, max_batch=8, default_k=5, max_k=32)
         try:
             out = svc.warmup()
-            # default combos: batches {1, max_batch} x ks {default_k, max_k}
-            assert out["programs"] == 4
+            # default combos: EVERY pow2 batch bucket {1,2,4,8} x the two
+            # traffic depth buckets {default_k, max_k}
+            assert out["programs"] == 8
             assert out["seconds"] >= 0
             with svc.stats._lock:
-                assert svc.stats.batches == 4
+                assert svc.stats.batches == 8
             # warmed service still serves correctly
             res = svc.search(["hello"], k=3)
             assert len(res[0]) == 3
