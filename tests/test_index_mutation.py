@@ -210,8 +210,12 @@ def _brute_two_stage(q_dense, q_toks, live_toks, live_ids, k, k_dense):
     return out
 
 
-@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
-def test_two_stage_resident_mutation(mesh, tmp_path, dtype):
+@pytest.mark.parametrize("dtype,dense_dtype", [
+    ("bfloat16", "float32"),
+    ("int8", "float32"),
+    ("int8", "int8"),  # r4: int8 DENSE indexes mutate too
+])
+def test_two_stage_resident_mutation(mesh, tmp_path, dtype, dense_dtype):
     """Device-resident two-stage add/remove: the searcher mirrors the
     dense side's positions and swap journal, and post-mutation rerank
     matches a numpy dense->MaxSim oracle over the LIVE corpus."""
@@ -220,10 +224,10 @@ def test_two_stage_resident_mutation(mesh, tmp_path, dtype):
     rng = np.random.default_rng(20)
     n, td, d, k = 96, 4, 32, 5
     toks, dense = _tok_corpus(rng, n, td, d)
-    store = _write_tok_store(tmp_path / f"tok-{dtype}", toks,
+    store = _write_tok_store(tmp_path / f"tok-{dtype}-{dense_dtype}", toks,
                              np.full(n, td, np.int32), dtype=dtype)
     idx = DenseFlatIndex.build(dense, [f"d{i}" for i in range(n)],
-                               dtype="float32")
+                               dtype=dense_dtype)
     idx.to_device(mesh, pad_multiple=32)
     s = TwoStageSearcher(idx, store, device_resident=True)
     live = {f"d{i}": toks[i] for i in range(n)}

@@ -125,3 +125,30 @@ class TestLoraConversion:
                         0, method=model.hidden_states)
         )
         np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_lora_composes_with_weight_quant(lora_model):
+    """Weight quantization is a pytree transform, so Jina's task-LoRA
+    needs no special handling: 2D base kernels quantize, 3D lora_a/b
+    stacks stay full precision, and the adapted forward stays close."""
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.ops.weight_quant import (
+        QuantizedTensor,
+        dequantize_tree,
+        quantize_tree,
+    )
+
+    cfg, model, params, ids, mask = lora_model
+    qp = quantize_tree(params, "int8", min_size=512)
+    leaves = jax.tree_util.tree_leaves(
+        qp, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    kinds = [x for x in leaves if isinstance(x, QuantizedTensor)]
+    assert kinds, "expected at least one quantized base kernel"
+    assert all(len(x.shape) == 2 for x in kinds)  # lora stacks untouched
+
+    task = jnp.asarray(2, jnp.int32)
+    full = np.asarray(model.apply(params, ids, mask, task))
+    quant = np.asarray(model.apply(dequantize_tree(qp, jnp.float32), ids, mask, task))
+    cos = (full * quant).sum(axis=1)
+    assert cos.min() > 0.995, cos
