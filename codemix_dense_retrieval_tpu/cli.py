@@ -720,6 +720,12 @@ def cmd_convert(args) -> None:
     cfg, params = load_hf_checkpoint(
         args.src, pooling=default_pooling(args.encoder)
     )
+    if getattr(args, "weight_quant", None):
+        # persist quantized (bitsandbytes save-quantized analog): 2x/~4x
+        # smaller on disk, and from_checkpoint arms dequant automatically
+        from codemix_dense_retrieval_tpu.ops.weight_quant import quantize_tree
+
+        params = quantize_tree(params, args.weight_quant)
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     save_params_npz(out / "params.npz", params)
@@ -1087,6 +1093,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder", default="BAAI/bge-m3")
     p.add_argument("--src", required=True, help="HF checkpoint dir")
     p.add_argument("--out", required=True)
+    p.add_argument("--weight_quant", choices=("int8", "nf4"),
+                   help="persist Linear kernels quantized (2x/~4x smaller "
+                        "checkpoint; loads straight into the fused-dequant "
+                        "forward)")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser(

@@ -194,24 +194,59 @@ def load_hf_checkpoint(
 
 
 def save_params_npz(path, params: Dict) -> None:
-    """Flat .npz checkpoint (portable, no orbax dependency at read time)."""
+    """Flat .npz checkpoint (portable, no orbax dependency at read time).
+
+    Quantized leaves (``ops.weight_quant.QuantizedTensor`` — `convert
+    --weight_quant`) persist as three suffixed entries
+    (``@wq.<kind>.{codes,scale,shape}``), so an int8/nf4 checkpoint is
+    2x/~4x smaller on disk and loads straight back into its quantized
+    form (the bitsandbytes save-quantized analog)."""
     import jax
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    from codemix_dense_retrieval_tpu.ops.weight_quant import QuantizedTensor
+
+    flat = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+    )[0]
     arrays = {}
     for keypath, leaf in flat:
         name = "/".join(str(getattr(k, "key", k)) for k in keypath)
-        arrays[name] = np.asarray(leaf)
+        if isinstance(leaf, QuantizedTensor):
+            arrays[f"{name}@wq.{leaf.kind}.codes"] = np.asarray(leaf.codes)
+            arrays[f"{name}@wq.{leaf.kind}.scale"] = np.asarray(leaf.scale)
+            arrays[f"{name}@wq.{leaf.kind}.shape"] = np.asarray(
+                leaf.shape, np.int64
+            )
+        else:
+            arrays[name] = np.asarray(leaf)
     np.savez(path, **arrays)
 
 
 def load_params_npz(path) -> Dict:
+    from codemix_dense_retrieval_tpu.ops.weight_quant import QuantizedTensor
+
     data = np.load(path)
     params: Dict = {}
+    pending: Dict[str, dict] = {}
     for name in data.files:
+        if "@wq." in name:
+            base, tag = name.split("@wq.", 1)
+            kind, part = tag.split(".", 1)
+            rec = pending.setdefault(base, {"kind": kind})
+            rec[part] = data[name]
+            continue
         parts = name.split("/")
         node = params
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = data[name]
+    for base, rec in pending.items():
+        parts = base.split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = QuantizedTensor(
+            rec["kind"], rec["codes"], rec["scale"],
+            tuple(int(x) for x in rec["shape"]),
+        )
     return params

@@ -61,15 +61,20 @@ class TextEncoder:
             params = self.model.init(jax.random.key(seed), ids, mask)
         # bitsandbytes load_in_8bit/4bit analog (`onepass_dense_run.py:
         # 177-187`): large Linear kernels stay int8/nf4-resident in HBM,
-        # dequant fuses into the matmuls inside the jitted forward
+        # dequant fuses into the matmuls inside the jitted forward.
+        # Pre-quantized checkpoints (convert --weight_quant) arm the
+        # dequant wrapper automatically.
+        from codemix_dense_retrieval_tpu.ops.weight_quant import (
+            dequantize_tree,
+            has_quantized,
+            quantize_tree,
+        )
+
         self.weight_quant = weight_quant
         if weight_quant:
-            from codemix_dense_retrieval_tpu.ops.weight_quant import (
-                dequantize_tree,
-                quantize_tree,
-            )
-
             params = quantize_tree(params, weight_quant)
+        if weight_quant or has_quantized(params):
+            self.weight_quant = self.weight_quant or "pre-quantized"
             _deq = lambda p: dequantize_tree(p, cfg.dtype)  # noqa: E731
         else:
             _deq = lambda p: p  # noqa: E731

@@ -122,6 +122,8 @@ def quantize_tree(
     quant = _quantize_leaf_int8 if mode == "int8" else _quantize_leaf_nf4
 
     def rec(node, path):
+        if isinstance(node, QuantizedTensor):  # already quantized: keep
+            return node
         if isinstance(node, dict):
             return {k: rec(v, path + (k.lower(),)) for k, v in node.items()}
         w = np.asarray(node)
@@ -149,6 +151,17 @@ def dequantize_tree(params, dtype=jnp.bfloat16):
         return node
 
     return rec(params)
+
+
+def has_quantized(params) -> bool:
+    """True if any leaf of the pytree is a :class:`QuantizedTensor` —
+    lets loaders arm the dequant wrapper for pre-quantized checkpoints."""
+    return any(
+        isinstance(x, QuantizedTensor)
+        for x in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+        )
+    )
 
 
 def quantized_nbytes(params) -> int:

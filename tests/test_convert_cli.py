@@ -141,3 +141,41 @@ def test_sharded_index_missing_weight_rejected(tmp_path):
 
     with pytest.raises(KeyError):
         load_state_dict(src)
+
+
+def test_convert_weight_quant_roundtrip(tmp_path):
+    """convert --weight_quant persists quantized kernels (smaller npz);
+    from_checkpoint arms the dequant wrapper automatically and the
+    embeddings stay near the full-precision conversion."""
+    import torch
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    torch.manual_seed(2)
+    # hidden 256 so the Linear kernels clear quantize_tree's 65536-element
+    # eligibility threshold (tiny models keep full precision by design)
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=120, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=1024,
+        max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+    )
+    src = tmp_path / "hf"
+    XLMRobertaModel(hf_cfg).save_pretrained(src)
+    full_out, q_out = tmp_path / "conv", tmp_path / "conv-q8"
+    cli_main(["convert", "--src", str(src), "--out", str(full_out)])
+    cli_main(["convert", "--src", str(src), "--out", str(q_out),
+              "--weight_quant", "int8"])
+
+    assert (q_out / "params.npz").stat().st_size < \
+        (full_out / "params.npz").stat().st_size
+
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.ops.weight_quant import has_quantized
+
+    enc_f = TextEncoder.from_checkpoint("BAAI/bge-m3", full_out)
+    enc_q = TextEncoder.from_checkpoint("BAAI/bge-m3", q_out)
+    assert has_quantized(enc_q.params)
+    assert enc_q.weight_quant == "pre-quantized"
+    a = enc_f.encode_queries(["hello world", "second query"], batch_size=2)
+    b = enc_q.encode_queries(["hello world", "second query"], batch_size=2)
+    cos = (a * b).sum(axis=1)
+    assert cos.min() > 0.995, cos
