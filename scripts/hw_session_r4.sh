@@ -22,13 +22,15 @@ run() {
 # fail fast if the relay went away again: the quick phases double as probes
 run sketch_quick     2400 python scripts/bench_sketch.py --quick || exit 1
 run guaranteed_quick 2400 python scripts/bench_guaranteed.py --quick || exit 1
+run guaranteed_quick_int8 2400 python scripts/bench_guaranteed.py --quick --dtype int8
 # the full measurements (VERDICT items 2 + 3)
 run sketch_full      5400 python scripts/bench_sketch.py
 run guaranteed_full  5400 python scripts/bench_guaranteed.py
 run guaranteed_int8  5400 python scripts/bench_guaranteed.py --dtype int8
 run mutation         3600 python scripts/bench_mutation.py
-# encode e2e overlap profile (item 7)
+# encode e2e overlap profile (item 7) + weight-quant A/B
 run encode_e2e       3600 python scripts/bench_encode_e2e.py
+run encode_e2e_q8    3600 python scripts/bench_encode_e2e.py --weight_quant int8
 # official bench last so its JSON reflects a warm, healthy relay
 run bench_official   5400 python bench.py
 echo "=== DONE ($(date)) — logs in $LOG ==="
