@@ -294,10 +294,12 @@ def cmd_run_mix(args) -> None:
     vecs_a = encode_cached(lang_a, texts_a)
     vecs_b = encode_cached(lang_b, texts_b)
     alphas = [float(a) for a in args.cm_alphas]
-    if args.fused and _approx_mode(args):
+    if args.fused and _approx_mode(args) == "guaranteed":
         raise SystemExit(
-            "[ERROR] --fused runs the exact one-jit sweep; it does not "
-            "route through the sketch tier. Drop --approx (or --fused)."
+            "[ERROR] --fused cannot serve --approx guaranteed: escalation "
+            "of uncertified queries is host-driven and cannot run inside "
+            "the one-jit sweep. Use --approx fast (certificates reported "
+            "per alpha) or drop --fused for byte-exact guaranteed output."
         )
     if args.fused and args.qrels:
         # one-jit sweep: mix + sharded search + ON-DEVICE metrics
@@ -327,11 +329,17 @@ def cmd_run_mix(args) -> None:
             if qid not in run_qids
             and any(r > 0 and d in docid_to_row for d, r in judged.items())
         )
-        vals, ids, metrics = fused_alpha_sweep(
+        sketch = None
+        if _approx_mode(args) is True:  # "fast" ("guaranteed" rejected above)
+            if index._sketch is None:
+                index.enable_sketch()
+            sketch = index._sketch
+        vals, ids, metrics, cert = fused_alpha_sweep(
             vecs_a, vecs_b, alphas, index._docs_dev, index._counts_dev,
             args.k, mesh=index.mesh, rel_ids=build_rel_matrix(rel_rows),
             metric_extra_zero_queries=extra_zero,
             search_kwargs=index.search_kwargs,
+            sketch=sketch,
         )
         outdir = pathlib.Path(args.outdir)
         out = {}
@@ -347,6 +355,10 @@ def cmd_run_mix(args) -> None:
                 "run": str(path),
                 **{name: round(float(v[ai]) * 100, 4) for name, v in metrics.items()},
             }
+            if cert is not None:
+                out[format_alpha(alpha)]["certified_frac"] = round(
+                    float(np.asarray(cert)[ai].mean()), 4
+                )
         print(json.dumps(out, indent=2))
         return
     approx = _approx_mode(args)
@@ -399,10 +411,12 @@ def cmd_run_bilingual_mix(args) -> None:
     vecs_b = encoder.encode_queries(texts_b, batch_size=args.enc_batch)
     alphas = [float(a) for a in args.cm_alphas]
     if args.fused:
-        if _approx_mode(args):
+        if _approx_mode(args) == "guaranteed":
             raise SystemExit(
-                "[ERROR] --fused runs the exact one-jit sweep; it does not "
-                "route through the sketch tier. Drop --approx (or --fused)."
+                "[ERROR] --fused cannot serve --approx guaranteed: "
+                "escalation of uncertified queries is host-driven and "
+                "cannot run inside the one-jit sweep. Use --approx fast "
+                "or drop --fused for byte-exact guaranteed output."
             )
         from codemix_dense_retrieval_tpu.config import format_alpha
         from codemix_dense_retrieval_tpu.pipeline.bilingual import (
@@ -417,7 +431,7 @@ def cmd_run_bilingual_mix(args) -> None:
         try:
             runs, metrics = run_bilingual_vector_mix_fused(
                 hub, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
-                qrels=qrels,
+                qrels=qrels, approx=_approx_mode(args) is True,
             )
         except ValueError as e:
             raise SystemExit(

@@ -117,6 +117,7 @@ def run_bilingual_vector_mix_fused(
     k: int = 500,
     qrels: Optional[Dict[str, Dict[str, int]]] = None,
     tag: str = "bilingual-onepass",
+    approx: bool = False,
 ) -> Tuple[Dict[float, pathlib.Path], Optional[Dict[str, Dict[str, float]]]]:
     """ONE-JIT bilingual alpha sweep: mix -> sharded raw search (2k deep)
     -> on-device max-collapse to k base ids -> optional on-device metrics.
@@ -127,6 +128,12 @@ def run_bilingual_vector_mix_fused(
     artifacts match :func:`run_bilingual_vector_mix`'s collapsed runs
     (``cm-alpha-<a>_base.trec`` + ``_meta.json``); raw runs are never
     materialized on host.
+
+    ``approx=True`` (``--fused --approx fast``) routes every alpha's raw
+    search through the sketch tier inside the same jit; per-alpha
+    certified fractions land in ``_meta.json`` (a certified raw top
+    collapses to the exact collapsed top, so the certificate survives
+    the collapse).
     """
     from codemix_dense_retrieval_tpu.pipeline.fused import fused_alpha_sweep
 
@@ -159,13 +166,19 @@ def run_bilingual_vector_mix_fused(
             and any(r > 0 and d in row_of for d, r in judged.items())
         )
 
-    vals, ids, metrics = fused_alpha_sweep(
+    sketch = None
+    if approx:
+        if hub_index._sketch is None:
+            hub_index.enable_sketch()
+        sketch = hub_index._sketch
+    vals, ids, metrics, cert = fused_alpha_sweep(
         primary_vecs, secondary_vecs, list(alphas),
         hub_index._docs_dev, hub_index._counts_dev, k,
         mesh=hub_index.mesh, rel_ids=rel_matrix,
         metric_extra_zero_queries=extra_zero,
         search_kwargs=hub_index.search_kwargs,
         collapse_n_first=n_first,
+        sketch=sketch,
     )
     vals_np, ids_np = np.asarray(vals), np.asarray(ids)
     out: Dict[float, pathlib.Path] = {}
@@ -192,19 +205,20 @@ def run_bilingual_vector_mix_fused(
                         float(vals_np[ai, qi, j]), tag,
                     ))
             write_run_entries(base, entries)
+        meta = {
+            "alpha": alpha,
+            "num_queries": len(qids),
+            "k": k,
+            "k_raw": 2 * k,
+            "fused": True,
+            "index_count": hub_index.count,
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        if cert is not None:
+            meta["approx"] = "fast"
+            meta["certified_frac"] = round(float(np.asarray(cert)[ai].mean()), 4)
         (outdir / f"cm-alpha-{label}_meta.json").write_text(
-            json.dumps(
-                {
-                    "alpha": alpha,
-                    "num_queries": len(qids),
-                    "k": k,
-                    "k_raw": 2 * k,
-                    "fused": True,
-                    "index_count": hub_index.count,
-                    "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-                },
-                indent=2,
-            )
+            json.dumps(meta, indent=2)
         )
         out[alpha] = base
         if metrics:

@@ -36,6 +36,8 @@ def _build_sweep(
     collapse_n_first: Optional[int],
     mesh: Mesh,
     skw: Tuple[Tuple[str, object], ...],
+    use_sketch: bool = False,
+    probe_bins: Optional[int] = None,
 ):
     """One jitted sweep program per static config (mirrors the
     `_build_sharded_search` cache): repeated calls — query sets, language
@@ -43,21 +45,42 @@ def _build_sweep(
     multi-alpha XLA/Mosaic compile per invocation."""
     alphas_arr = jnp.asarray(list(alphas), jnp.float32)
     kwargs = dict(skw)
+    if use_sketch:
+        # the sketch path takes kernel-geometry kwargs only (no `method`)
+        kwargs = {
+            kk: vv for kk, vv in kwargs.items()
+            if kk in ("bin_size", "super_size", "tile_n", "tile_b")
+        }
 
-    def sweep(p, s, d, cnt, rel, doc_scales):
+    def sweep(p, s, d, cnt, rel, doc_scales, sk, tails, proj):
         from codemix_dense_retrieval_tpu.ops.collapse import collapse_topk_parallel_hub
+        from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+            sharded_topk_ip_sketch,
+        )
 
-        vals_all, ids_all, metrics_all = [], [], []
+        vals_all, ids_all, cert_all, metrics_all = [], [], [], []
         for i in range(len(alphas)):
             q = mix_and_renorm(p, s, alphas_arr[i])
-            # int8 indexes quantize queries inside the sharded path;
-            # casting floats straight to int8 here would truncate them
-            if jnp.issubdtype(d.dtype, jnp.floating):
-                q = q.astype(d.dtype)
-            vals, gids = sharded_topk_ip(
-                q, d, cnt, k_raw, mesh=mesh, doc_scales=doc_scales, **kwargs
-            )
+            if use_sketch:
+                # sketch tier wants the f32 query (it rounds/quantizes to
+                # the docs dtype itself so the certificate covers it)
+                vals, gids, cert = sharded_topk_ip_sketch(
+                    q, d, cnt, sk, tails, proj, k_raw, mesh=mesh,
+                    probe_bins=probe_bins, doc_scales=doc_scales, **kwargs
+                )
+                cert_all.append(cert)
+            else:
+                # int8 indexes quantize queries inside the sharded path;
+                # casting floats straight to int8 here would truncate them
+                if jnp.issubdtype(d.dtype, jnp.floating):
+                    q = q.astype(d.dtype)
+                vals, gids = sharded_topk_ip(
+                    q, d, cnt, k_raw, mesh=mesh, doc_scales=doc_scales, **kwargs
+                )
             if collapse_n_first is not None:
+                # a certified raw top-k_raw collapses to the exact
+                # collapsed top-k, so the certificate survives the
+                # collapse unchanged
                 vals, gids = collapse_topk_parallel_hub(
                     vals, gids, collapse_n_first, k_out=k
                 )
@@ -71,13 +94,14 @@ def _build_sweep(
                 )
         vals_st = jnp.stack(vals_all)
         ids_st = jnp.stack(ids_all)
+        cert_st = jnp.stack(cert_all) if cert_all else None
         metrics = None
         if rel is not None:
             metrics = {
                 name: jnp.stack([m[name] for m in metrics_all])
                 for name in metrics_all[0]
             }
-        return vals_st, ids_st, metrics
+        return vals_st, ids_st, metrics, cert_st
 
     return jax.jit(sweep)
 
@@ -98,8 +122,22 @@ def fused_alpha_sweep(
     collapse_n_first: Optional[int] = None,
     collapse_k_raw: Optional[int] = None,
     axis: str = "shard",
-) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
-    """Returns (values (A, B, k), ids (A, B, k), metrics {name: (A,)}).
+    sketch: Optional[tuple] = None,
+) -> Tuple[
+    jnp.ndarray, jnp.ndarray, Optional[Dict[str, jnp.ndarray]],
+    Optional[jnp.ndarray],
+]:
+    """Returns (values (A, B, k), ids (A, B, k), metrics {name: (A,)},
+    certified (A, B) bool — None unless ``sketch`` is given).
+
+    ``sketch``: the index's armed sketch tier
+    (``DenseFlatIndex._sketch`` — (sketch, tails, proj, kwargs)) routes
+    every alpha's search through the approximate tier INSIDE the one-jit
+    sweep (``--fused --approx fast``): phase 1 reads ds/d of the index
+    bytes per alpha, and the returned per-query certificates mark rows
+    that are provably identical to the exact sweep. Guaranteed-mode
+    escalation is host-driven and therefore not available inside the
+    fused program — use the unfused runner for byte-parity output.
 
     The alpha loop is traced sequentially (static ``len(alphas)``) so the
     per-alpha score buffer is reused and the index is read once per alpha
@@ -151,10 +189,17 @@ def fused_alpha_sweep(
     k_raw = k_raw_eff
     k = min(k, k_raw)
 
+    sk = tails = proj = None
+    probe_bins = None
+    if sketch is not None:
+        sk, tails, proj, skw = sketch
+        # same probe resolution as DenseFlatIndex.search(approx=True)
+        probe_bins = skw.get("probe_by_k", {}).get(k_raw, skw.get("probe_bins"))
     sweep = _build_sweep(
         tuple(float(a) for a in alphas), k, k_raw, tuple(metric_cutoffs),
         int(metric_extra_zero_queries), collapse_n_first, mesh,
         tuple(sorted(search_kwargs.items())),
+        use_sketch=sketch is not None, probe_bins=probe_bins,
     )
     return sweep(
         jnp.asarray(primary, jnp.float32),
@@ -163,4 +208,5 @@ def fused_alpha_sweep(
         counts,
         None if rel_ids is None else jnp.asarray(rel_ids, jnp.int32),
         doc_scales,
+        sk, tails, proj,
     )

@@ -81,7 +81,7 @@ class TestFusedSweep:
         rel_mat = build_rel_matrix([[int(r)] for r in rel])
 
         alphas = [0.0, 0.5, 1.0]
-        vals, ids, metrics = fused_alpha_sweep(
+        vals, ids, metrics, _cert = fused_alpha_sweep(
             primary, secondary, alphas, docs_dev, counts, k, mesh=mesh,
             rel_ids=rel_mat,
             search_kwargs=dict(method="bins_xla", bin_size=64, tile_n=256),
@@ -119,7 +119,7 @@ class TestFusedBilingualCollapse:
 
         docs_dev, counts, _ = shard_rows(hub, mesh, pad_multiple=256)
         rel_mat = build_rel_matrix([[int(r)] for r in rel])  # BASE ids
-        vals, ids, metrics = fused_alpha_sweep(
+        vals, ids, metrics, _cert = fused_alpha_sweep(
             primary, secondary, [0.0, 1.0], docs_dev, counts, k, mesh=mesh,
             rel_ids=rel_mat, collapse_n_first=n1,
             search_kwargs=dict(method="bins_xla", bin_size=32, tile_n=256),
@@ -150,7 +150,7 @@ def test_fused_sweep_int8_index(rng, eight_cpu_devices):
     docs_dev, counts, rps = shard_rows(dv, mesh, pad_multiple=256)
     scales_dev = shard_row_sidecar(ds, mesh, rps)
     rel_mat = build_rel_matrix([[int(r)] for r in rel])
-    vals, ids, metrics = fused_alpha_sweep(
+    vals, ids, metrics, _cert = fused_alpha_sweep(
         primary, secondary, [1.0], docs_dev, counts, k, mesh=mesh,
         rel_ids=rel_mat,
         search_kwargs=dict(method="bins_xla", bin_size=32, tile_n=256,
@@ -232,7 +232,7 @@ class TestFusedDepthClampAndCache:
         docs_dev, counts, _ = shard_rows(hub, mesh, pad_multiple=8)
         q = rng.standard_normal((b, d)).astype(np.float32)
         with caplog.at_level(logging.WARNING):
-            vals, ids, _ = fused_alpha_sweep(
+            vals, ids, _, _cert = fused_alpha_sweep(
                 q, q, [0.5], docs_dev, counts, 60,  # k_raw=120 > 24
                 mesh=mesh, collapse_n_first=n1,
                 search_kwargs=dict(method="bins_xla", bin_size=8, tile_n=8),
@@ -258,3 +258,76 @@ class TestFusedDepthClampAndCache:
         fused_alpha_sweep(q2, q2, [0.0, 1.0], docs_dev, counts, k,
                           mesh=mesh, search_kwargs=kwargs)
         assert _build_sweep.cache_info().hits > before
+
+
+class TestFusedSketchSweep:
+    def _aniso(self, rng, n, d, decay=0.05):
+        spec = np.exp(-decay * np.arange(d)).astype(np.float32)
+        x = rng.standard_normal((n, d)).astype(np.float32) * spec
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def test_fused_sketch_matches_unfused_approx(self, rng, eight_cpu_devices):
+        """--fused --approx fast: the in-sweep sketch search must produce
+        the same per-alpha results and certificates as the unfused
+        DenseFlatIndex.search(approx=True) at the same probe setting."""
+        from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+        from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n, d, b, k = 2048, 64, 16, 10
+        docs = self._aniso(rng, n, d)
+        idx = DenseFlatIndex.build(docs, [str(i) for i in range(n)])
+        idx.to_device(mesh, pad_multiple=256)
+        idx.enable_sketch(sketch_dim=16, cache=False)
+
+        primary = self._aniso(rng, b, d)
+        secondary = self._aniso(rng, b, d)
+        alphas = [0.0, 0.5, 1.0]
+        vals, ids, _, cert = fused_alpha_sweep(
+            primary, secondary, alphas, idx._docs_dev, idx._counts_dev, k,
+            mesh=mesh, search_kwargs=idx.search_kwargs, sketch=idx._sketch,
+        )
+        assert cert is not None and cert.shape == (3, b)
+        from codemix_dense_retrieval_tpu.ops.mix import mix_and_renorm
+
+        for ai, alpha in enumerate(alphas):
+            q = np.asarray(mix_and_renorm(
+                jnp.asarray(primary), jnp.asarray(secondary), alpha))
+            uv, ui = idx.search(q, k, return_docids=False, approx=True)
+            np.testing.assert_array_equal(np.asarray(ids)[ai], ui, err_msg=str(alpha))
+            np.testing.assert_allclose(np.asarray(vals)[ai], uv, rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(cert)[ai], idx.last_certified, err_msg=str(alpha))
+
+    def test_fused_sketch_certified_rows_exact(self, rng, eight_cpu_devices):
+        """Certified rows of the fused sketch sweep equal the exact fused
+        sweep bit-for-bit (incl. through the bilingual collapse)."""
+        from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+        from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n, d, b, k = 1024, 64, 8, 5
+        docs = self._aniso(rng, n, d)
+        hub = np.concatenate([docs, docs * 0.9 + 0.01 / np.sqrt(d)])
+        hub /= np.linalg.norm(hub, axis=1, keepdims=True)
+        idx = DenseFlatIndex.build(hub, [str(i) for i in range(2 * n)])
+        idx.to_device(mesh, pad_multiple=256)
+        idx.enable_sketch(sketch_dim=16, cache=False)
+        primary = self._aniso(rng, b, d)
+        secondary = self._aniso(rng, b, d)
+        alphas = [0.25, 0.75]
+        ev, ei, _, _ = fused_alpha_sweep(
+            primary, secondary, alphas, idx._docs_dev, idx._counts_dev, k,
+            mesh=mesh, search_kwargs=idx.search_kwargs, collapse_n_first=n,
+        )
+        av, ai_, _, cert = fused_alpha_sweep(
+            primary, secondary, alphas, idx._docs_dev, idx._counts_dev, k,
+            mesh=mesh, search_kwargs=idx.search_kwargs, collapse_n_first=n,
+            sketch=idx._sketch,
+        )
+        cert_np = np.asarray(cert)
+        for a in range(len(alphas)):
+            for q in np.flatnonzero(cert_np[a]):
+                np.testing.assert_array_equal(
+                    np.asarray(ai_)[a, q], np.asarray(ei)[a, q],
+                    err_msg=f"alpha {a} query {q}")
