@@ -301,34 +301,42 @@ def cmd_run_mix(args) -> None:
             "the one-jit sweep. Use --approx fast (certificates reported "
             "per alpha) or drop --fused for byte-exact guaranteed output."
         )
-    if args.fused and args.qrels:
-        # one-jit sweep: mix + sharded search + ON-DEVICE metrics
-        from codemix_dense_retrieval_tpu.evals.device_metrics import build_rel_matrix
+    if args.fused:
+        # one-jit sweep: mix + sharded search (+ ON-DEVICE metrics when
+        # qrels are given — run files are written either way)
         from codemix_dense_retrieval_tpu.io.trec import write_run
-        from codemix_dense_retrieval_tpu.io.tsv import read_qrels
         from codemix_dense_retrieval_tpu.pipeline.fused import fused_alpha_sweep
 
-        qrels = read_qrels(args.qrels)
-        docid_to_row = {d: i for i, d in enumerate(index.docids)}
-        rel_rows = [
-            # positive judgments only: qrels keep rel=0 (judged
-            # non-relevant) rows, which must not count as relevant —
-            # host evaluator parity (evals/metrics.py uses rel > 0)
-            [
-                docid_to_row[d]
-                for d, r in qrels.get(qid, {}).items()
-                if r > 0 and d in docid_to_row
+        rel_matrix = None
+        extra_zero = 0
+        if args.qrels:
+            from codemix_dense_retrieval_tpu.evals.device_metrics import (
+                build_rel_matrix,
+            )
+            from codemix_dense_retrieval_tpu.io.tsv import read_qrels
+
+            qrels = read_qrels(args.qrels)
+            docid_to_row = {d: i for i, d in enumerate(index.docids)}
+            rel_rows = [
+                # positive judgments only: qrels keep rel=0 (judged
+                # non-relevant) rows, which must not count as relevant —
+                # host evaluator parity (evals/metrics.py uses rel > 0)
+                [
+                    docid_to_row[d]
+                    for d, r in qrels.get(qid, {}).items()
+                    if r > 0 and d in docid_to_row
+                ]
+                for qid in qids
             ]
-            for qid in qids
-        ]
-        # host-evaluator denominator parity: qrels qids (with >=1 indexed
-        # relevant doc) absent from the run count as zeros in the mean
-        run_qids = set(qids)
-        extra_zero = sum(
-            1 for qid, judged in qrels.items()
-            if qid not in run_qids
-            and any(r > 0 and d in docid_to_row for d, r in judged.items())
-        )
+            rel_matrix = build_rel_matrix(rel_rows)
+            # host-evaluator denominator parity: qrels qids (with >=1
+            # indexed relevant doc) absent from the run count as zeros
+            run_qids = set(qids)
+            extra_zero = sum(
+                1 for qid, judged in qrels.items()
+                if qid not in run_qids
+                and any(r > 0 and d in docid_to_row for d, r in judged.items())
+            )
         sketch = None
         if _approx_mode(args) is True:  # "fast" ("guaranteed" rejected above)
             if index._sketch is None:
@@ -336,7 +344,7 @@ def cmd_run_mix(args) -> None:
             sketch = index._sketch
         vals, ids, metrics, cert = fused_alpha_sweep(
             vecs_a, vecs_b, alphas, index._docs_dev, index._counts_dev,
-            args.k, mesh=index.mesh, rel_ids=build_rel_matrix(rel_rows),
+            args.k, mesh=index.mesh, rel_ids=rel_matrix,
             metric_extra_zero_queries=extra_zero,
             search_kwargs=index.search_kwargs,
             sketch=sketch,
@@ -353,7 +361,10 @@ def cmd_run_mix(args) -> None:
             write_run(path, qids, docids, np.asarray(vals)[ai], tag="onepass-cm")
             out[format_alpha(alpha)] = {
                 "run": str(path),
-                **{name: round(float(v[ai]) * 100, 4) for name, v in metrics.items()},
+                **({
+                    name: round(float(v[ai]) * 100, 4)
+                    for name, v in metrics.items()
+                } if metrics else {}),
             }
             if cert is not None:
                 out[format_alpha(alpha)]["certified_frac"] = round(

@@ -579,10 +579,12 @@ class DenseFlatIndex:
         """Subset of ``to_device(**search_kwargs)`` that the sketch path
         understands — keeps tuned kernel constants consistent between the
         exact and approx branches."""
+        from codemix_dense_retrieval_tpu.ops.sketch import SKETCH_KERNEL_KWARGS
+
         return {
             kk: vv
             for kk, vv in self.search_kwargs.items()
-            if kk in ("bin_size", "super_size", "tile_n", "tile_b")
+            if kk in SKETCH_KERNEL_KWARGS
         }
 
     def calibrate_sketch(

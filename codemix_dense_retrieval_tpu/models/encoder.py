@@ -71,9 +71,31 @@ class TextEncoder:
         )
 
         self.weight_quant = weight_quant
-        if weight_quant:
+        pre_quantized = has_quantized(params)
+        if weight_quant and pre_quantized:
+            # quantize_tree passes stored leaves through, so a different
+            # requested mode would silently measure the stored one —
+            # refuse rather than mis-attribute (e.g. an int8 A/B over an
+            # nf4 checkpoint)
+            from jax.tree_util import tree_leaves
+
+            from codemix_dense_retrieval_tpu.ops.weight_quant import QuantizedTensor
+
+            kinds = {
+                x.kind for x in tree_leaves(
+                    params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+                if isinstance(x, QuantizedTensor)
+            }
+            if kinds != {weight_quant}:
+                raise ValueError(
+                    f"checkpoint is already quantized as {sorted(kinds)}; "
+                    f"requested weight_quant={weight_quant!r} cannot be "
+                    "applied on top (re-convert from the full-precision "
+                    "checkpoint)"
+                )
+        elif weight_quant:
             params = quantize_tree(params, weight_quant)
-        if weight_quant or has_quantized(params):
+        if weight_quant or pre_quantized:
             self.weight_quant = self.weight_quant or "pre-quantized"
             _deq = lambda p: dequantize_tree(p, cfg.dtype)  # noqa: E731
         else:

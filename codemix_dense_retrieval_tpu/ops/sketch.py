@@ -65,6 +65,10 @@ DEFAULT_CERT_MARGIN = 3e-5
 # agree with the sharded sketch path on this)
 DEFAULT_BIN_SIZE = 8
 DEFAULT_SUPER_SIZE = 8
+# the kernel-geometry kwargs the sketch path understands — the single
+# definition every caller (DenseFlatIndex, the fused sweep) filters by,
+# so fused and unfused approx runs use identical kernel constants
+SKETCH_KERNEL_KWARGS = ("bin_size", "super_size", "tile_n", "tile_b")
 
 
 # --------------------------------------------------------------------------

@@ -209,7 +209,10 @@ def run_bilingual_vector_mix_fused(
             "alpha": alpha,
             "num_queries": len(qids),
             "k": k,
-            "k_raw": 2 * k,
+            # the depth ACTUALLY searched: fused_alpha_sweep clamps the
+            # 2k raw depth to the count / shard capacity, and the
+            # certificate semantics below are over the clamped depth
+            "k_raw": min(2 * k, hub_index.count, hub_index._rows_per_shard),
             "fused": True,
             "index_count": hub_index.count,
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),

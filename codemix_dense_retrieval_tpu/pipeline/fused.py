@@ -38,18 +38,20 @@ def _build_sweep(
     skw: Tuple[Tuple[str, object], ...],
     use_sketch: bool = False,
     probe_bins: Optional[int] = None,
+    expand: float = 4.0,
 ):
     """One jitted sweep program per static config (mirrors the
     `_build_sharded_search` cache): repeated calls — query sets, language
     pairs — reuse the compiled executable instead of paying a fresh
     multi-alpha XLA/Mosaic compile per invocation."""
+    from codemix_dense_retrieval_tpu.ops.sketch import SKETCH_KERNEL_KWARGS
+
     alphas_arr = jnp.asarray(list(alphas), jnp.float32)
     kwargs = dict(skw)
     if use_sketch:
         # the sketch path takes kernel-geometry kwargs only (no `method`)
         kwargs = {
-            kk: vv for kk, vv in kwargs.items()
-            if kk in ("bin_size", "super_size", "tile_n", "tile_b")
+            kk: vv for kk, vv in kwargs.items() if kk in SKETCH_KERNEL_KWARGS
         }
 
     def sweep(p, s, d, cnt, rel, doc_scales, sk, tails, proj):
@@ -66,7 +68,8 @@ def _build_sweep(
                 # the docs dtype itself so the certificate covers it)
                 vals, gids, cert = sharded_topk_ip_sketch(
                     q, d, cnt, sk, tails, proj, k_raw, mesh=mesh,
-                    probe_bins=probe_bins, doc_scales=doc_scales, **kwargs
+                    probe_bins=probe_bins, expand=expand,
+                    doc_scales=doc_scales, **kwargs
                 )
                 cert_all.append(cert)
             else:
@@ -191,15 +194,19 @@ def fused_alpha_sweep(
 
     sk = tails = proj = None
     probe_bins = None
+    expand = 4.0
     if sketch is not None:
         sk, tails, proj, skw = sketch
-        # same probe resolution as DenseFlatIndex.search(approx=True)
+        # same probe resolution as DenseFlatIndex.search(approx=True):
+        # calibrated probe for this depth, else probe_bins, else the
+        # expand-factor default computed inside the sharded path
         probe_bins = skw.get("probe_by_k", {}).get(k_raw, skw.get("probe_bins"))
+        expand = float(skw.get("expand", 4.0))
     sweep = _build_sweep(
         tuple(float(a) for a in alphas), k, k_raw, tuple(metric_cutoffs),
         int(metric_extra_zero_queries), collapse_n_first, mesh,
         tuple(sorted(search_kwargs.items())),
-        use_sketch=sketch is not None, probe_bins=probe_bins,
+        use_sketch=sketch is not None, probe_bins=probe_bins, expand=expand,
     )
     return sweep(
         jnp.asarray(primary, jnp.float32),

@@ -22,7 +22,7 @@ run() {
 # fail fast if the relay went away again: the quick phases double as probes
 run sketch_quick     2400 python scripts/bench_sketch.py --quick || exit 1
 run guaranteed_quick 2400 python scripts/bench_guaranteed.py --quick || exit 1
-run guaranteed_quick_int8 2400 python scripts/bench_guaranteed.py --quick --dtype int8
+run guaranteed_quick_int8 2400 python scripts/bench_guaranteed.py --quick --dtype int8 || exit 1
 # the full measurements (VERDICT items 2 + 3)
 run sketch_full      5400 python scripts/bench_sketch.py
 run guaranteed_full  5400 python scripts/bench_guaranteed.py

@@ -331,3 +331,24 @@ class TestFusedSketchSweep:
                 np.testing.assert_array_equal(
                     np.asarray(ai_)[a, q], np.asarray(ei)[a, q],
                     err_msg=f"alpha {a} query {q}")
+
+    def test_fused_sketch_honors_nondefault_expand(self, rng, eight_cpu_devices):
+        """The fused path resolves probe depth exactly like the unfused
+        search — including the index's configured expand factor."""
+        from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+        from codemix_dense_retrieval_tpu.parallel import make_mesh
+
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n, d, b, k = 2048, 64, 8, 10
+        docs = self._aniso(rng, n, d)
+        idx = DenseFlatIndex.build(docs, [str(i) for i in range(n)])
+        idx.to_device(mesh, pad_multiple=256)
+        idx.enable_sketch(sketch_dim=16, expand=8.0, cache=False)
+        primary = self._aniso(rng, b, d)
+        vals, ids, _, cert = fused_alpha_sweep(
+            primary, primary, [0.0], idx._docs_dev, idx._counts_dev, k,
+            mesh=mesh, search_kwargs=idx.search_kwargs, sketch=idx._sketch,
+        )
+        uv, ui = idx.search(primary, k, return_docids=False, approx=True)
+        np.testing.assert_array_equal(np.asarray(ids)[0], ui)
+        np.testing.assert_array_equal(np.asarray(cert)[0], idx.last_certified)

@@ -132,3 +132,23 @@ class TestEncoderParity:
             TextEncoder("BAAI/bge-m3", cfg,
                         tokenizer=HashTokenizer(vocab_size=500, max_length=32),
                         weight_quant="fp2")
+
+
+def test_conflicting_mode_on_prequantized_params_rejected():
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.models.tokenizer import HashTokenizer
+    from codemix_dense_retrieval_tpu.models.xlmr import XLMRConfig
+
+    cfg = XLMRConfig.tiny(
+        vocab_size=500, hidden_size=256, num_heads=4,
+        intermediate_size=512, use_flash=False,
+    )
+    tok = HashTokenizer(vocab_size=500, max_length=32)
+    base = TextEncoder("BAAI/bge-m3", cfg, tokenizer=tok)
+    nf4 = quantize_tree(base.params, "nf4")
+    # same mode: fine (load path); different mode: refuse loudly
+    TextEncoder("BAAI/bge-m3", cfg, params=nf4, tokenizer=tok,
+                weight_quant="nf4")
+    with pytest.raises(ValueError, match="already quantized"):
+        TextEncoder("BAAI/bge-m3", cfg, params=nf4, tokenizer=tok,
+                    weight_quant="int8")
