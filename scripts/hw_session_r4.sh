@@ -28,6 +28,7 @@ run sketch_full      5400 python scripts/bench_sketch.py
 run guaranteed_full  5400 python scripts/bench_guaranteed.py
 run guaranteed_int8  5400 python scripts/bench_guaranteed.py --dtype int8
 run mutation         3600 python scripts/bench_mutation.py
+run fused_sweep      5400 python scripts/bench_fused_sweep.py
 # encode e2e overlap profile (item 7) + weight-quant A/B
 run encode_e2e       3600 python scripts/bench_encode_e2e.py
 run encode_e2e_q8    3600 python scripts/bench_encode_e2e.py --weight_quant int8
