@@ -72,6 +72,12 @@ def main():
     del docs
     idx.to_device()
     idx.enable_sketch(args.ds, cache=False)
+    # calibrate the operating point at the sweep's midpoint mix (the
+    # fused path resolves probe_by_k at the same k) before timing
+    mid = qa * 0.5 + qb * 0.5
+    mid /= np.linalg.norm(mid, axis=1, keepdims=True)
+    cal = idx.calibrate_sketch(mid[:256], args.k)
+    print(f"calibrated: probe={cal['probe_bins']} recall={cal['recall']:.4f}")
 
     def timed(sketch):
         kw = dict(
