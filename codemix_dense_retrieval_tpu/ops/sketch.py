@@ -281,14 +281,37 @@ def topk_ip_sketch(
             jnp.sum(q_sketch * q_sketch, axis=1) + q_tail * q_tail
         )
         cert_margin = cert_margin + 2.0 * eps * q_norm * row_norm_max
+
+    def rescore(doc_payload, q_payload, bin_ids, nv):
+        return _rescore_candidates(
+            doc_payload[0], q_payload[0], bin_ids, bin_size, nv, k
+        )
+
+    return _probe_rescore_certify(
+        k, n_valid, tile_b, tile_n, interpret, bin_size, super_size,
+        probe_bins, cert_margin,
+        [docs], [queries], d_sketch, d_tail, q_sketch, q_tail, rescore,
+    )
+
+
+def _probe_rescore_certify(
+    k, n_valid, tile_b, tile_n, interpret, bin_size, super_size,
+    probe_bins, cert_margin,
+    doc_payload, q_payload, d_sketch, d_tail, q_sketch, q_tail, rescore,
+):
+    """The certified probe core shared by the float and int8 sketch
+    tiers: pad/prep, fused upper-bound bin maxima, two-level cover with
+    the (probe+1)-th bound, payload-specific rescore, certificate
+    comparison. ``rescore(doc_payload, q_payload, bin_ids, n_valid)``
+    returns the refined (vals, idx)."""
     (
-        (docs, d_sketch, d_tail),
-        (queries, q_sketch, q_tail),
+        (*doc_payload, d_sketch, d_tail),
+        (*q_payload, q_sketch, q_tail),
         n_valid, eff_tile_b, b, b_pad, interpret,
     ) = _prep_shard(
         k, n_valid, tile_b, tile_n, interpret,
-        [docs, d_sketch, d_tail.reshape(-1, 1)],
-        [queries, q_sketch, q_tail.reshape(-1, 1)],
+        [*doc_payload, d_sketch, d_tail.reshape(-1, 1)],
+        [*q_payload, q_sketch, q_tail.reshape(-1, 1)],
         chunk=bin_size * super_size,
     )
     bin_ub = _binub_pallas(
@@ -297,7 +320,7 @@ def topk_ip_sketch(
     )
     if b_pad != b:
         bin_ub = bin_ub[:b]
-        queries = queries[:b]
+        q_payload = [a[:b] for a in q_payload]
     kb = min(probe_bins, bin_ub.shape[1])
     bin_ids, unsel_ub = _select_bins_two_level(
         bin_ub, kb, super_size, return_unselected_bound=True
@@ -306,7 +329,7 @@ def topk_ip_sketch(
         raise ValueError(
             f"probe_bins={kb} x bin_size={bin_size} < k={k}: too few candidates"
         )
-    vals, idx = _rescore_candidates(docs, queries, bin_ids, bin_size, n_valid, k)
+    vals, idx = rescore(doc_payload, q_payload, bin_ids, n_valid)
     certified = (unsel_ub + cert_margin) < vals[:, -1]
     return vals, idx, certified
 
@@ -375,33 +398,18 @@ def topk_ip_sketch_int8(
     # matmuls run HIGHEST over exactly-representable values, and the
     # rescore accumulates in int32 (exact)
     cert_margin = jnp.asarray(cert_margin, jnp.float32)
-    (
-        (d_vals, d_scales, d_sketch, d_tail),
-        (q_i8, q_sc, q_sketch, q_tail),
-        n_valid, eff_tile_b, b, b_pad, interpret,
-    ) = _prep_shard(
-        k, n_valid, tile_b, tile_n, interpret,
-        [d_vals, d_scales.reshape(-1, 1), d_sketch, d_tail.reshape(-1, 1)],
-        [q_i8, q_sc.reshape(-1, 1), q_sketch, q_tail.reshape(-1, 1)],
-        chunk=bin_size * super_size,
-    )
-    bin_ub = _binub_pallas(
-        q_sketch, q_tail, d_sketch, d_tail, bin_size, n_valid,
-        tile_b=eff_tile_b, tile_n=tile_n, interpret=interpret,
-    )
-    if b_pad != b:
-        bin_ub = bin_ub[:b]
-        q_i8, q_sc = q_i8[:b], q_sc[:b]
-    kb = min(probe_bins, bin_ub.shape[1])
-    bin_ids, unsel_ub = _select_bins_two_level(
-        bin_ub, kb, super_size, return_unselected_bound=True
-    )
-    if kb * bin_size < k:
-        raise ValueError(
-            f"probe_bins={kb} x bin_size={bin_size} < k={k}: too few candidates"
+
+    def rescore(doc_payload, q_payload, bin_ids, nv):
+        dv, dsc = doc_payload
+        qv, qsc = q_payload
+        return _rescore_candidates_int8(
+            dv, dsc[:, 0], qv, qsc[:, 0], bin_ids, bin_size, nv, k
         )
-    vals, idx = _rescore_candidates_int8(
-        d_vals, d_scales[:, 0], q_i8, q_sc[:, 0], bin_ids, bin_size, n_valid, k
+
+    return _probe_rescore_certify(
+        k, n_valid, tile_b, tile_n, interpret, bin_size, super_size,
+        probe_bins, cert_margin,
+        [d_vals, d_scales.reshape(-1, 1)],
+        [q_i8, q_sc.reshape(-1, 1)],
+        d_sketch, d_tail, q_sketch, q_tail, rescore,
     )
-    certified = (unsel_ub + cert_margin) < vals[:, -1]
-    return vals, idx, certified
