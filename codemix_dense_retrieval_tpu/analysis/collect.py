@@ -144,6 +144,22 @@ def collect_results(results_root) -> List[Dict]:
         for key, col in _REF_METRIC_COLS.items():
             if col not in ("ndcg10", "mrr10", "r10"):
                 row[col] = metrics.get(key)
+        # approx-tier audit trail: runs produced with --approx leave a
+        # per-run meta with the certificate rate; surface it in the
+        # NATIVE schema only (reference_format_rows projects a fixed
+        # column set, so the byte-parity CSVs are unaffected)
+        for stem in (runstem, runstem.removesuffix("_base")):
+            meta_path = pathlib.Path(parent) / f"{stem}_meta.json"
+            if not meta_path.exists():
+                continue
+            try:
+                meta = json.loads(meta_path.read_text())
+            except (OSError, json.JSONDecodeError):
+                break
+            if "certified_frac" in meta:
+                row["certified_frac"] = meta["certified_frac"]
+                row["approx"] = meta.get("approx", "fast")
+            break
         perquery = load_perquery_ndcg10(agg)
         if perquery:
             row["perquery"] = perquery

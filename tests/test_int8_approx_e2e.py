@@ -64,3 +64,16 @@ def test_int8_index_guaranteed_run_and_eval(corpus_tree):
     ])
     aggs = list((t / "runs-guar").glob("cm-alpha-0_*-agg.json"))
     assert aggs, "evaluation wrote no agg.json"
+
+    # the collector surfaces the approx audit trail (certified_frac from
+    # the per-run meta) in its native schema
+    from codemix_dense_retrieval_tpu.analysis.collect import collect_results
+
+    tree = t / "results" / "mmarco-300-english-en-zh-5bands-bge-m3" / "vector_mix"
+    tree.mkdir(parents=True)
+    for p in (t / "runs-guar").iterdir():
+        (tree / p.name).write_bytes(p.read_bytes())
+    rows = collect_results(t / "results")
+    assert rows, "collector found no rows"
+    assert rows[0]["certified_frac"] == 1.0  # guaranteed => all certified
+    assert rows[0]["approx"] == "guaranteed"
