@@ -93,7 +93,29 @@ def main() -> None:
         vals_np, np.take_along_axis(scores, oracle_ids, axis=1), rtol=1e-5
     )
 
-    print(f"PARITY_OK {rank}", flush=True)
+    # sketch tier across the REAL process boundary: per-shard
+    # certificates AND-combine through a cross-process all_gather, and
+    # certified rows must match the exact result above bit-for-bit
+    import jax.numpy as jnp
+
+    from codemix_dense_retrieval_tpu.ops.sketch import fit_sketch, sketch_rows
+    from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+        sharded_topk_ip_sketch,
+    )
+
+    proj = jnp.asarray(fit_sketch(docs_full, dim // 2))
+    sk, tails = jax.jit(sketch_rows)(docs_dev, proj)
+    s_vals, s_gids, cert = sharded_topk_ip_sketch(
+        queries, docs_dev, counts, sk, tails, proj, k, mesh=mesh,
+        probe_bins=16, bin_size=8, super_size=2, tile_n=32,
+    )
+    jax.block_until_ready((s_vals, s_gids, cert))
+    cert_np = np.asarray(cert)
+    assert cert_np.shape == (16,)
+    for qi in np.flatnonzero(cert_np):
+        np.testing.assert_array_equal(np.asarray(s_gids)[qi], oracle_ids[qi])
+
+    print(f"PARITY_OK {rank} cert={cert_np.mean():.2f}", flush=True)
 
 
 if __name__ == "__main__":
