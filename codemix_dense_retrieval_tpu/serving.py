@@ -25,7 +25,9 @@ Endpoints: ``GET /healthz`` (liveness + stats), ``POST /search``
 ``{"docs": [{"docid", "text"}, ...]}`` / ``POST /remove``
 ``{"docids": [...]}`` (the FAISS add_with_ids/remove_ids analogs,
 applied by the consumer thread in arrival order, never merged into a
-search batch). With ``approx=True`` (the PCA-sketch tier,
+search batch), ``POST /save`` / ``POST /reload`` ``{"dir": ...}``
+(snapshot persistence and hot corpus swap, both restricted to
+``snapshot_root``). With ``approx=True`` (the PCA-sketch tier,
 :mod:`~codemix_dense_retrieval_tpu.ops.sketch`) each result row becomes
 ``{"hits": [...], "certified": bool}`` — ``certified`` True means that
 query's results are provably identical to exact search.
@@ -175,16 +177,12 @@ class SearchService:
         self._queue.put(_Pending([], 0, fut, op="add", payload=list(docs)))
         return fut
 
-    def submit_save(self, directory: str) -> Future:
-        """Enqueue an index snapshot (persists online mutations via
-        ``to_store``); resolves to ``{"saved": dir}``. ``directory`` must
-        resolve inside the service's ``snapshot_root`` — an unrestricted
-        path would let any network client write files anywhere the
-        serving user can."""
+    def _resolve_snapshot(self, directory) -> str:
+        """Validate a client-supplied snapshot path: must resolve inside
+        ``snapshot_root`` — an unrestricted path would let any network
+        client read/write anywhere the serving user can."""
         import pathlib
 
-        if not hasattr(self.index, "save"):
-            raise ValueError(f"{type(self.index).__name__} cannot save")
         if self.snapshot_root is None:
             raise ValueError(
                 "snapshots disabled: start the service with snapshot_root "
@@ -196,8 +194,33 @@ class SearchService:
         target = (root / directory).resolve()
         if not target.is_relative_to(root):
             raise ValueError(f"dir escapes snapshot_root: {directory!r}")
+        return str(target)
+
+    def submit_save(self, directory: str) -> Future:
+        """Enqueue an index snapshot (persists online mutations via
+        ``to_store``); resolves to ``{"saved": dir}``."""
+        if not hasattr(self.index, "save"):
+            raise ValueError(f"{type(self.index).__name__} cannot save")
+        target = self._resolve_snapshot(directory)
         fut: Future = Future()
-        self._queue.put(_Pending([], 0, fut, op="save", payload=[str(target)]))
+        self._queue.put(_Pending([], 0, fut, op="save", payload=[target]))
+        return fut
+
+    def submit_reload(self, directory: str) -> Future:
+        """Enqueue a hot index swap from a snapshot directory (inside
+        ``snapshot_root``): the consumer loads + uploads the new index
+        and replaces the live one between batches — corpus replacement
+        without a serving restart. Dense services only (a two-stage
+        snapshot carries a token store; restart to swap it). Resolves to
+        ``{"reloaded": dir, "count": n}``."""
+        if self.two_stage:
+            raise ValueError(
+                "reload is dense-only: restart the server to swap a "
+                "two-stage (token store) snapshot"
+            )
+        target = self._resolve_snapshot(directory)
+        fut: Future = Future()
+        self._queue.put(_Pending([], 0, fut, op="reload", payload=[target]))
         return fut
 
     def submit_remove(self, docids: Sequence[str]) -> Future:
@@ -405,6 +428,25 @@ class SearchService:
             p.future.set_result(
                 {"saved": p.payload[0], "count": self.index.count}
             )
+        elif p.op == "reload":
+            new = type(self.index).load(p.payload[0])
+            if new.dim != self.index.dim:
+                raise ValueError(
+                    f"snapshot dim {new.dim} != serving dim {self.index.dim}"
+                )
+            # tuned kernel kwargs carry over; doc_scales is rebuilt by
+            # to_device from the snapshot's own sidecar
+            kw = {
+                k: v for k, v in self.index.search_kwargs.items()
+                if k != "doc_scales"
+            }
+            new.to_device(self.index.mesh, **kw)
+            if self.approx:
+                new.enable_sketch()
+            self.index = new  # old device buffers free on GC
+            p.future.set_result(
+                {"reloaded": p.payload[0], "count": self.index.count}
+            )
         else:  # pragma: no cover - enqueue paths set valid ops
             p.future.set_exception(ValueError(f"unknown op {p.op!r}"))
 
@@ -438,7 +480,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(200, info)
 
     def do_POST(self) -> None:  # noqa: N802
-        if self.path not in ("/search", "/add", "/remove", "/save"):
+        if self.path not in ("/search", "/add", "/remove", "/save", "/reload"):
             self._reply(404, {"error": f"unknown path {self.path!r}"})
             return
         try:
@@ -450,6 +492,8 @@ class _Handler(BaseHTTPRequestHandler):
                 fut = self.service.submit_remove(req.get("docids"))
             elif self.path == "/save":
                 fut = self.service.submit_save(req.get("dir"))
+            elif self.path == "/reload":
+                fut = self.service.submit_reload(req.get("dir"))
             else:
                 fut = self.service.submit(req.get("queries"), req.get("k"))
         except (ValueError, TypeError) as exc:

@@ -401,3 +401,50 @@ class TestWarmup:
             assert out["programs"] == 1
         finally:
             svc.close()
+
+
+class TestReload:
+    def test_hot_reload_swaps_the_corpus(self, tmp_path):
+        rng = np.random.default_rng(11)
+        a = rng.standard_normal((64, 32)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b = rng.standard_normal((48, 32)).astype(np.float32)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        idx_a = DenseFlatIndex.build(a, [f"a{i}" for i in range(64)])
+        DenseFlatIndex.build(b, [f"b{i}" for i in range(48)]).save(tmp_path / "snap")
+
+        enc, svc = make_service(idx_a, snapshot_root=str(tmp_path))
+        try:
+            before = svc.search(["hello"], k=3)
+            assert all(r["docid"].startswith("a") for r in before[0])
+            out = svc.submit_reload("snap").result()
+            assert out == {"reloaded": str(tmp_path / "snap"), "count": 48}
+            after = svc.search(["hello"], k=3)
+            assert all(r["docid"].startswith("b") for r in after[0])
+            # searches keep working and mutations target the new index
+            svc.submit_add([{"docid": "x", "text": "fresh doc"}]).result()
+            assert svc.index.count == 49
+        finally:
+            svc.close()
+
+    def test_reload_validations(self, corpus_index, tmp_path):
+        enc, svc = make_service(corpus_index, snapshot_root=str(tmp_path))
+        try:
+            with pytest.raises(ValueError, match="escapes"):
+                svc.submit_reload("../outside")
+            # dim mismatch rejected via the future
+            other = np.eye(8, dtype=np.float32)
+            DenseFlatIndex.build(other, [str(i) for i in range(8)]).save(
+                tmp_path / "wrongdim")
+            with pytest.raises(ValueError, match="dim"):
+                svc.submit_reload("wrongdim").result()
+        finally:
+            svc.close()
+
+    def test_reload_requires_snapshot_root(self, corpus_index):
+        enc, svc = make_service(corpus_index)
+        try:
+            with pytest.raises(ValueError, match="snapshot"):
+                svc.submit_reload("anything")
+        finally:
+            svc.close()
