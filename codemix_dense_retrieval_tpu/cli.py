@@ -294,13 +294,6 @@ def cmd_run_mix(args) -> None:
     vecs_a = encode_cached(lang_a, texts_a)
     vecs_b = encode_cached(lang_b, texts_b)
     alphas = [float(a) for a in args.cm_alphas]
-    if args.fused and _approx_mode(args) == "guaranteed":
-        raise SystemExit(
-            "[ERROR] --fused cannot serve --approx guaranteed: escalation "
-            "of uncertified queries is host-driven and cannot run inside "
-            "the one-jit sweep. Use --approx fast (certificates reported "
-            "per alpha) or drop --fused for byte-exact guaranteed output."
-        )
     if args.fused:
         # one-jit sweep: mix + sharded search (+ ON-DEVICE metrics when
         # qrels are given — run files are written either way)
@@ -337,18 +330,33 @@ def cmd_run_mix(args) -> None:
                 if qid not in run_qids
                 and any(r > 0 and d in docid_to_row for d, r in judged.items())
             )
+        mode = _approx_mode(args)
         sketch = None
-        if _approx_mode(args) is True:  # "fast" ("guaranteed" rejected above)
+        if mode:  # fast AND guaranteed both route through the sketch tier
             if index._sketch is None:
                 index.enable_sketch()
             sketch = index._sketch
-        vals, ids, metrics, cert = fused_alpha_sweep(
-            vecs_a, vecs_b, alphas, index._docs_dev, index._counts_dev,
-            args.k, mesh=index.mesh, rel_ids=rel_matrix,
-            metric_extra_zero_queries=extra_zero,
-            search_kwargs=index.search_kwargs,
-            sketch=sketch,
-        )
+        if mode == "guaranteed":
+            # sketch sweep + exact escalation of uncertified (alpha,
+            # query) pairs: byte-identical to the exact fused sweep
+            from codemix_dense_retrieval_tpu.pipeline.fused import (
+                fused_alpha_sweep_guaranteed,
+            )
+
+            vals, ids, metrics, cert = fused_alpha_sweep_guaranteed(
+                vecs_a, vecs_b, alphas, index._docs_dev, index._counts_dev,
+                args.k, mesh=index.mesh, sketch=sketch, rel_ids=rel_matrix,
+                metric_extra_zero_queries=extra_zero,
+                search_kwargs=index.search_kwargs,
+            )
+        else:
+            vals, ids, metrics, cert = fused_alpha_sweep(
+                vecs_a, vecs_b, alphas, index._docs_dev, index._counts_dev,
+                args.k, mesh=index.mesh, rel_ids=rel_matrix,
+                metric_extra_zero_queries=extra_zero,
+                search_kwargs=index.search_kwargs,
+                sketch=sketch,
+            )
         outdir = pathlib.Path(args.outdir)
         out = {}
         import numpy as np
@@ -367,8 +375,13 @@ def cmd_run_mix(args) -> None:
                 } if metrics else {}),
             }
             if cert is not None:
+                # guaranteed: pre-escalation rate (the fraction that
+                # avoided exact work; output is byte-exact regardless)
                 out[format_alpha(alpha)]["certified_frac"] = round(
                     float(np.asarray(cert)[ai].mean()), 4
+                )
+                out[format_alpha(alpha)]["approx"] = (
+                    "guaranteed" if mode == "guaranteed" else "fast"
                 )
         print(json.dumps(out, indent=2))
         return
@@ -422,13 +435,6 @@ def cmd_run_bilingual_mix(args) -> None:
     vecs_b = encoder.encode_queries(texts_b, batch_size=args.enc_batch)
     alphas = [float(a) for a in args.cm_alphas]
     if args.fused:
-        if _approx_mode(args) == "guaranteed":
-            raise SystemExit(
-                "[ERROR] --fused cannot serve --approx guaranteed: "
-                "escalation of uncertified queries is host-driven and "
-                "cannot run inside the one-jit sweep. Use --approx fast "
-                "or drop --fused for byte-exact guaranteed output."
-            )
         from codemix_dense_retrieval_tpu.config import format_alpha
         from codemix_dense_retrieval_tpu.pipeline.bilingual import (
             run_bilingual_vector_mix_fused,
@@ -442,7 +448,7 @@ def cmd_run_bilingual_mix(args) -> None:
         try:
             runs, metrics = run_bilingual_vector_mix_fused(
                 hub, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
-                qrels=qrels, approx=_approx_mode(args) is True,
+                qrels=qrels, approx=_approx_mode(args),
             )
         except ValueError as e:
             raise SystemExit(

@@ -133,7 +133,9 @@ def run_bilingual_vector_mix_fused(
     search through the sketch tier inside the same jit; per-alpha
     certified fractions land in ``_meta.json`` (a certified raw top
     collapses to the exact collapsed top, so the certificate survives
-    the collapse).
+    the collapse). ``approx="guaranteed"`` additionally escalates every
+    uncertified (alpha, query) pair through the exact path outside the
+    jit — output byte-identical to the exact fused sweep.
     """
     from codemix_dense_retrieval_tpu.pipeline.fused import fused_alpha_sweep
 
@@ -171,15 +173,29 @@ def run_bilingual_vector_mix_fused(
         if hub_index._sketch is None:
             hub_index.enable_sketch()
         sketch = hub_index._sketch
-    vals, ids, metrics, cert = fused_alpha_sweep(
-        primary_vecs, secondary_vecs, list(alphas),
-        hub_index._docs_dev, hub_index._counts_dev, k,
-        mesh=hub_index.mesh, rel_ids=rel_matrix,
-        metric_extra_zero_queries=extra_zero,
-        search_kwargs=hub_index.search_kwargs,
-        collapse_n_first=n_first,
-        sketch=sketch,
-    )
+    if approx == "guaranteed":
+        from codemix_dense_retrieval_tpu.pipeline.fused import (
+            fused_alpha_sweep_guaranteed,
+        )
+
+        vals, ids, metrics, cert = fused_alpha_sweep_guaranteed(
+            primary_vecs, secondary_vecs, list(alphas),
+            hub_index._docs_dev, hub_index._counts_dev, k,
+            mesh=hub_index.mesh, sketch=sketch, rel_ids=rel_matrix,
+            metric_extra_zero_queries=extra_zero,
+            search_kwargs=hub_index.search_kwargs,
+            collapse_n_first=n_first,
+        )
+    else:
+        vals, ids, metrics, cert = fused_alpha_sweep(
+            primary_vecs, secondary_vecs, list(alphas),
+            hub_index._docs_dev, hub_index._counts_dev, k,
+            mesh=hub_index.mesh, rel_ids=rel_matrix,
+            metric_extra_zero_queries=extra_zero,
+            search_kwargs=hub_index.search_kwargs,
+            collapse_n_first=n_first,
+            sketch=sketch,
+        )
     vals_np, ids_np = np.asarray(vals), np.asarray(ids)
     out: Dict[float, pathlib.Path] = {}
     metric_out: Optional[Dict[str, Dict[str, float]]] = {} if metrics else None
@@ -218,7 +234,7 @@ def run_bilingual_vector_mix_fused(
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         }
         if cert is not None:
-            meta["approx"] = "fast"
+            meta["approx"] = approx if isinstance(approx, str) else "fast"
             meta["certified_frac"] = round(float(np.asarray(cert)[ai].mean()), 4)
         (outdir / f"cm-alpha-{label}_meta.json").write_text(
             json.dumps(meta, indent=2)

@@ -109,6 +109,25 @@ def _build_sweep(
     return jax.jit(sweep)
 
 
+def _resolve_depths(
+    k, collapse_k_raw, collapse_n_first, docs_sharded, counts, mesh, axis
+) -> Tuple[int, int]:
+    """(k, k_raw) with the same clamp as DenseFlatIndex.search (count /
+    shard capacity) — shared by the sweep and its guaranteed escalation
+    so both always search the same depth."""
+    k_raw = collapse_k_raw or (2 * k if collapse_n_first is not None else k)
+    n_shards = mesh.shape[axis]
+    rows_per_shard = docs_sharded.shape[0] // n_shards
+    count = int(np.asarray(counts).sum())
+    k_raw_eff = min(k_raw, count, rows_per_shard)
+    if k_raw_eff < k_raw:
+        log.warning(
+            "fused sweep k_raw=%d clamped to %d (count=%d, rows_per_shard=%d)",
+            k_raw, k_raw_eff, count, rows_per_shard,
+        )
+    return min(k, k_raw_eff), k_raw_eff
+
+
 def fused_alpha_sweep(
     primary: jnp.ndarray,  # (B, d) query embeddings lang A
     secondary: jnp.ndarray,  # (B, d) lang B (same qid order)
@@ -138,9 +157,10 @@ def fused_alpha_sweep(
     every alpha's search through the approximate tier INSIDE the one-jit
     sweep (``--fused --approx fast``): phase 1 reads ds/d of the index
     bytes per alpha, and the returned per-query certificates mark rows
-    that are provably identical to the exact sweep. Guaranteed-mode
-    escalation is host-driven and therefore not available inside the
-    fused program — use the unfused runner for byte-parity output.
+    that are provably identical to the exact sweep. For byte-exact
+    output at near-sketch throughput, :func:`fused_alpha_sweep_guaranteed`
+    wraps this sweep with host-driven exact escalation of the
+    uncertified pairs.
 
     The alpha loop is traced sequentially (static ``len(alphas)``) so the
     per-alpha score buffer is reused and the index is read once per alpha
@@ -176,21 +196,9 @@ def fused_alpha_sweep(
     # instead of sharded, and the remote compile ships the whole blob
     # (the compile-service failure mode in BENCH_NOTES).
     doc_scales = search_kwargs.pop("doc_scales", None)
-    k_raw = collapse_k_raw or (2 * k if collapse_n_first is not None else k)
-    # same clamp as DenseFlatIndex.search (count / shard capacity), so a
-    # small or heavily-sharded hub degrades with a warning instead of a
-    # ValueError from deep inside the sharded kernel
-    n_shards = mesh.shape[axis]
-    rows_per_shard = docs_sharded.shape[0] // n_shards
-    count = int(np.asarray(counts).sum())
-    k_raw_eff = min(k_raw, count, rows_per_shard)
-    if k_raw_eff < k_raw:
-        log.warning(
-            "fused sweep k_raw=%d clamped to %d (count=%d, rows_per_shard=%d)",
-            k_raw, k_raw_eff, count, rows_per_shard,
-        )
-    k_raw = k_raw_eff
-    k = min(k, k_raw)
+    k, k_raw = _resolve_depths(
+        k, collapse_k_raw, collapse_n_first, docs_sharded, counts, mesh, axis
+    )
 
     sk = tails = proj = None
     probe_bins = None
@@ -217,3 +225,99 @@ def fused_alpha_sweep(
         doc_scales,
         sk, tails, proj,
     )
+
+
+def fused_alpha_sweep_guaranteed(
+    primary: jnp.ndarray,
+    secondary: jnp.ndarray,
+    alphas: Sequence[float],
+    docs_sharded: jax.Array,
+    counts: jax.Array,
+    k: int,
+    *,
+    mesh: Mesh,
+    sketch: tuple,
+    rel_ids: Optional[jnp.ndarray] = None,
+    metric_cutoffs: Sequence[int] = (1, 3, 5, 10, 100),
+    metric_extra_zero_queries: int = 0,
+    search_kwargs: Optional[Dict] = None,
+    collapse_n_first: Optional[int] = None,
+    collapse_k_raw: Optional[int] = None,
+    axis: str = "shard",
+) -> Tuple[np.ndarray, np.ndarray, Optional[Dict[str, np.ndarray]], np.ndarray]:
+    """``--fused --approx guaranteed``: the fused SKETCH sweep plus exact
+    escalation of every uncertified (alpha, query) pair OUTSIDE the jit —
+    output is byte-identical to the exact fused sweep (certified rows by
+    the certificate proof, escalated rows by construction) at near-sketch
+    throughput when certificates hold. Escalated queries re-mix on device
+    with the same ``mix_and_renorm`` program, search the exact sharded
+    path at the same clamped raw depth (pow2-bucketed), re-collapse when
+    bilingual, and patched alphas recompute their on-device metrics.
+
+    Returns numpy (values (A,B,k), ids (A,B,k), metrics, certified (A,B)
+    — the certificate state BEFORE escalation, i.e. the fraction that
+    avoided exact work).
+    """
+    from codemix_dense_retrieval_tpu.ops.collapse import collapse_topk_parallel_hub
+    from codemix_dense_retrieval_tpu.parallel.sharded_search import sharded_topk_ip
+    from codemix_dense_retrieval_tpu.utils import next_pow2
+
+    search_kwargs = dict(search_kwargs or {})
+    vals, ids, metrics, cert = fused_alpha_sweep(
+        primary, secondary, alphas, docs_sharded, counts, k,
+        mesh=mesh, rel_ids=rel_ids, metric_cutoffs=metric_cutoffs,
+        metric_extra_zero_queries=metric_extra_zero_queries,
+        search_kwargs=search_kwargs, collapse_n_first=collapse_n_first,
+        collapse_k_raw=collapse_k_raw, axis=axis, sketch=sketch,
+    )
+    cert_np = np.asarray(cert)
+    vals_np, ids_np = np.array(np.asarray(vals)), np.array(np.asarray(ids))
+    metrics_np = (
+        {name: np.array(np.asarray(v)) for name, v in metrics.items()}
+        if metrics else None
+    )
+    if cert_np.all():
+        return vals_np, ids_np, metrics_np, cert_np
+
+    doc_scales = search_kwargs.pop("doc_scales", None)
+    k_eff, k_raw = _resolve_depths(
+        k, collapse_k_raw, collapse_n_first, docs_sharded, counts, mesh, axis
+    )
+    primary = jnp.asarray(primary, jnp.float32)
+    secondary = jnp.asarray(secondary, jnp.float32)
+    mix_fn = jax.jit(mix_and_renorm)
+    dtype = docs_sharded.dtype
+    for ai, alpha in enumerate(alphas):
+        bad = np.flatnonzero(~cert_np[ai])
+        if not len(bad):
+            continue
+        bucket = next_pow2(len(bad))
+        sel = np.zeros(bucket, np.int32)
+        sel[: len(bad)] = bad
+        # the SAME device mix program as the sweep (host numpy mixing
+        # could differ in ulps and flip exact-path near-ties)
+        q = mix_fn(primary[sel], secondary[sel], float(alpha))
+        if jnp.issubdtype(dtype, jnp.floating):
+            q = q.astype(dtype)
+        e_vals, e_gids = sharded_topk_ip(
+            q, docs_sharded, counts, k_raw, mesh=mesh,
+            doc_scales=doc_scales, **search_kwargs
+        )
+        if collapse_n_first is not None:
+            e_vals, e_gids = jax.jit(functools.partial(
+                collapse_topk_parallel_hub,
+                n_first=collapse_n_first, k_out=k_eff,
+            ))(e_vals, e_gids)
+        else:
+            e_vals, e_gids = e_vals[:, :k_eff], e_gids[:, :k_eff]
+        vals_np[ai, bad] = np.asarray(e_vals)[: len(bad)]
+        ids_np[ai, bad] = np.asarray(e_gids)[: len(bad)]
+        if metrics_np is not None:
+            patched = jax.jit(functools.partial(
+                topk_metrics,
+                cutoffs=tuple(metric_cutoffs),
+                extra_zero_queries=int(metric_extra_zero_queries),
+            ))(jnp.asarray(ids_np[ai]), jnp.asarray(rel_ids, jnp.int32))
+            for name in metrics_np:
+                metrics_np[name][ai] = float(patched[name])
+    return vals_np, ids_np, metrics_np, cert_np

@@ -352,3 +352,53 @@ class TestFusedSketchSweep:
         uv, ui = idx.search(primary, k, return_docids=False, approx=True)
         np.testing.assert_array_equal(np.asarray(ids)[0], ui)
         np.testing.assert_array_equal(np.asarray(cert)[0], idx.last_certified)
+
+    @pytest.mark.parametrize("collapse", [False, True])
+    def test_fused_guaranteed_matches_exact_sweep_exactly(
+        self, rng, eight_cpu_devices, collapse
+    ):
+        """--fused --approx guaranteed: sketch sweep + exact escalation
+        must be BYTE-identical to the exact fused sweep (vals, ids, and
+        recomputed metrics), in both mono and collapsed-hub modes."""
+        from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+        from codemix_dense_retrieval_tpu.parallel import make_mesh
+        from codemix_dense_retrieval_tpu.pipeline.fused import (
+            fused_alpha_sweep_guaranteed,
+        )
+
+        mesh = make_mesh(shard=8, devices=eight_cpu_devices)
+        n, d, b, k = 1024, 64, 12, 6
+        docs = self._aniso(rng, n, d)
+        if collapse:
+            hub = np.concatenate([docs, docs * 0.9 + 0.01 / np.sqrt(d)])
+            hub /= np.linalg.norm(hub, axis=1, keepdims=True)
+            idx = DenseFlatIndex.build(hub, [str(i) for i in range(2 * n)])
+            n_first = n
+        else:
+            idx = DenseFlatIndex.build(docs, [str(i) for i in range(n)])
+            n_first = None
+        idx.to_device(mesh, pad_multiple=256)
+        idx.enable_sketch(sketch_dim=16, cache=False)
+        primary = self._aniso(rng, b, d)
+        secondary = self._aniso(rng, b, d)
+        rel = np.arange(b)[:, None].astype(np.int32)
+        alphas = [0.0, 0.5, 1.0]
+        common = dict(
+            mesh=mesh, rel_ids=rel, search_kwargs=idx.search_kwargs,
+            collapse_n_first=n_first,
+        )
+        ev, ei, em, _ = fused_alpha_sweep(
+            primary, secondary, alphas, idx._docs_dev, idx._counts_dev, k,
+            **common)
+        gv, gi, gm, cert = fused_alpha_sweep_guaranteed(
+            primary, secondary, alphas, idx._docs_dev, idx._counts_dev, k,
+            sketch=idx._sketch, **common)
+        # some escalation must actually have happened for this to be a
+        # meaningful test (tiny ds keeps certificates imperfect)
+        assert not np.asarray(cert).all()
+        np.testing.assert_array_equal(gi, np.asarray(ei))
+        np.testing.assert_array_equal(gv, np.asarray(ev))
+        for name in gm:
+            np.testing.assert_allclose(
+                gm[name], np.asarray(em[name], np.float32), rtol=1e-6,
+                err_msg=name)
