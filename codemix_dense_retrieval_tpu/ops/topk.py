@@ -117,19 +117,29 @@ def _prep_shard(
     return doc_arrays, query_arrays, n_valid, eff_tile_b, b, b_pad, interpret
 
 
-def _rescore_candidates(
-    docs: jnp.ndarray,
-    queries: jnp.ndarray,
-    bin_ids: jnp.ndarray,  # (B, kb), sorted ascending
-    bin_size: int,
-    n_valid,
-    k: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Shared rescore tail: expand covered bins to candidate row ids,
-    gather those DOC ROWS (contiguous G-row slices), recompute their
-    scores with a batched MXU contraction, mask pad rows, final top_k.
-    Ties break to the lower id because ``bin_ids`` arrive sorted
-    ascending (``lax.top_k``'s lower-position preference)."""
+# Rescore working-set budget (bytes). The candidate gather materializes
+# (chunk, kb*bin_size, d) doc rows PLUS an f32 broadcast the size of the
+# score operands (XLA lowers the batched GEMV as a fused multiply-reduce
+# and remats a full f32 copy of one operand): at b=1024, probe=416,
+# d=1024 that is 6.5 G gathered + 13 G broadcast — a live OOM on a
+# 16 G-HBM chip (bench_logs/r4s3/guaranteed_quick). Chunking the query
+# axis through ``lax.map`` bounds the peak regardless of how far a
+# calibration run pushes ``probe_bins``. Tests monkeypatch the budget.
+_RESCORE_BUDGET = 2 << 30
+
+
+def _rescore_chunk(b: int, kb: int, bin_size: int, d: int, itemsize: int) -> int:
+    """Largest divisor of ``b`` whose rescore working set fits the budget
+    (per query: the gathered rows + one f32-sized operand copy + scores)."""
+    c = kb * bin_size
+    per_q = c * d * (itemsize + 4) + c * 16
+    chunk = max(1, min(b, _RESCORE_BUDGET // max(per_q, 1)))
+    while b % chunk:
+        chunk -= 1
+    return chunk
+
+
+def _rescore_block(docs, queries, bin_ids, bin_size, n_valid, k):
     b, kb = bin_ids.shape
     cand_idx = (
         bin_ids[:, :, None] * bin_size
@@ -144,6 +154,40 @@ def _rescore_candidates(
     cand_scores = jnp.where(cand_idx < n_valid, cand_scores, NEG_INF)
     vals, pos = lax.top_k(cand_scores, k)
     return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
+def _rescore_candidates(
+    docs: jnp.ndarray,
+    queries: jnp.ndarray,
+    bin_ids: jnp.ndarray,  # (B, kb), sorted ascending
+    bin_size: int,
+    n_valid,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared rescore tail: expand covered bins to candidate row ids,
+    gather those DOC ROWS (contiguous G-row slices), recompute their
+    scores with a batched MXU contraction, mask pad rows, final top_k.
+    Ties break to the lower id because ``bin_ids`` arrive sorted
+    ascending (``lax.top_k``'s lower-position preference).
+
+    Memory-bounded: query chunks run sequentially under ``lax.map`` when
+    the candidate working set would exceed ``_RESCORE_BUDGET`` (deep k or
+    a calibration-inflated probe) — each chunk is HBM-bound streaming, so
+    serializing chunks costs nothing while capping peak HBM."""
+    b, kb = bin_ids.shape
+    chunk = _rescore_chunk(
+        b, kb, bin_size, docs.shape[1], jnp.dtype(docs.dtype).itemsize
+    )
+    if chunk < b:
+        vals, idx = lax.map(
+            lambda args: _rescore_block(docs, args[1], args[0], bin_size, n_valid, k),
+            (
+                bin_ids.reshape(b // chunk, chunk, kb),
+                queries.reshape(b // chunk, chunk, queries.shape[1]),
+            ),
+        )
+        return vals.reshape(b, k), idx.reshape(b, k)
+    return _rescore_block(docs, queries, bin_ids, bin_size, n_valid, k)
 
 
 def _rescore_candidates_int8(
@@ -161,7 +205,30 @@ def _rescore_candidates_int8(
     q_scale`` f32 rescale order as the fused int8 kernel
     (:func:`_bin_scores_pallas_int8_kernel`) so refined scores match the
     exact int8 path bit-for-bit. Gathered candidate rows cost 1 byte per
-    element — half the bf16 rescore's HBM gather volume."""
+    element — half the bf16 rescore's HBM gather volume. Query-chunked
+    under the same ``_RESCORE_BUDGET`` as the float rescore."""
+    b, kb = bin_ids.shape
+    chunk = _rescore_chunk(b, kb, bin_size, d_vals.shape[1], 1)
+    if chunk < b:
+        vals, idx = lax.map(
+            lambda args: _rescore_int8_block(
+                d_vals, d_scales, args[1], args[2], args[0], bin_size, n_valid, k
+            ),
+            (
+                bin_ids.reshape(b // chunk, chunk, kb),
+                q_vals.reshape(b // chunk, chunk, q_vals.shape[1]),
+                q_scales.reshape(b // chunk, chunk),
+            ),
+        )
+        return vals.reshape(b, k), idx.reshape(b, k)
+    return _rescore_int8_block(
+        d_vals, d_scales, q_vals, q_scales, bin_ids, bin_size, n_valid, k
+    )
+
+
+def _rescore_int8_block(
+    d_vals, d_scales, q_vals, q_scales, bin_ids, bin_size, n_valid, k
+):
     b, kb = bin_ids.shape
     cand_idx = (
         bin_ids[:, :, None] * bin_size

@@ -439,3 +439,34 @@ def test_index_sketch_int8_supported(tmp_path, mesh):
     ev, ei = idx.search(q, 5, return_docids=False)
     gv, gi = idx.search(q, 5, return_docids=False, approx="guaranteed")
     np.testing.assert_array_equal(gi, ei)
+
+
+def test_rescore_budget_chunking_parity(monkeypatch):
+    """A tiny _RESCORE_BUDGET forces the lax.map query-chunked rescore;
+    results (values, ids, certificates) must be identical to the
+    unchunked path — the OOM guard (bench_logs/r4s3/guaranteed_quick:
+    calibration pushed probe to 416 bins and the one-shot gather+rescore
+    exceeded HBM) must be a pure memory transform."""
+    from codemix_dense_retrieval_tpu.ops import topk as topk_mod
+
+    rng = np.random.default_rng(77)
+    docs = _anisotropic(rng, 4096, 64)
+    queries = _anisotropic(rng, 32, 64)
+    k = 10
+    ref = _run_sketch(queries, docs, 16, k, probe_bins=64)
+    assert topk_mod._rescore_chunk(32, 64, 8, 64, 4) == 32  # unchunked
+    monkeypatch.setattr(topk_mod, "_RESCORE_BUDGET", 1 << 20)
+    assert topk_mod._rescore_chunk(32, 64, 8, 64, 4) < 32  # now chunked
+    chunked = _run_sketch(queries, docs, 16, k, probe_bins=64)
+    np.testing.assert_array_equal(chunked[1], ref[1])
+    np.testing.assert_allclose(chunked[0], ref[0], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(chunked[2], ref[2])
+
+
+def test_rescore_chunk_divides_batch():
+    from codemix_dense_retrieval_tpu.ops.topk import _rescore_chunk
+
+    for b in (1, 3, 8, 24, 1024):
+        for kb in (4, 416):
+            c = _rescore_chunk(b, kb, 8, 1024, 2)
+            assert 1 <= c <= b and b % c == 0

@@ -173,3 +173,22 @@ class TestInt8IndexSketch:
         vb, ib = b.search(q, 5, return_docids=False, approx=True)
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_allclose(va, vb, rtol=1e-6)
+
+
+def test_int8_rescore_budget_chunking_parity(monkeypatch):
+    """Tiny _RESCORE_BUDGET -> lax.map-chunked int8 rescore; values, ids
+    and certificates must be identical to the unchunked path (the OOM
+    guard is a pure memory transform — see test_sketch.py twin)."""
+    from codemix_dense_retrieval_tpu.ops import topk as topk_mod
+
+    rng = np.random.default_rng(88)
+    docs = _anisotropic(rng, 4096, 64)
+    queries = _anisotropic(rng, 32, 64)
+    k = 10
+    ref = _run(queries, docs, 16, k, probe_bins=64)
+    monkeypatch.setattr(topk_mod, "_RESCORE_BUDGET", 1 << 18)
+    assert topk_mod._rescore_chunk(32, 64, 8, 64, 1) < 32
+    chunked = _run(queries, docs, 16, k, probe_bins=64)
+    np.testing.assert_array_equal(chunked[1], ref[1])
+    np.testing.assert_allclose(chunked[0], ref[0], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(chunked[2], ref[2])
