@@ -470,3 +470,30 @@ def test_rescore_chunk_divides_batch():
         for kb in (4, 416):
             c = _rescore_chunk(b, kb, 8, 1024, 2)
             assert 1 <= c <= b and b % c == 0
+
+
+def test_calibrate_refine_tightens_probe(mesh):
+    """Binary refine returns a probe no larger than the raw doubling
+    sweep's (refine_steps=0), still meeting the recall target, and the
+    stored operating point matches the report."""
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(91)
+    n, d, k = 8192, 64, 10
+    docs = _anisotropic(rng, n, d, decay=0.02)
+    queries = _anisotropic(rng, 64, d, decay=0.02)
+
+    def calibrated(steps):
+        idx = DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)])
+        idx.to_device(mesh, pad_multiple=256)
+        idx.enable_sketch(sketch_dim=16, cache=False)
+        out = idx.calibrate_sketch(
+            queries, k, recall_target=0.95, refine_steps=steps
+        )
+        assert out["recall"] >= 0.95
+        assert idx._sketch[3]["probe_by_k"][k] == out["probe_bins"]
+        return out
+
+    coarse = calibrated(0)
+    refined = calibrated(3)
+    assert refined["probe_bins"] <= coarse["probe_bins"]
