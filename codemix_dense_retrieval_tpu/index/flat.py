@@ -38,6 +38,13 @@ from codemix_dense_retrieval_tpu.utils import next_pow2
 # minutes per mutation on remote-compile TPU setups)
 _scatter_update = jax.jit(lambda a, p, v: a.at[p].set(v), donate_argnums=0)
 
+# approx="guaranteed" routes straight to exact search when calibration
+# measured a certificate rate below this floor at the requested depth: a
+# sketch pass that certifies (almost) nothing still pays the full exact
+# escalation on top (measured 0.33-0.35x exact live) — worse than exact
+# with no compensating benefit.
+GUARANTEED_CERT_FLOOR = 0.05
+
 
 def _bucket_scatter(positions: np.ndarray, rows: np.ndarray):
     """Pad a scatter batch to the next power of two so mutation batches of
@@ -510,7 +517,7 @@ class DenseFlatIndex:
         # the int8 exact path (ops.sketch.topk_ip_sketch_int8)
         is_int8 = self._is_int8()
         sketch_dim = min(sketch_dim, self.dim)
-        proj_np, probe_by_k = None, {}
+        proj_np, probe_by_k, cert_by_k = None, {}, {}
         cache_path = (self.store.dir / "sketch.npz") if (cache and self.store.dir) else None
         if cache_path is not None and cache_path.exists():
             try:
@@ -524,6 +531,11 @@ class DenseFlatIndex:
                         int(pk): int(pv)
                         for pk, pv in zip(z["probe_ks"], z["probe_vals"])
                     }
+                    if "cert_ks" in z.files:
+                        cert_by_k = {
+                            int(ck): float(cv)
+                            for ck, cv in zip(z["cert_ks"], z["cert_vals"])
+                        }
             except Exception:  # corrupt/truncated cache: refit, don't brick
                 from codemix_dense_retrieval_tpu.utils.logging import get_logger
 
@@ -547,7 +559,8 @@ class DenseFlatIndex:
             sk, tails, proj,
             {
                 "expand": expand, "probe_bins": probe_bins,
-                "probe_by_k": probe_by_k, "cache_path": cache_path,
+                "probe_by_k": probe_by_k, "cert_by_k": cert_by_k,
+                "cache_path": cache_path,
             },
         )
         if cache_path is not None:
@@ -561,6 +574,7 @@ class DenseFlatIndex:
         if skw.get("cache_path") is None:
             return
         probe_by_k = skw["probe_by_k"]
+        cert_by_k = skw.get("cert_by_k", {})
         # temp + atomic replace: a torn sketch.npz would brick restarts
         # (.npz-suffixed temp name so np.savez doesn't append another)
         tmp = skw["cache_path"].with_name(skw["cache_path"].stem + ".tmp.npz")
@@ -571,6 +585,10 @@ class DenseFlatIndex:
             probe_ks=np.asarray(sorted(probe_by_k), np.int64),
             probe_vals=np.asarray(
                 [probe_by_k[pk] for pk in sorted(probe_by_k)], np.int64
+            ),
+            cert_ks=np.asarray(sorted(cert_by_k), np.int64),
+            cert_vals=np.asarray(
+                [cert_by_k[ck] for ck in sorted(cert_by_k)], np.float32
             ),
         )
         os.replace(tmp, skw["cache_path"])
@@ -663,11 +681,15 @@ class DenseFlatIndex:
         if skw["probe_by_k"][k] != probe:
             recall = recall_at(probe)
         skw["probe_by_k"][k] = probe
+        cert_frac = float(np.mean(self.last_certified))
+        # remembered so approx="guaranteed" can skip a provably useless
+        # sketch pass on this workload (see search)
+        skw.setdefault("cert_by_k", {})[k] = cert_frac
         self._save_sketch_cache()
         return {
             "probe_bins": probe,
             "recall": recall,
-            "certified_frac": float(np.mean(self.last_certified)),
+            "certified_frac": cert_frac,
         }
 
     # ---------------- search ----------------
@@ -695,7 +717,10 @@ class DenseFlatIndex:
         identical to exact search). ``approx="guaranteed"`` additionally
         re-runs the UNCERTIFIED queries through exact search, so results
         are always exact — faster than plain exact search whenever the
-        certificate rate is high.
+        certificate rate is high. If :meth:`calibrate_sketch` measured a
+        certificate rate below ``GUARANTEED_CERT_FLOOR`` at this depth,
+        guaranteed mode skips the sketch pass and runs exact directly
+        (``last_guaranteed_direct`` reports which route ran).
         """
         if self._docs_dev is None:
             self.to_device()
@@ -737,11 +762,30 @@ class DenseFlatIndex:
         # dispatch every block before materializing any result: JAX's async
         # dispatch then overlaps host work (upload of block i+1, TREC
         # formatting upstream) with device search of block i
+        guaranteed_direct = False
         if approx:
             if approx not in (True, "guaranteed"):
                 raise ValueError(f"approx must be True/False/'guaranteed', got {approx!r}")
             if self._sketch is None:
                 self.enable_sketch()
+            if approx == "guaranteed":
+                # calibration measured (and persisted) the certificate
+                # rate at this depth: when essentially nothing certifies,
+                # guaranteed mode would pay the sketch pass AND a full
+                # exact escalation (~0.35x exact, measured live) — route
+                # straight to exact instead; the guarantee holds trivially
+                cr = self._sketch[3].get("cert_by_k", {}).get(k)
+                if cr is not None and cr < GUARANTEED_CERT_FLOOR:
+                    from codemix_dense_retrieval_tpu.utils.logging import get_logger
+
+                    get_logger("index").info(
+                        "guaranteed search k=%d: calibrated certificate "
+                        "rate %.3f < %.2f — using exact path directly",
+                        k, cr, GUARANTEED_CERT_FLOOR,
+                    )
+                    approx = False
+                    guaranteed_direct = True
+        if approx:
             sk, tails, proj, skw = self._sketch
             from codemix_dense_retrieval_tpu.parallel.sharded_search import (
                 sharded_topk_ip_sketch,
@@ -783,6 +827,11 @@ class DenseFlatIndex:
             self.last_certified = None
         vals = np.concatenate([np.asarray(p[0]) for p in pending], axis=0)[:n_q]
         gids = np.concatenate([np.asarray(p[1]) for p in pending], axis=0)[:n_q]
+        self.last_guaranteed_direct = guaranteed_direct
+        if guaranteed_direct:
+            # exact results ARE the guarantee; keep the caller contract
+            # that guaranteed mode leaves an all-True certificate vector
+            self.last_certified = np.ones(n_q, bool)
         if approx == "guaranteed" and not self.last_certified.all():
             # escalate ONLY the uncertified queries through exact search,
             # bucketed to a power of two (each distinct batch shape is a

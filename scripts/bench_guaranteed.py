@@ -110,10 +110,11 @@ def main():
         gdt, (gv, gi) = timed(k, approx="guaranteed")
         # guaranteed means byte-parity with exact — enforce it on-record
         parity = np.array_equal(ei, gi) and np.allclose(ev, gv, atol=1e-5)
+        route = "direct-exact" if getattr(idx, "last_guaranteed_direct", False) else "sketch"
         print(
             f"k={k:5d} guaranteed: {args.b / gdt:9.1f} qps ({gdt * 1e3:.1f} ms, "
             f"{edt / gdt:.2f}x exact)  escalated={esc}/{args.b} "
-            f"parity={'OK' if parity else 'FAIL'}"
+            f"route={route} parity={'OK' if parity else 'FAIL'}"
         )
         if not parity:
             bad = np.flatnonzero((ei != gi).any(axis=1))[:5]

@@ -497,3 +497,38 @@ def test_calibrate_refine_tightens_probe(mesh):
     coarse = calibrated(0)
     refined = calibrated(3)
     assert refined["probe_bins"] <= coarse["probe_bins"]
+
+
+def test_guaranteed_cert_floor_routes_exact(mesh, tmp_path):
+    """When calibration measures a near-zero certificate rate, guaranteed
+    mode skips the sketch pass and runs exact directly — identical
+    results, all-True certificates, and the route is introspectable. The
+    persisted cert_by_k survives a reload."""
+    from codemix_dense_retrieval_tpu.index import DenseFlatIndex
+
+    rng = np.random.default_rng(95)
+    n, d, k = 4096, 128, 10
+    # isotropic data + thin sketch: nothing certifies
+    docs = _normalize(rng.standard_normal((n, d)).astype(np.float32))
+    queries = _normalize(rng.standard_normal((16, d)).astype(np.float32))
+    DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)]).save(tmp_path / "i")
+    idx = DenseFlatIndex.load(tmp_path / "i")
+    idx.to_device(mesh, pad_multiple=256)
+    idx.enable_sketch(sketch_dim=8)
+    out = idx.calibrate_sketch(queries, k, recall_target=0.5)
+    assert out["certified_frac"] < 0.05
+    ev, ei = idx.search(queries, k, return_docids=False)
+    gv, gi = idx.search(queries, k, return_docids=False, approx="guaranteed")
+    assert idx.last_guaranteed_direct
+    assert idx.last_certified.all()
+    np.testing.assert_array_equal(gi, ei)
+    np.testing.assert_allclose(gv, ev, rtol=1e-6, atol=1e-6)
+    # reload: the calibrated cert rate persisted, the route stays direct
+    re = DenseFlatIndex.load(tmp_path / "i")
+    re.to_device(mesh, pad_multiple=256)
+    re.enable_sketch(sketch_dim=8)
+    assert re._sketch[3]["cert_by_k"].get(k) == pytest.approx(
+        out["certified_frac"]
+    )
+    re.search(queries, k, return_docids=False, approx="guaranteed")
+    assert re.last_guaranteed_direct
