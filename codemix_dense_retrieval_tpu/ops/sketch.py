@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from codemix_dense_retrieval_tpu.ops.topk import (
     NEG_INF,
+    _binmax_bm_legal,
     _ceil_to,
     _prep_shard,
     _rescore_candidates,
@@ -136,11 +137,13 @@ def sketch_queries(
 # --------------------------------------------------------------------------
 
 def _binub_pallas_kernel(nv_ref, qs_ref, qt_ref, ds_ref, dt_ref, binub_ref,
-                         *, bin_size, tile_n):
+                         *, bin_size, tile_n, binub_bm=True):
     # ub tile = sketch scores + per-row tail bound * per-query tail norm,
     # computed in the Mosaic-friendly (tile_n, tile_b) orientation (bin
     # reduce splits the sublane dim), transposed in-VMEM to the bin-major
-    # output (see ops.topk._bin_scores_pallas_bm for why).
+    # output (see ops.topk._bin_scores_pallas_bm for why). ``binub_bm=
+    # False`` keeps the (nb, B) orientation when the bin-major block
+    # would be lane-illegal (ops.topk._binmax_bm_legal).
     j = pl.program_id(1)
     s = jax.lax.dot_general(
         ds_ref[:], qs_ref[:], (((1,), (1,)), ((), ())),
@@ -152,9 +155,8 @@ def _binub_pallas_kernel(nv_ref, qs_ref, qt_ref, ds_ref, dt_ref, binub_ref,
     n_valid = nv_ref[0]
     row = lax.broadcasted_iota(jnp.int32, ub.shape, 0) + j * tile_n
     ub = jnp.where(row < n_valid, ub, NEG_INF)
-    binub_ref[:] = jnp.max(
-        ub.reshape(tile_n // bin_size, bin_size, ub.shape[1]), axis=1
-    ).T
+    bm = jnp.max(ub.reshape(tile_n // bin_size, bin_size, ub.shape[1]), axis=1)
+    binub_ref[:] = bm.T if binub_bm else bm
 
 
 def _binub_pallas(
@@ -177,11 +179,25 @@ def _binub_pallas(
     assert n_pad % tile_n == 0 and tile_n % bin_size == 0
     tile_b = min(tile_b, b)
     assert b % tile_b == 0, (b, tile_b)
+    binub_bm = _binmax_bm_legal(tile_n, bin_size, n_pad)
     kernel = functools.partial(
-        _binub_pallas_kernel, bin_size=bin_size, tile_n=tile_n
+        _binub_pallas_kernel, bin_size=bin_size, tile_n=tile_n,
+        binub_bm=binub_bm,
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
-    return pl.pallas_call(
+    if binub_bm:
+        out_spec = pl.BlockSpec(
+            (tile_b, tile_n // bin_size), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32)
+    else:  # lane-illegal bin-major block: transposed out + XLA .T below
+        out_spec = pl.BlockSpec(
+            (tile_n // bin_size, tile_b), lambda i, j: (j, i),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32)
+    binub = pl.pallas_call(
         kernel,
         grid=(b // tile_b, n_pad // tile_n),
         in_specs=[
@@ -191,11 +207,8 @@ def _binub_pallas(
             pl.BlockSpec((tile_n, ds), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (tile_b, tile_n // bin_size), lambda i, j: (i, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_pad * ds,
             bytes_accessed=(
@@ -206,6 +219,9 @@ def _binub_pallas(
         ),
         interpret=interpret,
     )(nv, q_sketch, q_tail, d_sketch, d_tail)
+    if not binub_bm:
+        binub = binub.T
+    return binub
 
 
 # --------------------------------------------------------------------------

@@ -376,8 +376,21 @@ def _bin_scores_pallas(
     )(nv, queries, docs)
 
 
+def _binmax_bm_legal(tile_n: int, bin_size: int, n_pad: int) -> bool:
+    """Mosaic requires a block's LANE (last) dim to be a multiple of 128
+    or equal to the full array dim. The bin-major bin-max block is
+    ``tile_n // bin_size`` lanes wide — illegal for e.g. tile_n=1024 /
+    G=16 (64 lanes) unless the grid has a single n-tile. Callers fall
+    back to the transposed (nb, B) layout + an XLA transpose outside the
+    kernel (~4% extra HBM traffic at N=1.1M) when this returns False.
+    (Found on hardware: Mosaic lowering rejected (256, 64) blocks that
+    CPU interpret mode accepted silently — r4s3 guaranteed_full.)"""
+    return (tile_n // bin_size) % 128 == 0 or tile_n == n_pad
+
+
 def _bin_scores_pallas_bm_kernel(
-    nv_ref, qt_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n
+    nv_ref, qt_ref, d_ref, scores_ref, binmax_ref, *, bin_size, tile_n,
+    binmax_bm=True,
 ):
     # BIN-MAJOR variant: scores land as (B, N) and bin maxima as (B, nb),
     # so the two-level tail's candidate reads are CONTIGUOUS G-element
@@ -386,6 +399,8 @@ def _bin_scores_pallas_bm_kernel(
     # (tile_n, tile_b) orientation (bin reduce must split the sublane
     # dim); both outputs are transposed in-kernel — an MXU transpose of
     # the (tile_n, tile_b) tile costs ~15% of its matmul.
+    # ``binmax_bm=False`` keeps the bin maxima in the (nb, B) orientation
+    # when the bin-major block would be lane-illegal (_binmax_bm_legal).
     j = pl.program_id(1)
     s = jax.lax.dot_general(
         d_ref[:], qt_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -394,9 +409,8 @@ def _bin_scores_pallas_bm_kernel(
     row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * tile_n
     s = jnp.where(row < n_valid, s, NEG_INF)
     scores_ref[:] = s.T.astype(scores_ref.dtype)
-    binmax_ref[:] = jnp.max(
-        s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1
-    ).T
+    bm = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
+    binmax_ref[:] = bm.T if binmax_bm else bm
 
 
 def _bin_scores_pallas_bm(
@@ -418,8 +432,10 @@ def _bin_scores_pallas_bm(
     tile_b = min(tile_b, b)
     assert b % tile_b == 0, (b, tile_b)
     grid = (b // tile_b, n_pad // tile_n)
+    binmax_bm = _binmax_bm_legal(tile_n, bin_size, n_pad)
     kernel = functools.partial(
-        _bin_scores_pallas_bm_kernel, bin_size=bin_size, tile_n=tile_n
+        _bin_scores_pallas_bm_kernel, bin_size=bin_size, tile_n=tile_n,
+        binmax_bm=binmax_bm,
     )
     flops = 2 * b * n_pad * dim
     bytes_accessed = (
@@ -428,7 +444,17 @@ def _bin_scores_pallas_bm(
         + b * n_pad * jnp.dtype(score_dtype).itemsize
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
-    return pl.pallas_call(
+    if binmax_bm:
+        binmax_spec = pl.BlockSpec(
+            (tile_b, tile_n // bin_size), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        )
+        binmax_shape = jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32)
+    else:
+        binmax_spec = pl.BlockSpec(
+            (tile_n // bin_size, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        )
+        binmax_shape = jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32)
+    scores, binmax = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -438,24 +464,25 @@ def _bin_scores_pallas_bm(
         ],
         out_specs=[
             pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_b, tile_n // bin_size), lambda i, j: (i, j), memory_space=pltpu.VMEM
-            ),
+            binmax_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_pad), score_dtype),
-            jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
+            binmax_shape,
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
     )(nv, queries, docs)
+    if not binmax_bm:
+        binmax = binmax.T
+    return scores, binmax
 
 
 def _bin_scores_pallas_int8_kernel(
     nv_ref, qv_ref, qs_ref, dv_ref, ds_ref, scores_ref, binmax_ref,
-    *, bin_size, tile_n, bin_major=False,
+    *, bin_size, tile_n, bin_major=False, binmax_bm=True,
 ):
     # int8 x int8 -> int32 on the MXU, rescaled to f32 by the per-row
     # symmetric scales (ops.quant); same transposed (T, B) layout as the
@@ -474,7 +501,7 @@ def _bin_scores_pallas_int8_kernel(
     bm = jnp.max(s.reshape(tile_n // bin_size, bin_size, s.shape[1]), axis=1)
     if bin_major:
         scores_ref[:] = s.T.astype(scores_ref.dtype)
-        binmax_ref[:] = bm.T
+        binmax_ref[:] = bm.T if binmax_bm else bm
     else:
         scores_ref[:] = s.astype(scores_ref.dtype)
         binmax_ref[:] = bm
@@ -500,24 +527,34 @@ def _bin_scores_pallas_int8(
     tile_b = min(tile_b, b)
     assert b % tile_b == 0, (b, tile_b)
     grid = (b // tile_b, n_pad // tile_n)
+    binmax_bm = bin_major and _binmax_bm_legal(tile_n, bin_size, n_pad)
     kernel = functools.partial(
         _bin_scores_pallas_int8_kernel, bin_size=bin_size, tile_n=tile_n,
-        bin_major=bin_major,
+        bin_major=bin_major, binmax_bm=binmax_bm,
     )
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
     # one invocation; only the OUTPUT layout differs between the
     # bin-major (B, N) and transposed (N, B) variants
     if bin_major:
-        out_specs = [
-            pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
+        if binmax_bm:
+            bm_spec = pl.BlockSpec(
                 (tile_b, tile_n // bin_size), lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
-            ),
+            )
+            bm_shape = jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32)
+        else:  # lane-illegal bin-major block: transposed out + XLA .T below
+            bm_spec = pl.BlockSpec(
+                (tile_n // bin_size, tile_b), lambda i, j: (j, i),
+                memory_space=pltpu.VMEM,
+            )
+            bm_shape = jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32)
+        out_specs = [
+            pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            bm_spec,
         ]
         out_shape = [
             jax.ShapeDtypeStruct((b, n_pad), score_dtype),
-            jax.ShapeDtypeStruct((b, n_pad // bin_size), jnp.float32),
+            bm_shape,
         ]
     else:
         out_specs = [
@@ -530,7 +567,7 @@ def _bin_scores_pallas_int8(
             jax.ShapeDtypeStruct((n_pad, b), score_dtype),
             jax.ShapeDtypeStruct((n_pad // bin_size, b), jnp.float32),
         ]
-    return pl.pallas_call(
+    scores, binmax = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -544,6 +581,9 @@ def _bin_scores_pallas_int8(
         out_shape=out_shape,
         interpret=interpret,
     )(nv, q_vals, q_scales.reshape(-1, 1), d_vals, d_scales.reshape(-1, 1))
+    if bin_major and not binmax_bm:
+        binmax = binmax.T
+    return scores, binmax
 
 
 def topk_ip_bins_int8(
