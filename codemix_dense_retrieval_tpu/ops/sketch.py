@@ -76,6 +76,68 @@ SKETCH_KERNEL_KWARGS = ("bin_size", "super_size", "tile_n", "tile_b")
 # build side
 # --------------------------------------------------------------------------
 
+def cluster_bisect_order(
+    sketch: np.ndarray, leaf: int = DEFAULT_BIN_SIZE
+) -> np.ndarray:
+    """Variance-guided recursive bisection order over sketch space (host).
+
+    Returns a permutation ``perm`` such that ``rows[perm]`` places
+    sketch-space neighbors in contiguous ``leaf``-row blocks — the
+    TPU-native analog of FAISS IVF's cluster assignment
+    (`faiss.IndexIVFFlat`; the reference installs FAISS but only ever
+    builds flat indexes, `encode_multilingual_corpus.py:367`). Instead of
+    inverted lists + a coarse quantizer, the CLUSTERING IS THE ROW ORDER:
+    the fused bin-max kernels already reduce over contiguous ``bin_size``
+    row groups, so after this reorder each bin is a tight sketch-space
+    cell. That concentrates a query's true top-k into few bins (recall
+    at a given ``probe_bins`` jumps) and tightens every unselected bin's
+    upper bound (exactness certificates start firing). Search kernels,
+    sharding, and the cover/certificate math are untouched — exactness
+    never depended on row order.
+
+    Each level splits every block at its median along the block's
+    maximum-variance sketch dimension (balanced k-d bisection), fully
+    vectorized: per-block moments via cumulative sums over the
+    block-sorted sketch, one ``np.lexsort`` per level. Split-dim
+    candidates are the ``max_split_dims`` leading sketch dims — the
+    sketch is PCA-ordered, so within-block variance concentrates there.
+    O(N log(N/leaf)) with ~2 passes over the sketch per level.
+    """
+    sketch = np.ascontiguousarray(np.asarray(sketch, np.float32))
+    n, ds = sketch.shape
+    order = np.arange(n, dtype=np.int64)
+    if n <= leaf:
+        return order
+    dv = min(ds, 32)  # split-dim candidates (PCA-leading dims)
+    levels = int(math.ceil(math.log2(n / leaf)))
+    bounds = np.array([0, n], dtype=np.int64)
+    for _ in range(levels):
+        so = sketch[order, :dv]
+        starts = bounds[:-1]
+        sizes = np.diff(bounds)
+        cnt = sizes.astype(np.float64)[:, None]
+        # per-block sums via cumsum differences (reduceat is ~10x slower);
+        # f32 running-sum drift (~1e-4 relative at 1M rows) is far below
+        # what a split-dim argmax can feel
+        cs = np.cumsum(so, axis=0)
+        cs2 = np.cumsum(so * so, axis=0)
+        ends = bounds[1:] - 1
+        sums = cs[ends].astype(np.float64)
+        sqs = cs2[ends].astype(np.float64)
+        sums[1:] -= cs[ends[:-1]]
+        sqs[1:] -= cs2[ends[:-1]]
+        var = sqs / cnt - (sums / cnt) ** 2
+        dsel = var.argmax(axis=1)  # split dim per block
+        rowblock = np.repeat(np.arange(len(starts)), sizes)
+        key = so[np.arange(n), dsel[rowblock]]
+        order = order[np.lexsort((key, rowblock))]
+        mids = starts + sizes // 2
+        bounds = np.unique(np.concatenate([bounds, mids]))
+        if np.all(np.diff(bounds) <= leaf):
+            break
+    return order
+
+
 def fit_sketch(
     rows: np.ndarray, sketch_dim: int, *, sample: int = 131072, seed: int = 0
 ) -> np.ndarray:
@@ -281,14 +343,15 @@ def topk_ip_sketch(
     q_sketch, q_tail = sketch_queries(queries, proj)
     # With sub-f32 docs the products are exact (bf16 x bf16 fits f32) and
     # only f32 accumulation remains, which DEFAULT_CERT_MARGIN covers.
-    # f32 docs on TPU still get operand-rounded inside the DEFAULT-
-    # precision kernels, so the margin must absorb the product rounding:
+    # f32 docs still get operand-rounded inside the DEFAULT-precision
+    # kernels, so the margin must absorb the product rounding:
     # |kernel - true| <= 2 eps_bf16 * ||q|| * max_row_norm (eps = 2^-9).
+    # This applies on EVERY backend, not just TPU: this JAX build's CPU
+    # DEFAULT f32 matmul also rounds operands to bf16 (measured 5.8e-4 on
+    # unit vectors) — a backend == "tpu" gate here certified falsely on
+    # CPU f32 indexes.
     cert_margin = jnp.asarray(cert_margin, jnp.float32)
-    if (
-        jnp.dtype(docs.dtype).itemsize >= 4
-        and jax.default_backend() == "tpu"
-    ):
+    if jnp.dtype(docs.dtype).itemsize >= 4:
         eps = 2.0 ** -9
         row_norm_max = jnp.sqrt(
             jnp.max(jnp.sum(d_sketch * d_sketch, axis=1) + d_tail * d_tail)
