@@ -81,6 +81,7 @@ class DenseFlatIndex:
         self.search_kwargs = {}
         self._sketch = None  # (sketch_sharded, tails_sharded, proj, kwargs)
         self.last_certified: Optional[np.ndarray] = None
+        self.last_adaptive_stats: Optional[dict] = None
         self._mutable = None  # host mirror for online add/remove
         # bumped by every add/remove; consumers that cache row-aligned
         # sidecars (TwoStageSearcher's token store) check it to detect
@@ -468,6 +469,74 @@ class DenseFlatIndex:
             self._sketch = (sk, tails, proj, skw)
         return self
 
+    def reorder_rows(
+        self, *, sketch_dim: int = 64, sample: int = 131072
+    ) -> np.ndarray:
+        """Cluster-pack rows so sketch-space neighbors share bins
+        (:func:`~codemix_dense_retrieval_tpu.ops.sketch.cluster_bisect_order`)
+        — the TPU-native FAISS-IVF analog where the clustering IS the row
+        order. Search results are unchanged (exactness never depends on
+        row order), but the probed/sketch tiers concentrate each query's
+        top-k into fewer bins, so ``approx="adaptive"`` certificates fire
+        and approx recall at a given probe jumps. Row ids change
+        (``mutation_epoch`` bumps — row-aligned sidecar consumers must
+        re-derive). Returns the applied permutation ``perm``
+        (``new_rows == old_rows[perm]``).
+        """
+        from codemix_dense_retrieval_tpu.ops.sketch import (
+            cluster_bisect_order,
+            fit_sketch,
+        )
+
+        store = self.to_store()
+        vecs = np.asarray(store.vectors)
+        if store.manifest.dtype == "int8":
+            eff = vecs.astype(np.float32) * np.asarray(store.scales, np.float32)[:, None]
+        else:
+            eff = vecs.astype(np.float32, copy=False)
+        if self._sketch is not None:
+            proj = np.asarray(self._sketch[2], np.float32)
+        else:
+            proj = fit_sketch(eff, min(sketch_dim, self.dim), sample=sample)
+        n = len(eff)
+        sk = np.empty((n, proj.shape[1]), np.float32)
+        for lo in range(0, n, 1_000_000):  # bound peak host memory
+            sk[lo : lo + 1_000_000] = eff[lo : lo + 1_000_000] @ proj
+        perm = cluster_bisect_order(sk)
+        del sk
+        # int8: rebuild from the dequantized rows — quantize∘dequantize is
+        # an exact round-trip (the mutation mirror relies on the same)
+        new_vecs = eff[perm] if store.manifest.dtype == "int8" else vecs[perm]
+        self.store = ShardStore.build(
+            new_vecs,
+            [str(store.docids[i]) for i in perm],
+            dtype=store.manifest.dtype,
+            lang=store.manifest.lang,
+            encoder=store.manifest.encoder,
+            normalized=store.manifest.normalized,
+            derived_ids=(
+                [str(store.derived_ids[i]) for i in perm]
+                if store.derived_ids is not store.docids
+                else None
+            ),
+        )
+        self._docids = np.asarray(self.store.derived_ids, dtype=object)
+        self._mutable = None
+        self.last_swaps = []
+        self.mutation_epoch += 1
+        if self._docs_dev is not None:
+            kwargs = {
+                kk: vv for kk, vv in self.search_kwargs.items()
+                if kk != "doc_scales"  # to_device re-derives it
+            }
+            sketch_cfg = self._sketch
+            self.to_device(self.mesh, **kwargs)
+            if sketch_cfg is not None:
+                _, _, sproj, skw = sketch_cfg
+                sk2, tails = self._project_sketch(sproj)
+                self._sketch = (sk2, tails, sproj, skw)
+        return perm
+
     def to_store(self) -> ShardStore:
         """Materialize the live (possibly mutated) rows as a ShardStore —
         the persistence path for mutated indexes (``save()`` uses it)."""
@@ -721,6 +790,11 @@ class DenseFlatIndex:
         certificate rate below ``GUARANTEED_CERT_FLOOR`` at this depth,
         guaranteed mode skips the sketch pass and runs exact directly
         (``last_guaranteed_direct`` reports which route ran).
+        ``approx="adaptive"`` runs the probed-exact cover with true
+        bin-max certificates + escalation tail — ALWAYS exact, priced at
+        the probe when certificates fire (a row-order property: see
+        :meth:`reorder_rows`); per-call stats in
+        ``self.last_adaptive_stats``.
         """
         if self._docs_dev is None:
             self.to_device()
@@ -763,9 +837,57 @@ class DenseFlatIndex:
         # dispatch then overlaps host work (upload of block i+1, TREC
         # formatting upstream) with device search of block i
         guaranteed_direct = False
+        if approx == "adaptive":
+            # probed-exact cover with TRUE bin-max certificates +
+            # escalation tail — ALWAYS exact, adaptively priced
+            # (parallel.sharded_topk_ip_adaptive). Certificate rate is a
+            # row-order property: call reorder_rows() first. int8 stores
+            # fall back to the exact fixed cover (same results).
+            if self._docs_dev.dtype == jnp.int8:
+                approx = False
+                self.last_adaptive_stats = None
+            else:
+                from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+                    sharded_topk_ip_adaptive,
+                )
+
+                outs = [
+                    sharded_topk_ip_adaptive(
+                        jnp.asarray(blk, dtype),
+                        self._docs_dev,
+                        self._counts_dev,
+                        k,
+                        mesh=self.mesh,
+                        **{
+                            kk: vv
+                            for kk, vv in self.search_kwargs.items()
+                            if kk in ("bin_size", "super_size", "tile_n", "tile_b")
+                        },
+                    )
+                    for blk in blocks
+                ]
+                vals = np.concatenate([o[0] for o in outs], axis=0)[:n_q]
+                gids = np.concatenate([o[1] for o in outs], axis=0)[:n_q]
+                # adaptive results are exact by construction
+                self.last_certified = np.ones(n_q, bool)
+                self.last_adaptive_stats = {
+                    "certified_frac": float(
+                        np.mean([o[2]["certified_frac"] for o in outs])
+                    ),
+                    "escalated": int(
+                        sum(o[2].get("escalated", 0) for o in outs)
+                    ),
+                    "probe_bins": outs[0][2]["probe_bins"],
+                }
+                self.last_guaranteed_direct = False
+                if not return_docids:
+                    return vals, gids
+                return vals, self._docids[gids]
         if approx:
             if approx not in (True, "guaranteed"):
-                raise ValueError(f"approx must be True/False/'guaranteed', got {approx!r}")
+                raise ValueError(
+                    f"approx must be True/False/'adaptive'/'guaranteed', got {approx!r}"
+                )
             if self._sketch is None:
                 self.enable_sketch()
             if approx == "guaranteed":

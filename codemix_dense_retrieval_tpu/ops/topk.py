@@ -962,6 +962,133 @@ def _topk_from_bins_two_level_bm(
     return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
+def _topk_from_bins_two_level_bm_probed(
+    scores_bm: jnp.ndarray,  # (B, N) bin-major scores
+    binmax_bm: jnp.ndarray,  # (B, nb) bin-major bin maxima
+    k: int,
+    bin_size: int,
+    super_size: int,
+    probe_bins: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """PROBED two-level selection tail with a per-query EXACTNESS bound.
+    Covers only ``probe_bins`` bins (instead of k), so every selection
+    domain and slice gather shrinks by ``k / probe_bins`` — the deep-k
+    tail (top_k domains + issue-bound slice gathers) is the measured
+    wall at k=1000 (BENCH_NOTES deep-k phase table).
+
+    Returns ``(vals, ids, unsel)`` where ``unsel`` is the TRUE maximum
+    over every unselected bin (``_select_bins_two_level``'s unselected
+    bound — exact phase-1 maxima, zero slack, unlike the sketch tier's
+    Cauchy-Schwarz tail bound which never fires on realistic score
+    gaps). ``vals[:, k-1] > unsel`` certifies the probe: every element
+    outside the probed bins scores strictly below the kth candidate, so
+    the candidate set contains the true top-k; ties at the kth boundary
+    fail the strict comparison and escalate. In the SHARDED merge the
+    bound composes: merged-kth > max over shards' bounds certifies the
+    global result, which lets distant shards (whose bins all score low)
+    certify without concentrating. Probe quality is a ROW-ORDER
+    property: cluster-ordered rows (ops.sketch.cluster_kmeans_order)
+    concentrate a query's top-k into few bins, firing certificates on
+    topical data.
+    """
+    b = scores_bm.shape[0]
+    bin_ids, unsel = _select_bins_two_level(
+        binmax_bm, probe_bins, super_size, return_unselected_bound=True
+    )
+    kb = bin_ids.shape[1]
+    cand = jnp.take_along_axis(
+        scores_bm.reshape(b, binmax_bm.shape[1], bin_size),
+        bin_ids[:, :, None],
+        axis=1,
+    ).reshape(b, kb * bin_size).astype(jnp.float32)
+    cand_idx = (
+        bin_ids[:, :, None] * bin_size
+        + lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
+    ).reshape(b, kb * bin_size)
+    vals, pos = lax.top_k(cand, k)
+    ids = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return vals, ids, unsel
+
+
+def topk_full_tail_bm(
+    scores_bm: jnp.ndarray,  # (B, N) bin-major scores (retained phase 1)
+    binmax_bm: jnp.ndarray,  # (B, nb)
+    qsel: jnp.ndarray,  # (B_esc,) int32 query rows to escalate
+    k: int,
+    bin_size: int,
+    super_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Escalation tail for the probed cover: re-run the FULL two-level
+    selection for the uncertified queries on the RETAINED phase-1 score
+    matrix — the matmul (the dominant fixed cost) is never recomputed.
+    Results are exactly those of ``topk_ip_bins_two_level`` for the
+    selected rows."""
+    s = jnp.take(scores_bm, qsel, axis=0)
+    m = jnp.take(binmax_bm, qsel, axis=0)
+    return _topk_from_bins_two_level_bm(s, m, k, bin_size, super_size)
+
+
+def topk_ip_bins_two_level_probed(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    probe_bins: int,
+    bin_size: int = 8,
+    super_size: Optional[int] = None,
+    tile_b: Optional[int] = None,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    n_valid=None,
+    score_dtype=jnp.float32,
+    keep_scores: bool = False,
+):
+    """Certified probed-exact deep-k: the two-level cover probes only
+    ``probe_bins`` bins and certifies per-query exactness against the
+    true unselected-bin maxima (`_topk_from_bins_two_level_bm_probed`).
+
+    Returns ``(vals, ids, cert, unsel)`` — or with ``keep_scores=True``
+    ``(vals, ids, cert, unsel, scores_bm, binmax_bm)`` so the caller can
+    escalate uncertified queries through :func:`topk_full_tail_bm`
+    without re-running phase 1 (``unsel`` lets a sharded merge recompute
+    the certificate against the MERGED kth value). The combination is
+    ALWAYS exact; the adaptive tail just prices easy (clustered)
+    workloads at the probed cost. Replaces the reference's fixed FAISS
+    search cost model (`onepass_dense_run.py:326` searches every query
+    at full depth).
+    """
+    if probe_bins * bin_size < k:
+        raise ValueError(
+            f"probe_bins={probe_bins} x bin_size={bin_size} < k={k}: "
+            "the probed cover cannot hold k candidates"
+        )
+    if super_size is None:
+        super_size = _auto_super_size(k)
+    if tile_b is None:
+        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+        tile_b = int(get_tuned("topk.tile_b", k=k))
+    (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
+        k, n_valid, tile_b, tile_n, interpret, [docs], [queries],
+        chunk=bin_size * super_size,
+    )
+    scores_bm, binmax_bm = _bin_scores_pallas_bm(
+        queries, docs, bin_size, n_valid, tile_b=eff_tile_b,
+        tile_n=tile_n, interpret=interpret, score_dtype=score_dtype,
+    )
+    if b_pad != b:
+        scores_bm = scores_bm[:b]
+        binmax_bm = binmax_bm[:b]
+    nb = binmax_bm.shape[1]
+    vals, ids, unsel = _topk_from_bins_two_level_bm_probed(
+        scores_bm, binmax_bm, k, bin_size, super_size, min(probe_bins, nb)
+    )
+    cert = vals[:, k - 1] > unsel
+    if keep_scores:
+        return vals, ids, cert, unsel, scores_bm, binmax_bm
+    return vals, ids, cert, unsel
+
+
 def topk_ip_bins_two_level(
     queries: jnp.ndarray,
     docs: jnp.ndarray,

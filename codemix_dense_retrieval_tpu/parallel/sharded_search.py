@@ -309,6 +309,200 @@ def sharded_topk_ip_sketch(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _build_sharded_adaptive_search(
+    mesh: Mesh,
+    axis: str,
+    k: int,
+    probe_bins: int,
+    bin_size: int,
+    super_size: int,
+    tile_n: int,
+    tile_b: int,
+    interpret: bool,
+    rows_per_shard: int,
+):
+    """Compiled sharded PROBED-EXACT search: each shard runs the probed
+    two-level cover (`ops.topk.topk_ip_bins_two_level_probed`) and
+    RETAINS its phase-1 score matrix; the merge is the exact path's
+    all-gather + sort. The global certificate composes the per-shard
+    TRUE unselected-bin bounds against the MERGED kth value:
+    merged-kth > max_s bound_s ⇒ every non-candidate row on every shard
+    scores strictly below the merged kth ⇒ the merged top-k is exact.
+    (A per-shard AND would be needlessly strict: a query's topical rows
+    live on one shard; distant shards certify because ALL their bins
+    score low, not because their local top-k concentrates.) The retained
+    (B, N) scores stay column-sharded on the mesh for the escalation
+    tail (`_build_sharded_adaptive_tail`)."""
+
+    def local_search(q, d, cnt):
+        shard_id = lax.axis_index(axis)
+        vals, idx, _cert, unsel, scores_bm, binmax_bm = (
+            topk_ops.topk_ip_bins_two_level_probed(
+                q, d, k, probe_bins=probe_bins, bin_size=bin_size,
+                super_size=super_size, tile_b=tile_b, tile_n=tile_n,
+                interpret=interpret, n_valid=cnt[0], keep_scores=True,
+            )
+        )
+        gids = idx + shard_id * rows_per_shard
+        vals_all = lax.all_gather(vals, axis, axis=1, tiled=True)  # (B, S*k)
+        gids_all = lax.all_gather(gids, axis, axis=1, tiled=True)
+        unsel_max = lax.pmax(unsel, axis)  # (B,) max unselected bound
+        neg, ids = lax.sort((-vals_all, gids_all), num_keys=2)
+        merged_vals = -neg[:, :k]
+        cert = merged_vals[:, k - 1] > unsel_max
+        return merged_vals, ids[:, :k], cert, scores_bm, binmax_bm
+
+    return jax.jit(
+        shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis)),
+            out_specs=(P(), P(), P(), P(None, axis), P(None, axis)),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_adaptive_tail(
+    mesh: Mesh,
+    axis: str,
+    k: int,
+    bin_size: int,
+    super_size: int,
+    rows_per_shard: int,
+):
+    """Escalation tail over the RETAINED column-sharded scores: full
+    two-level selection for the escalated query rows only — phase 1 (the
+    matmul, the dominant fixed cost) is never recomputed."""
+
+    def local_tail(scores_bm, binmax_bm, qsel):
+        shard_id = lax.axis_index(axis)
+        vals, idx = topk_ops.topk_full_tail_bm(
+            scores_bm, binmax_bm, qsel, k, bin_size, super_size
+        )
+        gids = idx + shard_id * rows_per_shard
+        vals_all = lax.all_gather(vals, axis, axis=1, tiled=True)
+        gids_all = lax.all_gather(gids, axis, axis=1, tiled=True)
+        neg, ids = lax.sort((-vals_all, gids_all), num_keys=2)
+        return -neg[:, :k], ids[:, :k]
+
+    return jax.jit(
+        shard_map(
+            local_tail,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_topk_ip_adaptive(
+    queries: jnp.ndarray,
+    docs_sharded: jax.Array,
+    counts: jax.Array,
+    k: int,
+    *,
+    mesh: Mesh,
+    axis: str = "shard",
+    probe_bins: Optional[int] = None,
+    expand: float = 2.0,
+    bin_size: int = 8,
+    super_size: Optional[int] = None,
+    tile_n: int = 1024,
+    tile_b: int = 512,
+    interpret: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """ALWAYS-EXACT adaptive top-k over a row-sharded index.
+
+    Probes ``probe_bins`` bins per shard with true-bin-max exactness
+    certificates, then escalates only the uncertified queries:
+
+    - escalated fraction <= 1/2: re-run ONLY the selection tail on the
+      retained phase-1 scores (matmul never recomputed) — worst case a
+      few % over the fixed cover, best case the probed tail's cost;
+    - escalated fraction > 1/2 (adversarial/unclustered data): free the
+      retained scores first, then run the fixed-cover path for the
+      escalated set (bounds peak HBM to one score matrix).
+
+    Returns ``(values (B, k) f32, global ids (B, k) int32, stats)`` with
+    ``stats["certified_frac"]`` the probe's certificate rate. Results are
+    bit-identical to :func:`sharded_topk_ip` for every query. Certificate
+    rate is a row-order property — see
+    :meth:`DenseFlatIndex.reorder_rows`.
+    """
+    from codemix_dense_retrieval_tpu.ops.sketch import _default_probe_bins
+    from codemix_dense_retrieval_tpu.utils import next_pow2
+
+    s = mesh.shape[axis]
+    rows_per_shard = docs_sharded.shape[0] // s
+    if k > rows_per_shard:
+        raise ValueError(
+            f"k={k} > rows_per_shard={rows_per_shard}; lower k or use fewer shards"
+        )
+    if docs_sharded.dtype == jnp.int8:
+        raise NotImplementedError(
+            "adaptive probed-exact search supports bf16/f32 indexes; "
+            "int8 indexes use the fixed cover (sharded_topk_ip) or the "
+            "int8 sketch tier"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if super_size is None:
+        from codemix_dense_retrieval_tpu.ops.topk import _auto_super_size
+
+        super_size = _auto_super_size(k)
+    nb_local = rows_per_shard // bin_size
+    if probe_bins is None:
+        probe_bins = _default_probe_bins(k, bin_size, nb_local, expand)
+    probe_bins = max(min(probe_bins, nb_local), -(-k // bin_size))
+    fn = _build_sharded_adaptive_search(
+        mesh, axis, k, probe_bins, bin_size, super_size, tile_n, tile_b,
+        bool(interpret), rows_per_shard,
+    )
+    vals, gids, cert, scores_bm, binmax_bm = fn(queries, docs_sharded, counts)
+    cert_np = np.asarray(cert)
+    b = len(cert_np)
+    stats = {"certified_frac": float(cert_np.mean()), "probe_bins": probe_bins}
+    if cert_np.all():
+        del scores_bm, binmax_bm
+        return np.asarray(vals), np.asarray(gids), stats
+    bad = np.flatnonzero(~cert_np)
+    vals_np = np.asarray(vals).copy()
+    gids_np = np.asarray(gids).copy()
+    if len(bad) <= b // 2:
+        # tail-only escalation on the retained scores, pow2-bucketed so
+        # each distinct escalation size is one compile
+        bucket = min(next_pow2(len(bad)), b)
+        qsel = np.zeros(bucket, np.int32)
+        qsel[: len(bad)] = bad
+        tail = _build_sharded_adaptive_tail(
+            mesh, axis, k, bin_size, super_size, rows_per_shard
+        )
+        ev, eg = tail(scores_bm, binmax_bm, jnp.asarray(qsel))
+        del scores_bm, binmax_bm
+        vals_np[bad] = np.asarray(ev)[: len(bad)]
+        gids_np[bad] = np.asarray(eg)[: len(bad)]
+    else:
+        del scores_bm, binmax_bm  # free BEFORE the full-path score matrix
+        bucket = min(next_pow2(len(bad)), b)
+        q = jnp.asarray(queries)
+        # keep the caller's query dtype: the probed main path scored the
+        # queries as passed, so the escalation must too (bit-parity)
+        sub = jnp.zeros((bucket, q.shape[1]), q.dtype).at[: len(bad)].set(q[bad])
+        ev, eg = sharded_topk_ip(
+            sub, docs_sharded, counts, k,
+            mesh=mesh, axis=axis, bin_size=None, tile_n=tile_n,
+            interpret=interpret,
+        )
+        vals_np[bad] = np.asarray(ev)[: len(bad)]
+        gids_np[bad] = np.asarray(eg)[: len(bad)]
+    stats["escalated"] = int(len(bad))
+    return vals_np, gids_np, stats
+
+
 def sharded_topk_ip(
     queries: jnp.ndarray,
     docs_sharded: jax.Array,
