@@ -101,6 +101,14 @@ class TextEncoder:
         else:
             _deq = lambda p: p  # noqa: E731
         self.params = params
+        # Params must live ON DEVICE once: numpy leaves (checkpoint loads
+        # via load_params_npz, quantize_tree's codes/scales) passed as jit
+        # arguments are re-uploaded on EVERY forward call — through the
+        # relay tunnel that turned the int8-quantized encode into 11.5 p/s
+        # vs 721 p/s f32 (bench_logs r4s3 encode_e2e_q8: 735 s of
+        # "dispatch" was param re-upload). The mesh path below re-puts
+        # with an explicit replicated sharding; this covers single-device.
+        self.params = jax.device_put(self.params)
         # data-parallel corpus encode over the mesh (SURVEY §2.3: "shard
         # the passage stream across devices" — the 4-way process
         # parallelism of run_encode_index_groups.sh:35-58 becomes GSPMD
