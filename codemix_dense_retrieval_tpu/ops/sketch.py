@@ -158,40 +158,76 @@ def fit_sketch(
     return np.ascontiguousarray(eigvecs[:, order].astype(np.float32))
 
 
+# round-to-nearest bf16 relative rounding bound: 8 mantissa bits
+# (incl. implicit) -> |v - bf16(v)| <= 2^-8 |v|
+_BF16_EPS = 2.0 ** -8
+
+
+def _sketch_with_err(
+    x: jnp.ndarray, proj: jnp.ndarray, sketch_dtype
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared sketch projection: returns (stored sketch ``s`` in
+    ``sketch_dtype``, tail norms ``t = ||x - P f32(s)||``, in-range
+    rounding norms ``e = ||P^T x - f32(s)||``) — all bounds are for the
+    STORED (possibly bf16-rounded) sketch, so the score-bound
+    decomposition ``q.x <= s_q.s_d + t_q t_d + e_q||s_d|| + ||s_q||e_d``
+    holds with the exact values the phase-1 kernel multiplies."""
+    x = x.astype(jnp.float32)
+    # HIGHEST precision: TPU f32 matmuls otherwise round operands to
+    # bf16 on the MXU and the projection itself would be silently lossy
+    # beyond the accounted sketch_dtype rounding
+    s_full = lax.dot_general(
+        x, proj.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )
+    s = s_full.astype(sketch_dtype)
+    s32 = s.astype(jnp.float32)
+    err = s_full - s32
+    e = jnp.sqrt(jnp.sum(err * err, axis=1))
+    # ||x - P s32||^2 = ||x||^2 - 2 (P^T x).s32 + ||s32||^2 (P
+    # orthonormal); relu guards round-off at near-zero tails
+    t2 = jnp.maximum(
+        jnp.sum(x * x, axis=1)
+        - 2.0 * jnp.sum(s_full * s32, axis=1)
+        + jnp.sum(s32 * s32, axis=1),
+        0.0,
+    )
+    return s, jnp.sqrt(t2), e
+
+
 def sketch_rows(
-    docs: jnp.ndarray, proj: jnp.ndarray
+    docs: jnp.ndarray, proj: jnp.ndarray, sketch_dtype=jnp.bfloat16
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row sketch + tail-norm bound (jit-able; row-sharded inputs stay
     row-sharded — the matmul has no cross-row contraction).
 
-    Returns (sketch (N, ds) f32, tails (N,) f32) with
-    ``tails[i] >= ||x_i - P P^T x_i||`` for the f32 value of row i.
+    Returns (sketch (N, ds) ``sketch_dtype``, tails (N,) f32) with
+    ``tails[i] >= ||x_i - P f32(sketch_i)||`` for the f32 value of row i
+    — the tail is computed against the ROUNDED stored sketch, so it
+    absorbs the storage quantization except the in-range component
+    (bounded by ``_BF16_EPS * ||sketch_i||`` and folded into the
+    per-query certificate slack by :func:`topk_ip_sketch`).
+
+    bf16 storage is the fast path: phase 1's ub matmul runs the MXU at
+    native bf16 rate (one pass) instead of the f32 HIGHEST 6-pass
+    emulation that made the sketch tier 0.75x of EXACT search's cost at
+    ds=d/8 (bench_logs r4c: fused sketch 0.48x exact). Pass
+    ``sketch_dtype=jnp.float32`` to reproduce the legacy tier.
     """
-    x = docs.astype(jnp.float32)
-    # HIGHEST precision: TPU f32 matmuls otherwise round operands to
-    # bf16 on the MXU, and a rounded sketch would undercut the tail
-    # bound the exactness certificate leans on (DEFAULT_CERT_MARGIN is
-    # sized for f32 accumulation, not bf16 rounding)
-    s = lax.dot_general(
-        x, proj.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-    )
-    # ||x_tail||^2 = ||x||^2 - ||P^T x||^2 (P orthonormal); relu guards
-    # round-off at near-zero tails
-    t2 = jnp.maximum(jnp.sum(x * x, axis=1) - jnp.sum(s * s, axis=1), 0.0)
-    return s, jnp.sqrt(t2)
+    s, t, _ = _sketch_with_err(docs, proj, sketch_dtype)
+    return s, t
 
 
 # shared jitted instance — every jax.jit(sketch_rows) call would own a
 # separate trace cache, recompiling per call site
-sketch_rows_jit = jax.jit(sketch_rows)
+sketch_rows_jit = jax.jit(sketch_rows, static_argnames=("sketch_dtype",))
 
 
 def sketch_queries(
-    queries: jnp.ndarray, proj: jnp.ndarray
+    queries: jnp.ndarray, proj: jnp.ndarray, sketch_dtype=jnp.bfloat16
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Query-side sketch: (q_sketch (B, ds) f32, q_tail_norm (B,) f32)."""
-    return sketch_rows(queries, proj)
+    """Query-side sketch: (q_sketch (B, ds), q_tail_norm (B,) f32)."""
+    return sketch_rows(queries, proj, sketch_dtype)
 
 
 # --------------------------------------------------------------------------
@@ -207,11 +243,19 @@ def _binub_pallas_kernel(nv_ref, qs_ref, qt_ref, ds_ref, dt_ref, binub_ref,
     # False`` keeps the (nb, B) orientation when the bin-major block
     # would be lane-illegal (ops.topk._binmax_bm_legal).
     j = pl.program_id(1)
+    # bf16 sketches (the fast default): bf16 x bf16 products are exact in
+    # the f32 accumulator at DEFAULT precision — one native-rate MXU pass.
+    # f32 sketches (legacy) need HIGHEST or the MXU silently rounds the
+    # operands to bf16, undercutting the bound by ~2^-8.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if ds_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     s = jax.lax.dot_general(
         ds_ref[:], qs_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # see sketch_rows: the ub
-        # bound must not lose mantissa to the MXU's bf16 f32-matmul path
+        precision=prec,
     )  # (tile_n, tile_b)
     ub = s + dt_ref[:] * qt_ref[:].reshape(1, -1)
     n_valid = nv_ref[0]
@@ -274,7 +318,9 @@ def _binub_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_pad * ds,
             bytes_accessed=(
-                b * ds * 4 + n_pad * ds * 4 + n_pad * 4
+                b * ds * q_sketch.dtype.itemsize
+                + n_pad * ds * d_sketch.dtype.itemsize
+                + n_pad * 4
                 + b * (n_pad // bin_size) * 4
             ),
             transcendentals=0,
@@ -289,6 +335,22 @@ def _binub_pallas(
 # --------------------------------------------------------------------------
 # phase 2: cover + certificate bound
 # --------------------------------------------------------------------------
+
+def _sketch_round_slack(d_sketch, q_sketch, q_err):
+    """Per-query certificate slack for ROUNDED (bf16-stored) sketches —
+    0 when the sidecar is f32. The phase-1 kernel's ub misses the two
+    in-range rounding cross terms of the decomposition
+        q.x <= s_q.s_d + t_q t_d + e_q ||s_d|| + ||s_q|| e_d
+    (tails are already computed vs the ROUNDED sketches — sketch_rows).
+    e_q is exact per query; e_d is bounded by
+    _BF16_EPS * ||s_d_full|| <= _BF16_EPS/(1-eps) * max ||s_d||."""
+    if d_sketch.dtype == jnp.float32:
+        return jnp.zeros((), jnp.float32)
+    d_sk32 = d_sketch.astype(jnp.float32)
+    d_snorm_max = jnp.sqrt(jnp.max(jnp.sum(d_sk32 * d_sk32, axis=1)))
+    q_snorm = jnp.sqrt(jnp.sum(q_sketch.astype(jnp.float32) ** 2, axis=1))
+    return d_snorm_max * (q_err + _BF16_EPS * 1.01 * q_snorm)
+
 
 def _default_probe_bins(k: int, bin_size: int, nb: int, expand: float) -> int:
     min_bins = -(-k // bin_size)
@@ -340,7 +402,8 @@ def topk_ip_sketch(
     # precision over the (now exactly-representable) rounded values.
     if queries.dtype != docs.dtype and jnp.issubdtype(docs.dtype, jnp.floating):
         queries = queries.astype(docs.dtype).astype(jnp.float32)
-    q_sketch, q_tail = sketch_queries(queries, proj)
+    sketch_dt = d_sketch.dtype
+    q_sketch, q_tail, q_err = _sketch_with_err(queries, proj, sketch_dt)
     # With sub-f32 docs the products are exact (bf16 x bf16 fits f32) and
     # only f32 accumulation remains, which DEFAULT_CERT_MARGIN covers.
     # f32 docs still get operand-rounded inside the DEFAULT-precision
@@ -351,13 +414,20 @@ def topk_ip_sketch(
     # unit vectors) — a backend == "tpu" gate here certified falsely on
     # CPU f32 indexes.
     cert_margin = jnp.asarray(cert_margin, jnp.float32)
+    cert_margin = cert_margin + _sketch_round_slack(d_sketch, q_sketch, q_err)
     if jnp.dtype(docs.dtype).itemsize >= 4:
         eps = 2.0 ** -9
-        row_norm_max = jnp.sqrt(
-            jnp.max(jnp.sum(d_sketch * d_sketch, axis=1) + d_tail * d_tail)
-        )
+        # reconstruct ||row|| from the sidecars in f32; the stored sketch
+        # may be rounded, so inflate its norm by the in-range rounding
+        # bound (||x||^2 <= (||s32|| + e_d)^2 + t^2)
+        d_sk32 = d_sketch.astype(jnp.float32)
+        d_snorm = jnp.sqrt(jnp.sum(d_sk32 * d_sk32, axis=1))
+        if sketch_dt != jnp.float32:
+            d_snorm = d_snorm * (1.0 + 1.01 * _BF16_EPS)
+        row_norm_max = jnp.sqrt(jnp.max(d_snorm * d_snorm + d_tail * d_tail))
+        q_sk32 = q_sketch.astype(jnp.float32)
         q_norm = jnp.sqrt(
-            jnp.sum(q_sketch * q_sketch, axis=1) + q_tail * q_tail
+            jnp.sum(q_sk32 * q_sk32, axis=1) + q_err * q_err + q_tail * q_tail
         )
         cert_margin = cert_margin + 2.0 * eps * q_norm * row_norm_max
 
@@ -472,11 +542,13 @@ def topk_ip_sketch_int8(
     # sees the same effective query the exact int8 kernels see
     q_i8, q_sc = quantize_rows(queries.astype(jnp.float32))
     q_eff = q_i8.astype(jnp.float32) * q_sc[:, None]
-    q_sketch, q_tail = sketch_queries(q_eff, proj)
-    # no TPU-f32 operand-rounding margin needed here: the bound-side
-    # matmuls run HIGHEST over exactly-representable values, and the
-    # rescore accumulates in int32 (exact)
+    q_sketch, q_tail, q_err = _sketch_with_err(q_eff, proj, d_sketch.dtype)
+    # no TPU-f32 operand-rounding margin needed for the SCORES here: the
+    # rescore accumulates in int32 (exact) over exactly-representable
+    # values; only the sketch-STORAGE rounding terms apply (same slack as
+    # the float tier when the sidecar is bf16)
     cert_margin = jnp.asarray(cert_margin, jnp.float32)
+    cert_margin = cert_margin + _sketch_round_slack(d_sketch, q_sketch, q_err)
 
     def rescore(doc_payload, q_payload, bin_ids, nv):
         dv, dsc = doc_payload
