@@ -771,6 +771,7 @@ class DenseFlatIndex:
         return_docids: bool = True,
         query_block: int = 0,
         approx: Union[bool, str] = False,
+        probe_bins: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k. Returns (scores (B,k) f32, docids (B,k) object) —
         or raw global row ids with ``return_docids=False``.
@@ -795,6 +796,12 @@ class DenseFlatIndex:
         the probe when certificates fire (a row-order property: see
         :meth:`reorder_rows`); per-call stats in
         ``self.last_adaptive_stats``.
+
+        ``probe_bins`` overrides the probe depth of the ``"adaptive"``
+        and sketch tiers for this call (the FAISS ``nprobe`` analog; for
+        clustered data size it to cover a topical cluster,
+        ``~rows_per_cluster / bin_size``). ``None`` keeps the calibrated/
+        default resolution.
         """
         if self._docs_dev is None:
             self.to_device()
@@ -858,6 +865,7 @@ class DenseFlatIndex:
                         self._counts_dev,
                         k,
                         mesh=self.mesh,
+                        probe_bins=probe_bins,
                         **{
                             kk: vv
                             for kk, vv in self.search_kwargs.items()
@@ -913,7 +921,11 @@ class DenseFlatIndex:
                 sharded_topk_ip_sketch,
             )
 
-            probe = skw["probe_by_k"].get(k, skw["probe_bins"])
+            probe = (
+                probe_bins
+                if probe_bins is not None
+                else skw["probe_by_k"].get(k, skw["probe_bins"])
+            )
             pending = [
                 sharded_topk_ip_sketch(
                     jnp.asarray(blk, dtype),

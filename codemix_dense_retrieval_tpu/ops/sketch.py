@@ -12,8 +12,12 @@ algorithm beats. This module breaks it for workloads that can tolerate
 
 1. **Build**: fit an orthonormal projection ``P (d, ds)`` by *uncentered*
    PCA over a row sample (uncentered because IP decomposes only under a
-   linear map: ``q.x = (P^T q).(P^T x) + q_tail.x_tail``). Store the f32
-   sketch ``S = X P`` and per-row tail norms ``t_x = ||x - P P^T x||``.
+   linear map: ``q.x = (P^T q).(P^T x) + q_tail.x_tail``). Store the
+   sketch ``S = bf16(X P)`` (bf16 so phase 2's matmul runs the MXU at
+   native rate — f32 would force a 6-pass HIGHEST emulation costing
+   almost as much as exact search) and per-row tail norms
+   ``t_x = ||x - P f32(S_x)||`` — computed against the ROUNDED stored
+   sketch, so storage quantization is inside the bound.
 2. **Probe**: a fused kernel computes per-bin maxima of the score UPPER
    BOUND ``ub(x) = s_q . s_x + ||q_tail|| * t_x >= q . x`` (Cauchy-
    Schwarz on the orthogonal complement) — reading ``ds/d`` of the
@@ -31,7 +35,7 @@ Recall/speed trade via ``probe_bins`` (the FAISS ``nprobe`` analog);
 ``certified`` lets callers escalate uncertified queries to the exact
 path instead of trusting a recall estimate.
 
-Storage overhead: ``N*(ds*4+4)`` bytes — 1/4 of a bf16 index at
+Storage overhead: ``N*(ds*2+4)`` bytes — ~1/7 of a bf16 index at
 ds=d/8. Real sentence-embedding matrices are strongly anisotropic (the
 reference measures this itself: `cm_embedding_space_analysis.py`
 anisotropy/ABTT sections), so a small ``ds`` captures most energy and

@@ -25,14 +25,20 @@ def test_bench_sketch_phase_banks_keys_incrementally():
     rng = np.random.default_rng(0)
     docs = jnp.asarray(rng.standard_normal((2048, 128), dtype=np.float32))
     queries = jnp.asarray(rng.standard_normal((64, 128), dtype=np.float32))
-    bench._bench_sketch(jax, jnp, docs, queries, 16, 64, iters=1, interpret=True)
+    bench._bench_sketch(
+        jax, jnp, docs, queries, 8, 16, 64, iters=1, interpret=True
+    )
     r = bench._RESULT
-    assert r["sketch_qps_k16"] > 0
-    assert 0.0 <= r["sketch_cert_frac"] <= 1.0
-    assert r["sketch_cert_violations"] == 0
+    for depth in (8, 16):
+        assert r[f"sketch_qps_k{depth}"] > 0
+        assert 0.0 <= r[f"sketch_cert_frac_k{depth}"] <= 1.0
+        assert r[f"sketch_cert_violations_k{depth}"] == 0
+        assert 0.0 <= r[f"sketch_recall_k{depth}"] <= 1.0
     assert r["guaranteed_qps_k16"] > 0
-    # escalation count matches the uncertified fraction
-    assert r["guaranteed_escalated"] == round((1 - r["sketch_cert_frac"]) * 64)
+    # escalation count matches the uncertified fraction of the deep depth
+    assert r["guaranteed_escalated"] == round(
+        (1 - r["sketch_cert_frac_k16"]) * 64
+    )
     # guaranteed cannot be faster than plain sketch
     assert r["guaranteed_qps_k16"] <= r["sketch_qps_k16"] + 1e-6
 
