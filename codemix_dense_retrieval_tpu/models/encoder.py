@@ -194,6 +194,10 @@ class TextEncoder:
     # ------------------------------------------------------------------
 
     _PREFETCH_DEPTH = 3
+    # dense-output readbacks coalesced per transfer (see _encode): the
+    # relay charges a fixed RPC latency per device->host read, so small
+    # per-batch reads are latency-bound, not bandwidth-bound
+    _READ_COALESCE = 4
 
     @staticmethod
     def _length_order(texts: Sequence[str]) -> np.ndarray:
@@ -362,23 +366,43 @@ class TextEncoder:
         task = jnp.asarray(task_id, jnp.int32)
         # result readback rides a READER thread: batch i's device->host
         # transfer overlaps batch i+1's dispatch, and the in-flight
-        # window bounds how many batch outputs stay device-resident
-        # (A/B on the relay measured this perf-neutral for the ~1 MB
-        # dense outputs — 749 vs 767 p/s, within noise — the window
-        # matters for the ~100x larger token outputs below)
-        def read(dev, n):
-            return np.asarray(dev)[:n].astype(np.float32)
+        # window bounds how many batch outputs stay device-resident.
+        # Dense outputs are COALESCED device-side (_READ_COALESCE batches
+        # concatenated into one transfer): each relay readback pays a
+        # ~65 ms RPC round-trip regardless of size (r4s3 phase stats:
+        # 6.2 s of the 25.3 s e2e wall was per-batch readback overhead at
+        # 80 batches), so fewer+larger transfers close most of the
+        # e2e-vs-forward-only gap. Token outputs (~100 MB/batch) are NOT
+        # coalesced — see _encode_tokens.
+        def read(dev, ns):
+            host = np.asarray(dev)
+            b = dev.shape[0] // len(ns)
+            return np.concatenate(
+                [
+                    host[i * b : i * b + n].astype(np.float32)
+                    for i, n in enumerate(ns)
+                ],
+                axis=0,
+            )
 
         stats = self.last_phase_stats = self._new_phase_stats()
-        out = self._overlap_read(
-            (
-                (read, (self._fwd(self.params, ids_p, mask_p, task), n))
-                for ids_p, mask_p, n in self._batch_inputs(
-                    texts, batch_size, prefix, max_length, stats=stats
-                )
-            ),
-            stats=stats,
-        )
+
+        def jobs():
+            group, ns = [], []
+            for ids_p, mask_p, n in self._batch_inputs(
+                texts, batch_size, prefix, max_length, stats=stats
+            ):
+                group.append(self._fwd(self.params, ids_p, mask_p, task))
+                ns.append(n)
+                if len(group) == self._READ_COALESCE:
+                    # concat dispatched on the MAIN thread (dispatch order
+                    # stays single-threaded; the reader only transfers)
+                    yield read, (jnp.concatenate(group, axis=0), tuple(ns))
+                    group, ns = [], []
+            if group:
+                yield read, (jnp.concatenate(group, axis=0), tuple(ns))
+
+        out = self._overlap_read(jobs(), stats=stats)
         if not out:
             dim = self.cfg.hidden_size
             return np.zeros((0, dim), np.float32)
