@@ -17,6 +17,7 @@ numpy docid table lookup over the returned global row ids.
 
 from __future__ import annotations
 
+import time
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -44,6 +45,9 @@ _scatter_update = jax.jit(lambda a, p, v: a.at[p].set(v), donate_argnums=0)
 # escalation on top (measured 0.33-0.35x exact live) — worse than exact
 # with no compensating benefit.
 GUARANTEED_CERT_FLOOR = 0.05
+# guaranteed mode routes through the (always-exact) adaptive probed
+# cover when calibrate_adaptive measured at least this speedup vs exact
+ADAPTIVE_ROUTE_MARGIN = 1.05
 
 
 def _bucket_scatter(positions: np.ndarray, rows: np.ndarray):
@@ -82,6 +86,15 @@ class DenseFlatIndex:
         self._sketch = None  # (sketch_sharded, tails_sharded, proj, kwargs)
         self.last_certified: Optional[np.ndarray] = None
         self.last_adaptive_stats: Optional[dict] = None
+        # calibrate_adaptive's remembered operating points (per clamped
+        # k): probe depth, measured speedup vs exact, certificate rate.
+        # guaranteed mode routes through the adaptive tier when the
+        # remembered speedup clears ADAPTIVE_ROUTE_MARGIN (it is exact by
+        # construction, so speed is the only criterion).
+        self._adaptive_cal = {
+            "probe_by_k": {}, "speedup_by_k": {}, "cert_by_k": {},
+        }
+        self.last_guaranteed_route: Optional[str] = None
         self._mutable = None  # host mirror for online add/remove
         # bumped by every add/remove; consumers that cache row-aligned
         # sidecars (TwoStageSearcher's token store) check it to detect
@@ -605,6 +618,14 @@ class DenseFlatIndex:
                             int(ck): float(cv)
                             for ck, cv in zip(z["cert_ks"], z["cert_vals"])
                         }
+                    if "a_ks" in z.files:  # adaptive operating points
+                        for ak, pv, sv, cv in zip(
+                            z["a_ks"], z["a_probe_vals"],
+                            z["a_speedup_vals"], z["a_cert_vals"],
+                        ):
+                            self._adaptive_cal["probe_by_k"][int(ak)] = int(pv)
+                            self._adaptive_cal["speedup_by_k"][int(ak)] = float(sv)
+                            self._adaptive_cal["cert_by_k"][int(ak)] = float(cv)
             except Exception:  # corrupt/truncated cache: refit, don't brick
                 from codemix_dense_retrieval_tpu.utils.logging import get_logger
 
@@ -646,6 +667,8 @@ class DenseFlatIndex:
         cert_by_k = skw.get("cert_by_k", {})
         # temp + atomic replace: a torn sketch.npz would brick restarts
         # (.npz-suffixed temp name so np.savez doesn't append another)
+        acal = self._adaptive_cal
+        a_ks = sorted(acal["probe_by_k"])
         tmp = skw["cache_path"].with_name(skw["cache_path"].stem + ".tmp.npz")
         np.savez(
             tmp,
@@ -658,6 +681,17 @@ class DenseFlatIndex:
             cert_ks=np.asarray(sorted(cert_by_k), np.int64),
             cert_vals=np.asarray(
                 [cert_by_k[ck] for ck in sorted(cert_by_k)], np.float32
+            ),
+            # adaptive-tier operating points (calibrate_adaptive)
+            a_ks=np.asarray(a_ks, np.int64),
+            a_probe_vals=np.asarray(
+                [acal["probe_by_k"][ak] for ak in a_ks], np.int64
+            ),
+            a_speedup_vals=np.asarray(
+                [acal["speedup_by_k"].get(ak, 0.0) for ak in a_ks], np.float32
+            ),
+            a_cert_vals=np.asarray(
+                [acal["cert_by_k"].get(ak, 0.0) for ak in a_ks], np.float32
             ),
         )
         os.replace(tmp, skw["cache_path"])
@@ -761,6 +795,83 @@ class DenseFlatIndex:
             "certified_frac": cert_frac,
         }
 
+    def calibrate_adaptive(
+        self,
+        queries: Union[np.ndarray, jnp.ndarray],
+        k: int,
+        *,
+        max_probe_factor: int = 64,
+        iters: int = 2,
+    ) -> Optional[dict]:
+        """Pick the FASTEST measured probe depth for
+        ``search(approx="adaptive")`` at depth ``k`` on sample queries.
+
+        Unlike :meth:`calibrate_sketch` there is no recall target: the
+        adaptive tier is exact by construction (uncertified queries
+        escalate on the retained scores), so probe depth only trades
+        probe cost against escalation cost and wall time IS the
+        objective. Doubling sweep over probe depths, keeping the global
+        best; stops once everything certifies (deeper probes can only
+        cost more). Remembers ``probe_by_k`` (used by subsequent adaptive
+        searches), the measured ``speedup`` vs this index's exact path,
+        and the certificate rate; ``search(approx="guaranteed")`` routes
+        through the adaptive tier when the remembered speedup clears
+        ``ADAPTIVE_ROUTE_MARGIN``. Persisted with the sketch cache when
+        one is armed. Returns ``None`` on int8 stores (adaptive falls
+        back to exact there)."""
+        if self._docs_dev is None:
+            self.to_device()
+        if self._is_int8():
+            return None
+        k = min(k, self.count, self._rows_per_shard)
+        from codemix_dense_retrieval_tpu.ops.sketch import DEFAULT_BIN_SIZE
+
+        bin_size = self._sketch_kernel_kwargs().get("bin_size", DEFAULT_BIN_SIZE)
+        min_bins = -(-k // bin_size)
+        max_bins = self._rows_per_shard // bin_size
+
+        def timed(fn):
+            fn()  # compile/warm
+            ts = []
+            for _ in range(max(1, iters)):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            return ts[len(ts) // 2]
+
+        t_exact = timed(
+            lambda: self.search(queries, k, return_docids=False)
+        )
+        best = None  # (t, probe, cert)
+        factor = 1
+        while factor <= max_probe_factor:
+            probe = min(min_bins * factor, max_bins)
+            t = timed(lambda: self.search(
+                queries, k, return_docids=False, approx="adaptive",
+                probe_bins=probe,
+            ))
+            cert = float(self.last_adaptive_stats["certified_frac"])
+            if best is None or t < best[0]:
+                best = (t, probe, cert)
+            if cert >= 0.999 or probe >= max_bins or t > 2.0 * best[0]:
+                break
+            factor *= 2
+        t_best, probe, cert = best
+        speedup = t_exact / t_best
+        self._adaptive_cal["probe_by_k"][k] = probe
+        self._adaptive_cal["speedup_by_k"][k] = speedup
+        self._adaptive_cal["cert_by_k"][k] = cert
+        if self._sketch is not None:
+            self._save_sketch_cache()
+        return {
+            "probe_bins": probe,
+            "speedup": speedup,
+            "certified_frac": cert,
+            "exact_s": t_exact,
+            "adaptive_s": t_best,
+        }
+
     # ---------------- search ----------------
 
     def search(
@@ -858,6 +969,8 @@ class DenseFlatIndex:
                     sharded_topk_ip_adaptive,
                 )
 
+                if probe_bins is None:  # calibrated operating point
+                    probe_bins = self._adaptive_cal["probe_by_k"].get(k)
                 outs = [
                     sharded_topk_ip_adaptive(
                         jnp.asarray(blk, dtype),
@@ -896,6 +1009,30 @@ class DenseFlatIndex:
                 raise ValueError(
                     f"approx must be True/False/'adaptive'/'guaranteed', got {approx!r}"
                 )
+            if approx == "guaranteed":
+                # the adaptive probed cover is exact BY CONSTRUCTION, so
+                # when calibrate_adaptive measured it faster than the
+                # exact fixed cover on this workload, it IS the best
+                # guaranteed route — no sketch pass, no escalation risk
+                sp = self._adaptive_cal["speedup_by_k"].get(k)
+                if (
+                    sp is not None
+                    and sp >= ADAPTIVE_ROUTE_MARGIN
+                    and self._docs_dev.dtype != jnp.int8
+                ):
+                    from codemix_dense_retrieval_tpu.utils.logging import get_logger
+
+                    get_logger("index").info(
+                        "guaranteed search k=%d: routing through the "
+                        "adaptive tier (calibrated speedup %.2fx)", k, sp,
+                    )
+                    out = self.search(
+                        queries, k, return_docids=return_docids,
+                        query_block=query_block, approx="adaptive",
+                    )
+                    self.last_guaranteed_route = "adaptive"
+                    self.last_guaranteed_direct = False
+                    return out
             if self._sketch is None:
                 self.enable_sketch()
             if approx == "guaranteed":
@@ -962,6 +1099,10 @@ class DenseFlatIndex:
         vals = np.concatenate([np.asarray(p[0]) for p in pending], axis=0)[:n_q]
         gids = np.concatenate([np.asarray(p[1]) for p in pending], axis=0)[:n_q]
         self.last_guaranteed_direct = guaranteed_direct
+        self.last_guaranteed_route = (
+            "exact" if guaranteed_direct
+            else ("sketch" if approx == "guaranteed" else None)
+        )
         if guaranteed_direct:
             # exact results ARE the guarantee; keep the caller contract
             # that guaranteed mode leaves an all-True certificate vector

@@ -256,3 +256,68 @@ class TestIndexAdaptive:
         av, ad = idx.search(qs, 16, approx="adaptive")
         np.testing.assert_array_equal(ad, ed)
         assert idx.last_adaptive_stats is None
+
+    def test_calibrate_adaptive_resolves_probe(self, mesh, rng):
+        """calibrate_adaptive remembers the fastest measured probe and
+        subsequent adaptive searches apply it (nprobe-analog,
+        `index/flat.py calibrate_adaptive`)."""
+        idx, docs = self._mk(rng)
+        qs = rng.standard_normal((16, docs.shape[1])).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+        idx.to_device(mesh, pad_multiple=256, tile_n=256, tile_b=64)
+        idx.reorder_rows(sketch_dim=16, sample=4096)
+        cal = idx.calibrate_adaptive(qs, 32, iters=1)
+        assert cal is not None and cal["probe_bins"] >= 4
+        assert idx._adaptive_cal["probe_by_k"][32] == cal["probe_bins"]
+        assert cal["speedup"] > 0
+        ev, ed = idx.search(qs, 32)
+        av, ad = idx.search(qs, 32, approx="adaptive")
+        np.testing.assert_array_equal(ad, ed)
+        assert idx.last_adaptive_stats["probe_bins"] == cal["probe_bins"]
+
+    def test_guaranteed_routes_through_adaptive(self, mesh, rng):
+        """guaranteed mode uses the (always-exact) adaptive tier when the
+        calibrated speedup clears ADAPTIVE_ROUTE_MARGIN; below it, the
+        sketch/exact routes keep the guarantee."""
+        idx, docs = self._mk(rng)
+        qs = rng.standard_normal((12, docs.shape[1])).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+        idx.to_device(mesh, pad_multiple=256, tile_n=256, tile_b=64)
+        ev, ed = idx.search(qs, 32)
+        idx._adaptive_cal["speedup_by_k"][32] = 2.0  # injected calibration
+        idx._adaptive_cal["probe_by_k"][32] = 16
+        gv, gd = idx.search(qs, 32, approx="guaranteed")
+        np.testing.assert_array_equal(gd, ed)
+        np.testing.assert_allclose(gv, ev, rtol=1e-6)
+        assert idx.last_guaranteed_route == "adaptive"
+        assert idx.last_certified.all()
+        idx._adaptive_cal["speedup_by_k"][32] = 0.9  # below the margin
+        gv2, gd2 = idx.search(qs, 32, approx="guaranteed")
+        np.testing.assert_array_equal(gd2, ed)
+        assert idx.last_guaranteed_route in ("sketch", "exact")
+        assert idx.last_certified.all()
+
+    def test_adaptive_cal_persists_with_sketch_cache(self, mesh, rng, tmp_path):
+        """Adaptive operating points ride the sketch.npz cache across
+        restarts (serving restart keeps its guaranteed routing)."""
+        from codemix_dense_retrieval_tpu.index.flat import DenseFlatIndex
+
+        n, d = 4096, 48
+        docs = rng.standard_normal((n, d)).astype(np.float32)
+        docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+        DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)]).save(
+            tmp_path / "idx"
+        )
+        idx = DenseFlatIndex.load(tmp_path / "idx")
+        idx.to_device(mesh, pad_multiple=256, tile_n=256, tile_b=64)
+        idx.enable_sketch(sketch_dim=16)
+        qs = rng.standard_normal((8, d)).astype(np.float32)
+        cal = idx.calibrate_adaptive(qs, 16, iters=1)
+        assert (tmp_path / "idx" / "sketch.npz").exists()
+        re = DenseFlatIndex.load(tmp_path / "idx")
+        re.to_device(mesh, pad_multiple=256, tile_n=256, tile_b=64)
+        re.enable_sketch(sketch_dim=16)
+        assert re._adaptive_cal["probe_by_k"][16] == cal["probe_bins"]
+        assert re._adaptive_cal["speedup_by_k"][16] == pytest.approx(
+            cal["speedup"], rel=1e-6
+        )
