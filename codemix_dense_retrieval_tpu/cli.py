@@ -735,6 +735,14 @@ def cmd_tune(args) -> None:
             )
             for kk in args.ks
         }
+        if args.adaptive:
+            # adaptive probed-exact operating points on the same probes:
+            # fastest measured probe per depth + speedup-vs-exact (drives
+            # guaranteed-mode routing); persists in the same sketch.npz
+            update["adaptive"] = {
+                str(kk): idx.calibrate_adaptive(probes, kk)
+                for kk in args.ks
+            }
     print(json.dumps(update))
 
 
@@ -1032,6 +1040,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "points persist in its sketch.npz)")
     p.add_argument("--sketch_dim", type=int, default=128)
     p.add_argument("--sketch_recall", type=float, default=0.99)
+    p.add_argument("--adaptive", action="store_true",
+                   help="with --sketch_index: also calibrate the adaptive "
+                        "probed-exact tier (fastest measured probe per "
+                        "depth; guaranteed mode routes through it when "
+                        "faster than exact)")
     p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("run-mix", help="vector-mix alpha sweep over one index")

@@ -356,6 +356,7 @@ class TextEncoder:
         prefix: str,
         max_length: Optional[int],
         task_id: int = 0,
+        readback_dtype=None,
     ) -> np.ndarray:
         # device->host materialization is deferred until all batches are
         # enqueued; tokenization rides the prefetch thread (_batch_inputs);
@@ -389,6 +390,17 @@ class TextEncoder:
 
         def jobs():
             group, ns = [], []
+
+            def flush():
+                cat = jnp.concatenate(group, axis=0)
+                if readback_dtype is not None:
+                    # transfer-dtype downcast (device-side): the tunnel is
+                    # ~10-20 MB/s, and the corpus pipeline stores bf16
+                    # anyway — reading back f32 moves 2x the bytes for
+                    # mantissa the store immediately discards
+                    cat = cat.astype(readback_dtype)
+                return read, (cat, tuple(ns))
+
             for ids_p, mask_p, n in self._batch_inputs(
                 texts, batch_size, prefix, max_length, stats=stats
             ):
@@ -397,10 +409,10 @@ class TextEncoder:
                 if len(group) == self._READ_COALESCE:
                     # concat dispatched on the MAIN thread (dispatch order
                     # stays single-threaded; the reader only transfers)
-                    yield read, (jnp.concatenate(group, axis=0), tuple(ns))
+                    yield flush()
                     group, ns = [], []
             if group:
-                yield read, (jnp.concatenate(group, axis=0), tuple(ns))
+                yield flush()
 
         out = self._overlap_read(jobs(), stats=stats)
         if not out:
@@ -551,10 +563,16 @@ class TextEncoder:
         texts: Sequence[str],
         batch_size: int = 64,
         max_length: Optional[int] = None,
+        readback_dtype=None,
     ) -> np.ndarray:
+        """``readback_dtype`` (e.g. ``jnp.bfloat16``): device-side cast
+        before the device->host transfer — halves tunnel bytes for
+        corpus encodes whose store is bf16 anyway. Returned array is
+        always f32. Queries should keep the default (f32 transfer): the
+        mixing/search paths consume full-precision queries."""
         return self._encode(
             texts, batch_size, dialects.doc_prefix(self.name), max_length,
-            task_id=self._task_id("passage"),
+            task_id=self._task_id("passage"), readback_dtype=readback_dtype,
         )
 
     @property

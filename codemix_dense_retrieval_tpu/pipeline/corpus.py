@@ -350,7 +350,12 @@ def encode_corpus(
                     break
                 continue
             if tok_writer is None:
-                vecs = encoder.encode_documents(keep_texts, batch_size=enc_batch)
+                # bf16 stores never see the f32 mantissa — downcast the
+                # device->host transfer itself (halves tunnel bytes)
+                vecs = encoder.encode_documents(
+                    keep_texts, batch_size=enc_batch,
+                    readback_dtype="bfloat16" if storage_dtype == "bfloat16" else None,
+                )
                 toks = lens = None
             else:
                 vecs, toks, lens = encoder.encode_documents_with_tokens(

@@ -109,6 +109,11 @@ def main() -> None:
                     help="BPE vocab to train (250_000 = XLM-R scale)")
     ap.add_argument("--train_texts", type=int, default=5_000,
                     help="passages used to train the BPE")
+    ap.add_argument("--readback", choices=("float32", "bfloat16"),
+                    default="bfloat16",
+                    help="device->host transfer dtype for the e2e encode "
+                         "(the corpus store is bf16; f32 doubles tunnel "
+                         "bytes — A/B with --readback float32)")
     ap.add_argument("--weight_quant", choices=("int8", "nf4"),
                     help="encoder Linear weights quantized in HBM "
                          "(bitsandbytes load_in_8bit/4bit analog)")
@@ -194,8 +199,9 @@ def main() -> None:
     fwd_pps = args.batch * iters / (time.perf_counter() - t0)
 
     # e2e: tokenization + forward, overlapped
+    rb = None if args.readback == "float32" else args.readback
     t0 = time.perf_counter()
-    vecs = enc.encode_documents(texts, batch_size=args.batch)
+    vecs = enc.encode_documents(texts, batch_size=args.batch, readback_dtype=rb)
     e2e_s = time.perf_counter() - t0
     assert vecs.shape[0] == len(texts)
     e2e_pps = len(texts) / e2e_s
@@ -228,6 +234,7 @@ def main() -> None:
         "bpe_train_s": round(train_s, 1),
         "vocab_size": vocab_actual,
         "weight_quant": args.weight_quant,
+        "readback": args.readback,
         "backend": jax.default_backend(),
         **ph_report,
     }))
