@@ -182,19 +182,27 @@ def cmd_encode_corpus(args) -> None:
 
 
 def _approx_mode(args):
-    """Map --approx {off,fast,guaranteed} to the index.search value."""
+    """Map --approx {off,fast,guaranteed,adaptive} to the index.search
+    value."""
     mode = getattr(args, "approx", "off")
-    return {"off": False, "fast": True, "guaranteed": "guaranteed"}[mode]
+    return {
+        "off": False, "fast": True,
+        "guaranteed": "guaranteed", "adaptive": "adaptive",
+    }[mode]
 
 
 def _add_approx_flag(p):
-    p.add_argument("--approx", choices=["off", "fast", "guaranteed"],
+    p.add_argument("--approx",
+                   choices=["off", "fast", "guaranteed", "adaptive"],
                    default="off",
-                   help="search through the PCA-sketch tier: 'fast' is "
-                        "approximate (certificate rate recorded in meta), "
+                   help="search tier: 'fast' = PCA sketch, approximate "
+                        "(certificate rate recorded in meta); "
                         "'guaranteed' escalates uncertified queries to "
                         "exact search, so run files are IDENTICAL to "
-                        "exact output, just faster when certificates hold")
+                        "exact output, just faster when certificates "
+                        "hold; 'adaptive' = probed-exact cover (always "
+                        "exact, fastest on cluster-ordered indexes; not "
+                        "supported inside --fused)")
 
 
 def cmd_run_mono(args) -> None:
@@ -331,6 +339,13 @@ def cmd_run_mix(args) -> None:
                 and any(r > 0 and d in docid_to_row for d, r in judged.items())
             )
         mode = _approx_mode(args)
+        if mode == "adaptive":
+            raise SystemExit(
+                "--fused does not support --approx adaptive: the probed-"
+                "exact escalation is host-driven and cannot run inside "
+                "the one-jit sweep (use --approx guaranteed for exact "
+                "output, or drop --fused)"
+            )
         sketch = None
         if mode:  # fast AND guaranteed both route through the sketch tier
             if index._sketch is None:
@@ -649,19 +664,27 @@ def cmd_serve(args) -> None:
 
     encoder = _build_encoder(args)
     index = _load_hub(args)  # one dir, or several merged base#lang (hub)
-    if args.approx:
+    mode = False if args.approx == "off" else args.approx
+    if mode in ("fast", "guaranteed"):
         index.enable_sketch(
             sketch_dim=args.sketch_dim, probe_bins=args.probe_bins or None
         )
     search_kwargs = {}
+    if mode == "adaptive" and args.probe_bins:
+        search_kwargs["probe_bins"] = args.probe_bins
     if args.token_store:
-        # two-stage (ColBERT) serving: dense recall + MaxSim rerank
+        # two-stage (ColBERT) serving: dense recall + MaxSim rerank;
+        # the dense stage keeps exact-equivalent semantics (guaranteed /
+        # adaptive), so the candidate pool matches exact serving
         from codemix_dense_retrieval_tpu.io.token_shards import TokenShardStore
         from codemix_dense_retrieval_tpu.pipeline.rerank import TwoStageSearcher
 
         index = TwoStageSearcher(
             index, TokenShardStore.open(args.token_store),
-            approx=("guaranteed" if args.approx else False),
+            approx=(
+                "adaptive" if mode == "adaptive"
+                else ("guaranteed" if mode else False)
+            ),
         )
         if args.k_dense:
             search_kwargs["k_dense"] = args.k_dense
@@ -670,7 +693,7 @@ def cmd_serve(args) -> None:
         default_k=args.k, max_k=args.max_k,
         max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1000.0,
         encode_batch=args.enc_batch,
-        approx=bool(args.approx) and not args.token_store,
+        approx=mode if not args.token_store else False,
         snapshot_root=args.snapshot_root,
         index_search_kwargs=search_kwargs,
     )
@@ -992,11 +1015,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max coalesced queries per device batch")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="max wait after the first request before dispatch")
-    p.add_argument("--approx", action="store_true",
-                   help="serve through the PCA-sketch tier: faster, "
-                        "approximate, each result carries a per-query "
-                        "'certified' flag (True = provably exact); "
-                        "response rows become {hits, certified}")
+    p.add_argument("--approx", nargs="?", const="fast", default="off",
+                   choices=["off", "fast", "guaranteed", "adaptive"],
+                   help="serve through an approx tier: 'fast' = PCA "
+                        "sketch (each result carries a per-query "
+                        "'certified' flag; response rows become {hits, "
+                        "certified}); 'guaranteed' escalates uncertified "
+                        "queries to exact; 'adaptive' = probed-exact "
+                        "cover (always exact, fastest on cluster-ordered "
+                        "indexes — see reorder_rows/calibrate_adaptive). "
+                        "Bare --approx means 'fast'.")
     p.add_argument("--sketch_dim", type=int, default=128,
                    help="sketch dimensionality for --approx")
     p.add_argument("--probe_bins", type=int, default=0,

@@ -169,6 +169,12 @@ def run_bilingual_vector_mix_fused(
         )
 
     sketch = None
+    if approx == "adaptive":
+        raise ValueError(
+            "the fused sweep does not support approx='adaptive' (the "
+            "probed-exact escalation is host-driven); use 'guaranteed' "
+            "for exact output or the unfused path"
+        )
     if approx:
         if hub_index._sketch is None:
             hub_index.enable_sketch()

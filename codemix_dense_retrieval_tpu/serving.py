@@ -105,8 +105,18 @@ class SearchService:
         # /save writes server-side files; restrict it to an explicit root
         # (None = snapshots disabled over HTTP)
         self.snapshot_root = snapshot_root
-        # approximate (sketch) tier: faster search with per-query
-        # exactness certificates surfaced in each result row
+        # approx tier: False/off, True/"fast" (sketch, per-query
+        # exactness certificates in each result row), "guaranteed"
+        # (sketch + exact escalation — always-exact results), or
+        # "adaptive" (probed-exact cover — always exact, priced at the
+        # probe on clustered row orders; see DenseFlatIndex.search)
+        if approx is True:
+            approx = "fast"
+        if approx not in (False, "fast", "guaranteed", "adaptive"):
+            raise ValueError(
+                f"approx must be False/True/'fast'/'guaranteed'/'adaptive',"
+                f" got {approx!r}"
+            )
         self.approx = approx
         if approx and not hasattr(index, "enable_sketch"):
             raise ValueError(f"{type(index).__name__} has no sketch tier")
@@ -360,9 +370,11 @@ class SearchService:
                     certified = None
                 elif self.approx:
                     # same service-level kwargs (query_block, ...) as the
-                    # exact branch — approx only adds the sketch tier
+                    # exact branch — approx only selects the tier
                     scores, docids = self.index.search(
-                        q, k_max, approx=True, **self.index_search_kwargs
+                        q, k_max,
+                        approx=True if self.approx == "fast" else self.approx,
+                        **self.index_search_kwargs,
                     )
                     certified = self.index.last_certified
                 else:
@@ -441,8 +453,8 @@ class SearchService:
                 if k != "doc_scales"
             }
             new.to_device(self.index.mesh, **kw)
-            if self.approx:
-                new.enable_sketch()
+            if self.approx in ("fast", "guaranteed"):
+                new.enable_sketch()  # adaptive needs no sketch sidecar
             self.index = new  # old device buffers free on GC
             p.future.set_result(
                 {"reloaded": p.payload[0], "count": self.index.count}

@@ -175,6 +175,31 @@ class TestService:
         with pytest.raises(ValueError, match="sketch"):
             SearchService(FakeEncoder(), NoSketch(), approx=True)
 
+    def test_adaptive_mode_serves_exact_results(self, corpus_index):
+        """approx='adaptive': the probed-exact tier through the service —
+        results identical to exact serving, certificates all True."""
+        enc, svc = make_service(corpus_index)
+        try:
+            exact = svc.search(["hello world", "second"], k=5)
+        finally:
+            svc.close()
+        enc, svc = make_service(corpus_index, approx="adaptive")
+        try:
+            res = svc.search(["hello world", "second"], k=5)
+            assert len(res) == 2
+            for row, ex in zip(res, exact):
+                assert set(row) == {"hits", "certified"}
+                assert row["certified"] is True  # adaptive is always exact
+                assert [h["docid"] for h in row["hits"]] == [
+                    h["docid"] for h in ex
+                ]
+        finally:
+            svc.close()
+
+    def test_bad_approx_mode_rejected(self, corpus_index):
+        with pytest.raises(ValueError, match="approx must be"):
+            SearchService(FakeEncoder(), corpus_index, approx="typo")
+
     def test_online_add_then_searchable(self, corpus_index):
         enc, svc = make_service(corpus_index)
         try:
