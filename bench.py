@@ -232,6 +232,25 @@ def main() -> None:
         _log(f"first-light k={k_deep}: {block / dt_dfl:.0f} qps")
         del docs_fl, oracle_fl
 
+    # chip-speed reference: the relay chip's effective clock swings 2-4x
+    # between sessions (11.1k vs 5.7k qps for the same program measured
+    # an hour apart, r4c/r4d logs) — one bf16 MXU probe on the record
+    # lets any reader normalize the qps keys to the chip's state
+    if on_tpu and _left() > 180:
+        try:
+            a = jnp.asarray(
+                rng.standard_normal((4096, 4096), dtype=np.float32)
+            ).astype(jnp.bfloat16)
+            mm = jax.jit(lambda x: x @ x)
+            dt_mm, _ = _timed_pair(lambda x: (mm(x),), (a,), 8)
+            _RESULT["mxu_tflops_bf16_4k"] = round(
+                2 * 4096**3 / dt_mm / 1e12, 1
+            )
+            _log(f"mxu probe: {_RESULT['mxu_tflops_bf16_4k']} TF/s")
+            del a
+        except Exception as exc:  # noqa: BLE001
+            _RESULT["mxu_probe_error"] = f"{type(exc).__name__}: {exc}"[:120]
+
     # ---------------- full shard
     if _left() < 420 and n_first:
         _RESULT["full_shard_skipped"] = "budget"
