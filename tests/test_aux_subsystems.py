@@ -112,11 +112,11 @@ class TestMidLanguageResume:
         calls = {"n": 0}
         real = enc.encode_documents
 
-        def flaky(texts, batch_size=64):
+        def flaky(texts, batch_size=64, **kw):
             calls["n"] += 1
             if calls["n"] == 3:
                 raise RuntimeError("simulated crash")
-            return real(texts, batch_size=batch_size)
+            return real(texts, batch_size=batch_size, **kw)
 
         enc.encode_documents = flaky
         with pytest.raises(RuntimeError):

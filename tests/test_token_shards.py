@@ -887,11 +887,11 @@ def test_root_docids_complete_after_mid_resume(tiny_encoder, tmp_path):
     calls = {"n": 0}
     real = tiny_encoder.encode_documents
 
-    def flaky(texts, batch_size=64):
+    def flaky(texts, batch_size=64, **kw):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated crash")
-        return real(texts, batch_size=batch_size)
+        return real(texts, batch_size=batch_size, **kw)
 
     tiny_encoder.encode_documents = flaky
     try:
