@@ -23,6 +23,13 @@ if os.environ.get("CDR_TEST_TPU") != "1":
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # the in-process config flip below does NOT export to child
+    # processes: scheduler-spawned CLI jobs (test_repro_roundtrip,
+    # test_cli_orchestrate) inherit the environment's JAX_PLATFORMS=axon
+    # and silently ran on the REAL TPU — passing when the relay was
+    # free, deadlocking the suite when another process held the chip.
+    # cli.main() honors JAX_PLATFORMS=cpu, so exporting it pins children.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
