@@ -180,8 +180,14 @@ class TestRescoreMode:
             jnp.asarray(qs), jnp.asarray(docs), k, bin_size=16, tile_n=256
         )
         ref_vals, ref_idx = topk_ip_oracle(qs, docs, k)
-        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
-        np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+        # the rescore mode RECOMPUTES candidate scores (its documented
+        # contract allows a different f32 accumulation order — and the
+        # XLA CPU matmul's reduction split varies with threadpool load,
+        # so a sub-ulp near-tie can flip only under a full-suite run);
+        # ids must match except at near-tie positions
+        _assert_topk_matches(
+            vals, idx, ref_vals, ref_idx, f"rescore n={n} k={k}"
+        )
 
     def test_rescore_adversarial_clustered(self, rng):
         from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_rescore
@@ -208,8 +214,9 @@ class TestRescoreMode:
             jnp.asarray(qs), jnp.asarray(docs), 40, bin_size=16, tile_n=256
         )
         assert np.asarray(idx).max() < 900
-        _, ref_idx = topk_ip_oracle(qs, docs, 40)
-        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        ref_vals, ref_idx = topk_ip_oracle(qs, docs, 40)
+        # recomputed-score near-tie tolerance: see test_rescore_matches_oracle
+        _assert_topk_matches(vals, idx, ref_vals, ref_idx, "rescore pad-mask")
 
 
 def _assert_topk_matches(vals, idx, ref_vals, ref_idx, msg, tie_eps=1e-5):
