@@ -460,6 +460,13 @@ def cmd_run_bilingual_mix(args) -> None:
             from codemix_dense_retrieval_tpu.io.tsv import read_qrels
 
             qrels = read_qrels(args.qrels)
+        if _approx_mode(args) == "adaptive":
+            raise SystemExit(
+                "--fused does not support --approx adaptive: the probed-"
+                "exact escalation is host-driven and cannot run inside "
+                "the one-jit sweep (use --approx guaranteed for exact "
+                "output, or drop --fused)"
+            )
         try:
             runs, metrics = run_bilingual_vector_mix_fused(
                 hub, qids, vecs_a, vecs_b, alphas, args.outdir, k=args.k,
@@ -637,7 +644,9 @@ def cmd_profile(args) -> None:
     q = rng.standard_normal((args.queries, index.dim)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     approx = _approx_mode(args)
-    if approx:
+    if approx == "adaptive":
+        index.load_adaptive_calibration()  # no sketch sidecar needed
+    elif approx:
         index.enable_sketch()
     # compile outside the trace so the capture shows steady-state execution
     index.search(q, args.k, return_docids=False, approx=approx)
@@ -670,8 +679,12 @@ def cmd_serve(args) -> None:
             sketch_dim=args.sketch_dim, probe_bins=args.probe_bins or None
         )
     search_kwargs = {}
-    if mode == "adaptive" and args.probe_bins:
-        search_kwargs["probe_bins"] = args.probe_bins
+    if mode == "adaptive":
+        # no sketch sidecar needed, but tune --adaptive's persisted
+        # operating points (probe/speedup per depth) should apply
+        index.load_adaptive_calibration()
+        if args.probe_bins:
+            search_kwargs["probe_bins"] = args.probe_bins
     if args.token_store:
         # two-stage (ColBERT) serving: dense recall + MaxSim rerank;
         # the dense stage keeps exact-equivalent semantics (guaranteed /

@@ -602,6 +602,9 @@ class DenseFlatIndex:
         proj_np, probe_by_k, cert_by_k = None, {}, {}
         cache_path = (self.store.dir / "sketch.npz") if (cache and self.store.dir) else None
         if cache_path is not None and cache_path.exists():
+            # adaptive operating points load independently of the proj
+            # check (they do not depend on sketch_dim)
+            self.load_adaptive_calibration()
             try:
                 z = np.load(cache_path, allow_pickle=False)
                 if (
@@ -618,14 +621,6 @@ class DenseFlatIndex:
                             int(ck): float(cv)
                             for ck, cv in zip(z["cert_ks"], z["cert_vals"])
                         }
-                    if "a_ks" in z.files:  # adaptive operating points
-                        for ak, pv, sv, cv in zip(
-                            z["a_ks"], z["a_probe_vals"],
-                            z["a_speedup_vals"], z["a_cert_vals"],
-                        ):
-                            self._adaptive_cal["probe_by_k"][int(ak)] = int(pv)
-                            self._adaptive_cal["speedup_by_k"][int(ak)] = float(sv)
-                            self._adaptive_cal["cert_by_k"][int(ak)] = float(cv)
             except Exception:  # corrupt/truncated cache: refit, don't brick
                 from codemix_dense_retrieval_tpu.utils.logging import get_logger
 
@@ -695,6 +690,74 @@ class DenseFlatIndex:
             ),
         )
         os.replace(tmp, skw["cache_path"])
+
+    def load_adaptive_calibration(self) -> bool:
+        """Load :meth:`calibrate_adaptive` operating points persisted in
+        this index dir's ``sketch.npz`` WITHOUT building a sketch sidecar
+        (the adaptive tier needs none — ``serve --approx adaptive``).
+        Returns True when points were loaded."""
+        if not self.store.dir:
+            return False
+        p = self.store.dir / "sketch.npz"
+        if not p.exists():
+            return False
+        try:
+            z = np.load(p, allow_pickle=False)
+            if int(z["count"]) != self.store.count or "a_ks" not in z.files:
+                return False
+            for ak, pv, sv, cv in zip(
+                z["a_ks"], z["a_probe_vals"],
+                z["a_speedup_vals"], z["a_cert_vals"],
+            ):
+                self._adaptive_cal["probe_by_k"][int(ak)] = int(pv)
+                self._adaptive_cal["speedup_by_k"][int(ak)] = float(sv)
+                self._adaptive_cal["cert_by_k"][int(ak)] = float(cv)
+            return True
+        except Exception:
+            return False
+
+    def _save_adaptive_cal(self) -> None:
+        """Persist the adaptive operating points. With a sketch armed
+        they ride the full sketch cache; otherwise an adaptive-only
+        ``sketch.npz`` (count + a_* keys) is written — enable_sketch
+        treats it as a proj miss and refits, re-merging these points."""
+        if self._sketch is not None and self._sketch[3].get("cache_path"):
+            self._save_sketch_cache()
+            return
+        if not self.store.dir:
+            return
+        import os
+
+        path = self.store.dir / "sketch.npz"
+        extra = {}
+        if path.exists():  # preserve any existing keys (proj, probe_ks…)
+            try:
+                z = np.load(path, allow_pickle=False)
+                extra = {
+                    kk: np.asarray(z[kk]) for kk in z.files
+                    if not kk.startswith("a_") and kk != "count"
+                }
+            except Exception:
+                extra = {}
+        acal = self._adaptive_cal
+        a_ks = sorted(acal["probe_by_k"])
+        tmp = path.with_name(path.stem + ".tmp.npz")
+        np.savez(
+            tmp,
+            count=np.int64(self.store.count),
+            a_ks=np.asarray(a_ks, np.int64),
+            a_probe_vals=np.asarray(
+                [acal["probe_by_k"][ak] for ak in a_ks], np.int64
+            ),
+            a_speedup_vals=np.asarray(
+                [acal["speedup_by_k"].get(ak, 0.0) for ak in a_ks], np.float32
+            ),
+            a_cert_vals=np.asarray(
+                [acal["cert_by_k"].get(ak, 0.0) for ak in a_ks], np.float32
+            ),
+            **extra,
+        )
+        os.replace(tmp, path)
 
     def _sketch_kernel_kwargs(self) -> dict:
         """Subset of ``to_device(**search_kwargs)`` that the sketch path
@@ -862,8 +925,7 @@ class DenseFlatIndex:
         self._adaptive_cal["probe_by_k"][k] = probe
         self._adaptive_cal["speedup_by_k"][k] = speedup
         self._adaptive_cal["cert_by_k"][k] = cert
-        if self._sketch is not None:
-            self._save_sketch_cache()
+        self._save_adaptive_cal()
         return {
             "probe_bins": probe,
             "speedup": speedup,
@@ -955,6 +1017,7 @@ class DenseFlatIndex:
         # dispatch then overlaps host work (upload of block i+1, TREC
         # formatting upstream) with device search of block i
         guaranteed_direct = False
+        adaptive_fallback = False
         if approx == "adaptive":
             # probed-exact cover with TRUE bin-max certificates +
             # escalation tail — ALWAYS exact, adaptively priced
@@ -962,7 +1025,12 @@ class DenseFlatIndex:
             # row-order property: call reorder_rows() first. int8 stores
             # fall back to the exact fixed cover (same results).
             if self._docs_dev.dtype == jnp.int8:
+                # the exact results ARE trivially certified: keep the
+                # adaptive caller contract (all-True last_certified, so
+                # e.g. adaptive serving emits the same {hits, certified}
+                # response schema as on a float index)
                 approx = False
+                adaptive_fallback = True
                 self.last_adaptive_stats = None
             else:
                 from codemix_dense_retrieval_tpu.parallel.sharded_search import (
@@ -1001,6 +1069,7 @@ class DenseFlatIndex:
                     "probe_bins": outs[0][2]["probe_bins"],
                 }
                 self.last_guaranteed_direct = False
+                self.last_guaranteed_route = None
                 if not return_docids:
                     return vals, gids
                 return vals, self._docids[gids]
@@ -1029,6 +1098,7 @@ class DenseFlatIndex:
                     out = self.search(
                         queries, k, return_docids=return_docids,
                         query_block=query_block, approx="adaptive",
+                        probe_bins=probe_bins,
                     )
                     self.last_guaranteed_route = "adaptive"
                     self.last_guaranteed_direct = False
@@ -1103,9 +1173,10 @@ class DenseFlatIndex:
             "exact" if guaranteed_direct
             else ("sketch" if approx == "guaranteed" else None)
         )
-        if guaranteed_direct:
+        if guaranteed_direct or adaptive_fallback:
             # exact results ARE the guarantee; keep the caller contract
-            # that guaranteed mode leaves an all-True certificate vector
+            # that guaranteed/adaptive modes leave an all-True
+            # certificate vector
             self.last_certified = np.ones(n_q, bool)
         if approx == "guaranteed" and not self.last_certified.all():
             # escalate ONLY the uncertified queries through exact search,

@@ -347,7 +347,13 @@ def _sketch_round_slack(d_sketch, q_sketch, q_err):
         q.x <= s_q.s_d + t_q t_d + e_q ||s_d|| + ||s_q|| e_d
     (tails are already computed vs the ROUNDED sketches — sketch_rows).
     e_q is exact per query; e_d is bounded by
-    _BF16_EPS * ||s_d_full|| <= _BF16_EPS/(1-eps) * max ||s_d||."""
+    _BF16_EPS * ||s_d_full|| <= _BF16_EPS/(1-eps) * max ||s_d||.
+
+    The max-norm reduction re-reads the sidecar per call (~0.3 ms at
+    1.1M x 128 bf16 — the ub kernel streams the same operand, so XLA can
+    share the read); a per-index precomputed scalar was considered and
+    rejected: it would thread a new argument through four call sites and
+    the shard_map cache keys to save <1% of a search call."""
     if d_sketch.dtype == jnp.float32:
         return jnp.zeros((), jnp.float32)
     d_sk32 = d_sketch.astype(jnp.float32)
@@ -430,9 +436,12 @@ def topk_ip_sketch(
             d_snorm = d_snorm * (1.0 + 1.01 * _BF16_EPS)
         row_norm_max = jnp.sqrt(jnp.max(d_snorm * d_snorm + d_tail * d_tail))
         q_sk32 = q_sketch.astype(jnp.float32)
-        q_norm = jnp.sqrt(
-            jnp.sum(q_sk32 * q_sk32, axis=1) + q_err * q_err + q_tail * q_tail
-        )
+        # ||q|| upper bound with a ROUNDED query sketch: ||P^T q|| <=
+        # ||s_q32|| + e_q (triangle inequality — the plain sum-of-squares
+        # form drops the 2*s.e cross term and can UNDERestimate ||q||,
+        # shrinking the margin below the bound it claims)
+        q_snorm = jnp.sqrt(jnp.sum(q_sk32 * q_sk32, axis=1)) + q_err
+        q_norm = jnp.sqrt(q_snorm * q_snorm + q_tail * q_tail)
         cert_margin = cert_margin + 2.0 * eps * q_norm * row_norm_max
 
     def rescore(doc_payload, q_payload, bin_ids, nv):

@@ -462,6 +462,7 @@ class TwoStageSearcher:
         k_dense: Optional[int] = None,
         query_block: int = 0,
         return_docids: bool = True,
+        probe_bins: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-``k`` by MaxSim among the dense stage's top-``k_dense``
         (default ``max(4*k, 100)`` — ColBERTv2's rerank-depth convention).
@@ -483,7 +484,7 @@ class TwoStageSearcher:
         )
         _, gids = self.index.search(
             q_vecs, k_dense, return_docids=False, query_block=query_block,
-            approx=self.approx,
+            approx=self.approx, probe_bins=probe_bins,
         )
         k_got = gids.shape[1]  # index may clamp k_dense on tiny corpora
         if k_got < k_dense:

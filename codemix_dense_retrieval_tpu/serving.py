@@ -454,7 +454,11 @@ class SearchService:
             }
             new.to_device(self.index.mesh, **kw)
             if self.approx in ("fast", "guaranteed"):
-                new.enable_sketch()  # adaptive needs no sketch sidecar
+                new.enable_sketch()
+            elif self.approx == "adaptive":
+                # no sidecar, but reload the snapshot's persisted
+                # adaptive operating points (tune --adaptive)
+                new.load_adaptive_calibration()
             self.index = new  # old device buffers free on GC
             p.future.set_result(
                 {"reloaded": p.payload[0], "count": self.index.count}

@@ -40,8 +40,10 @@ def clustered_rows(n, dim, centers, sigma, seed):
     c = r.standard_normal((centers, dim)).astype(np.float32)
     c /= np.linalg.norm(c, axis=1, keepdims=True)
     assign = r.integers(0, centers, n)
-    scale = sigma / np.sqrt(dim)
-    x = c[assign] + scale * r.standard_normal((n, dim)).astype(np.float32)
+    scale = np.float32(sigma / np.sqrt(dim))
+    # dtype=float32 at generation: the default f64 would allocate a
+    # ~9 GiB transient at the 1.1M x 1024 default
+    x = c[assign] + scale * r.standard_normal((n, dim), dtype=np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x, c, assign
 
@@ -77,9 +79,9 @@ def main():
     # queries drawn from the same mixture (in-distribution retrieval)
     r = np.random.default_rng(2)
     qc = r.integers(0, args.centers, args.b)
-    q = c[qc] + (args.sigma / np.sqrt(args.dim)) * r.standard_normal(
-        (args.b, args.dim)
-    ).astype(np.float32)
+    q = c[qc] + np.float32(args.sigma / np.sqrt(args.dim)) * r.standard_normal(
+        (args.b, args.dim), dtype=np.float32
+    )
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     print(f"host corpus built: {time.time() - t0:.1f}s", flush=True)
 

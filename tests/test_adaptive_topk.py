@@ -321,3 +321,43 @@ class TestIndexAdaptive:
         assert re._adaptive_cal["speedup_by_k"][16] == pytest.approx(
             cal["speedup"], rel=1e-6
         )
+
+    def test_int8_adaptive_keeps_certified_contract(self, mesh, rng):
+        """int8 fallback to exact still leaves an all-True certificate
+        vector so adaptive serving keeps its response schema."""
+        idx, docs = self._mk(rng, dtype="int8")
+        qs = rng.standard_normal((8, docs.shape[1])).astype(np.float32)
+        idx.to_device(mesh, pad_multiple=256, tile_n=256, tile_b=64)
+        av, ad = idx.search(qs, 16, approx="adaptive")
+        assert idx.last_adaptive_stats is None
+        assert idx.last_certified is not None and idx.last_certified.all()
+
+    def test_adaptive_cal_persists_without_sketch(self, mesh, rng, tmp_path):
+        """calibrate_adaptive persists (and load_adaptive_calibration
+        restores) operating points with NO sketch sidecar armed — the
+        serve --approx adaptive path (tune --adaptive analog)."""
+        from codemix_dense_retrieval_tpu.index.flat import DenseFlatIndex
+
+        n, d = 4096, 48
+        docs = rng.standard_normal((n, d)).astype(np.float32)
+        docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+        DenseFlatIndex.build(docs, [f"d{i}" for i in range(n)]).save(
+            tmp_path / "idx"
+        )
+        idx = DenseFlatIndex.load(tmp_path / "idx")
+        idx.to_device(mesh, pad_multiple=256, tile_n=256, tile_b=64)
+        qs = rng.standard_normal((8, d)).astype(np.float32)
+        cal = idx.calibrate_adaptive(qs, 16, iters=1)
+        assert (tmp_path / "idx" / "sketch.npz").exists()
+        re = DenseFlatIndex.load(tmp_path / "idx")
+        re.to_device(mesh, pad_multiple=256, tile_n=256, tile_b=64)
+        assert re.load_adaptive_calibration()
+        assert re._adaptive_cal["probe_by_k"][16] == cal["probe_bins"]
+        # enable_sketch over an adaptive-only cache refits the proj but
+        # must preserve the adaptive points through its re-save
+        re.enable_sketch(sketch_dim=16)
+        assert re._adaptive_cal["probe_by_k"][16] == cal["probe_bins"]
+        re2 = DenseFlatIndex.load(tmp_path / "idx")
+        re2.to_device(mesh, pad_multiple=256, tile_n=256, tile_b=64)
+        assert re2.load_adaptive_calibration()
+        assert re2._adaptive_cal["probe_by_k"][16] == cal["probe_bins"]
