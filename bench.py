@@ -238,13 +238,22 @@ def main() -> None:
     # lets any reader normalize the qps keys to the chip's state
     if on_tpu and _left() > 180:
         try:
+            from jax import lax as _lax
+
             a = jnp.asarray(
                 rng.standard_normal((4096, 4096), dtype=np.float32)
             ).astype(jnp.bfloat16)
-            mm = jax.jit(lambda x: x @ x)
+            # 32 CHAINED matmuls per sync: one 4k matmul is 137 GFLOP —
+            # under the ~25-40 ms relay round-trip, a single-op probe
+            # measures dispatch latency, not the MXU (observed 5 TF/s
+            # for a chip whose search phase-1 sustains ~27 TF/s)
+            reps = 32
+            mm = jax.jit(
+                lambda x: _lax.fori_loop(0, reps, lambda i, y: y @ x, x)
+            )
             dt_mm, _ = _timed_pair(lambda x: (mm(x),), (a,), 8)
             _RESULT["mxu_tflops_bf16_4k"] = round(
-                2 * 4096**3 / dt_mm / 1e12, 1
+                reps * 2 * 4096**3 / dt_mm / 1e12, 1
             )
             _log(f"mxu probe: {_RESULT['mxu_tflops_bf16_4k']} TF/s")
             del a
