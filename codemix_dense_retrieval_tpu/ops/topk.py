@@ -59,6 +59,19 @@ def _auto_bin_size(k: int) -> int:
     smaller bins (measured on v5e: G=16 best at k=100, G=8 best at k>=500)."""
     return 8 if k > 200 else 16
 
+
+def _auto_bin_size_two_level(k: int) -> int:
+    """Two-level-cover bin size, tunable per depth (``tune`` persists
+    ``topk.bin_size.k<k>``). The slice-gather tail is issue-bound (cost ~
+    slice COUNT = k, not volume), so larger G halves the super-top_k
+    domain at unchanged gather cost — but also doubles the final top_k's
+    candidate domain; the winner is chip- and depth-specific (G8 was the
+    r3 winner at k=1000; G16's lane-legality fallback only exists since
+    r4s3, so it was never in that race)."""
+    from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+    return int(get_tuned("topk.bin_size", k=k, default=8))
+
 # --------------------------------------------------------------------------
 # numpy oracle (tests only)
 # --------------------------------------------------------------------------
@@ -610,7 +623,7 @@ def topk_ip_bins_int8(
     from codemix_dense_retrieval_tpu.ops.quant import quantize_rows
 
     if bin_size is None:
-        bin_size = _auto_bin_size(k)
+        bin_size = _auto_bin_size_two_level(k) if two_level else _auto_bin_size(k)
     if super_size is None:
         super_size = _auto_super_size(k)
     if tile_b is None:
@@ -1034,7 +1047,7 @@ def topk_ip_bins_two_level_probed(
     k: int,
     *,
     probe_bins: int,
-    bin_size: int = 8,
+    bin_size: Optional[int] = None,
     super_size: Optional[int] = None,
     tile_b: Optional[int] = None,
     tile_n: int = 1024,
@@ -1057,6 +1070,8 @@ def topk_ip_bins_two_level_probed(
     search cost model (`onepass_dense_run.py:326` searches every query
     at full depth).
     """
+    if bin_size is None:
+        bin_size = _auto_bin_size_two_level(k)
     if probe_bins * bin_size < k:
         raise ValueError(
             f"probe_bins={probe_bins} x bin_size={bin_size} < k={k}: "
@@ -1094,7 +1109,7 @@ def topk_ip_bins_two_level(
     docs: jnp.ndarray,
     k: int,
     *,
-    bin_size: int = 8,
+    bin_size: Optional[int] = None,
     super_size: Optional[int] = None,
     tile_b: Optional[int] = None,
     tile_n: int = 1024,
@@ -1127,6 +1142,8 @@ def topk_ip_bins_two_level(
     so ``lax.top_k``'s lower-position preference IS the id-ascending
     (FAISS) tie-break.
     """
+    if bin_size is None:
+        bin_size = _auto_bin_size_two_level(k)
     if super_size is None:
         super_size = _auto_super_size(k)
     if tile_b is None:

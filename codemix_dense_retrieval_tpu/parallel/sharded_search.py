@@ -544,9 +544,19 @@ def sharded_topk_ip(
         else:
             method = "bins_pallas"
     if bin_size is None:
-        from codemix_dense_retrieval_tpu.ops.topk import _auto_bin_size
+        from codemix_dense_retrieval_tpu.ops.topk import (
+            _auto_bin_size,
+            _auto_bin_size_two_level,
+        )
 
-        bin_size = _auto_bin_size(k)
+        # two-level's winner is tail-layout-specific: G8 native bin-major
+        # was the measured k=100 winner (probe_k100_bm r3); G16 here used
+        # to force the lane-illegal transposed-binmax fallback — the
+        # production sharded path must run the config the bench measures
+        bin_size = (
+            _auto_bin_size_two_level(k)
+            if method == "bins_two_level" else _auto_bin_size(k)
+        )
     int8_mode = docs_sharded.dtype == jnp.int8
     if int8_mode and doc_scales is None:
         raise ValueError("int8 index requires doc_scales")

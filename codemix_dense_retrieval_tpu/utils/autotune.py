@@ -30,6 +30,7 @@ _CACHE_PATH: Optional[str] = None
 DEFAULTS = {
     "topk.super_size": 8,
     "topk.tile_b": 512,
+    "topk.bin_size": 8,
     "flash.min_seq": 512,
     "flash.window": 2048,
 }
@@ -137,12 +138,17 @@ def autotune_topk(
     ks: Sequence[int] = (100, 1000),
     super_sizes: Sequence[int] = (4, 8, 16),
     tile_bs: Sequence[int] = (256, 512, 1024),
+    bin_sizes: Sequence[int] = (8, 16),
     iters: int = 3,
     seed: int = 0,
     interpret: Optional[bool] = None,
 ) -> Dict[str, object]:
-    """Sweep the two-level cover's (super_size, tile_b) per depth on a
-    synthetic normalized corpus; returns tuned keys + measured qps."""
+    """Sweep the two-level cover's (bin_size, super_size, tile_b) per
+    depth on a synthetic normalized corpus; returns tuned keys +
+    measured qps. The bin_size axis exists because the slice-gather tail
+    is issue-bound: larger G shrinks the super-top_k domain at unchanged
+    gather issue count but grows the final top_k domain — the balance is
+    chip-specific."""
     import functools
 
     import jax.numpy as jnp
@@ -162,23 +168,25 @@ def autotune_topk(
     out: Dict[str, object] = {}
     for k in ks:
         best = None
-        for m in super_sizes:
-            for tb in tile_bs:
-                if tb > batch:
-                    continue
-                import jax
+        for g in bin_sizes:
+            for m in super_sizes:
+                for tb in tile_bs:
+                    if tb > batch:
+                        continue
+                    import jax
 
-                fn = jax.jit(functools.partial(
-                    topk_ip_bins_two_level, k=k, super_size=m, tile_b=tb,
-                    interpret=interpret,
-                ))
-                dt = _timed(lambda a, b: fn(a, b)[0], q, docs, iters=iters)
-                qps = batch / dt
-                if best is None or qps > best[0]:
-                    best = (qps, m, tb)
+                    fn = jax.jit(functools.partial(
+                        topk_ip_bins_two_level, k=k, bin_size=g,
+                        super_size=m, tile_b=tb, interpret=interpret,
+                    ))
+                    dt = _timed(lambda a, b: fn(a, b)[0], q, docs, iters=iters)
+                    qps = batch / dt
+                    if best is None or qps > best[0]:
+                        best = (qps, g, m, tb)
         assert best is not None
-        out[f"topk.super_size.k{k}"] = best[1]
-        out[f"topk.tile_b.k{k}"] = best[2]
+        out[f"topk.bin_size.k{k}"] = best[1]
+        out[f"topk.super_size.k{k}"] = best[2]
+        out[f"topk.tile_b.k{k}"] = best[3]
         out[f"topk.qps.k{k}"] = round(best[0], 1)
     return out
 

@@ -50,6 +50,8 @@ def main():
             ok += len(set(ids[i].tolist()) & want) / K
         return ok / n_check
 
+    import os
+
     configs = [
         # baseline (current default: G8 M8 tile_n 1024 tb 512)
         ("G8  M8  tn1024 tb512 ", dict(bin_size=8, super_size=8)),
@@ -63,6 +65,10 @@ def main():
         # G32: super domain = G16M16; score gather volume 32/bin
         ("G32 M8  tn1024 tb512 ", dict(bin_size=32, super_size=8)),
     ]
+    skip = int(os.environ.get("PROBE_SKIP", "0"))
+    if skip:
+        # keep config[0] as the within-run baseline, drop the next `skip`
+        configs = configs[:1] + configs[1 + skip:]
     for name, kw in configs:
         tb = kw.pop("_tb", 512)
         tn = kw.pop("_tn", 1024)
