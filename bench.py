@@ -189,10 +189,12 @@ def main() -> None:
     def _mk_run100(interp):
         # k=100 routes through the bin-major two-level on big shards
         # (probe_k100_bm r3: +12% over single-level, identical ids); the
-        # CPU smoke keeps the single-level binned path at its small shapes
+        # CPU smoke keeps the single-level binned path at its small shapes.
+        # bin/super sizes come from the per-device tuned store (G8 M8
+        # measured defaults when no store exists) so `tune` wins apply.
         if on_tpu:
             return jax.jit(functools.partial(
-                topk_ip_bins_two_level, k=k, bin_size=8, super_size=8,
+                topk_ip_bins_two_level, k=k,
                 tile_b=512, tile_n=1024, interpret=False,
             ))
         return jax.jit(functools.partial(
@@ -369,7 +371,6 @@ def _bench_sketch(jax, jnp, docs, queries, k, k_deep, block, iters,
         run = jax.jit(functools.partial(
             topk_ip_bins_two_level, k=depth, tile_b=512, tile_n=1024,
             interpret=interpret,
-            **({"bin_size": 8, "super_size": 8} if depth == k else {}),
         ))
         return _timed_pair(run, (queries_a, docs_a), iters)
 
