@@ -193,9 +193,10 @@ def main() -> None:
         # bin/super sizes come from the per-device tuned store (G8 M8
         # measured defaults when no store exists) so `tune` wins apply.
         if on_tpu:
+            # tile_b=None -> per-depth tuned store (512 default)
             return jax.jit(functools.partial(
                 topk_ip_bins_two_level, k=k,
-                tile_b=512, tile_n=1024, interpret=False,
+                tile_b=None, tile_n=1024, interpret=False,
             ))
         return jax.jit(functools.partial(
             topk_ip_bins, k=k, bin_size=16, use_pallas=False, tile_b=512,
@@ -204,7 +205,7 @@ def main() -> None:
 
     run_100 = _mk_run100(not on_tpu)
     run_deep = jax.jit(functools.partial(
-        topk_ip_bins_two_level, k=k_deep, tile_b=512, tile_n=1024,
+        topk_ip_bins_two_level, k=k_deep, tile_b=None, tile_n=1024,
         interpret=not on_tpu,
     ))
     iters = 12 if on_tpu else 3
@@ -369,7 +370,7 @@ def _bench_sketch(jax, jnp, docs, queries, k, k_deep, block, iters,
     def _exact(depth):
         # same static config as the main phases -> compile-cache hit
         run = jax.jit(functools.partial(
-            topk_ip_bins_two_level, k=depth, tile_b=512, tile_n=1024,
+            topk_ip_bins_two_level, k=depth, tile_b=None, tile_n=1024,
             interpret=interpret,
         ))
         return _timed_pair(run, (queries_a, docs_a), iters)
@@ -428,7 +429,7 @@ def _bench_sketch(jax, jnp, docs, queries, k, k_deep, block, iters,
             sub[: len(esc)] = np.asarray(queries_a[esc], np.float32)
             sub_dev = jnp.asarray(sub, queries_a.dtype)
             run_exact = jax.jit(functools.partial(
-                topk_ip_bins_two_level, k=depth, tile_b=512, tile_n=1024,
+                topk_ip_bins_two_level, k=depth, tile_b=None, tile_n=1024,
                 interpret=interpret,
             ))
             dt_esc, _ = _timed_pair(run_exact, (sub_dev, docs_a), iters)

@@ -78,6 +78,19 @@ def shard_row_sidecar(
     return jax.device_put(padded, NamedSharding(mesh, P(axis)))
 
 
+def _resolve_tile_b(tile_b, k: int, default: int) -> int:
+    """tile_b=None -> the per-depth tuned store (hardware-measured
+    winners from `tune`/probe_g16_deepk), falling back to each path's
+    measured-on-dev-chip default so untuned hosts keep today's configs."""
+    if tile_b is not None:
+        return int(tile_b)
+    from codemix_dense_retrieval_tpu.utils.autotune import load_tuned
+
+    store = load_tuned()
+    v = store.get(f"topk.tile_b.k{k}", store.get("topk.tile_b"))
+    return int(v) if v is not None else default
+
+
 @functools.lru_cache(maxsize=128)
 def _build_sharded_search(
     mesh: Mesh,
@@ -256,7 +269,7 @@ def sharded_topk_ip_sketch(
     bin_size: Optional[int] = None,
     super_size: Optional[int] = None,
     tile_n: int = 1024,
-    tile_b: int = 512,
+    tile_b: Optional[int] = None,
     interpret: Optional[bool] = None,
     doc_scales: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -299,6 +312,7 @@ def sharded_topk_ip_sketch(
         doc_scales = jax.device_put(
             np.zeros(s, np.float32), NamedSharding(mesh, P(axis))
         )
+    tile_b = _resolve_tile_b(tile_b, k, 512)
     fn = _build_sharded_sketch_search(
         mesh, axis, k, probe_bins, bin_size, super_size, tile_n, tile_b,
         bool(interpret), rows_per_shard, int8_mode,
@@ -412,7 +426,7 @@ def sharded_topk_ip_adaptive(
     bin_size: int = 8,
     super_size: Optional[int] = None,
     tile_n: int = 1024,
-    tile_b: int = 512,
+    tile_b: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """ALWAYS-EXACT adaptive top-k over a row-sharded index.
@@ -458,6 +472,7 @@ def sharded_topk_ip_adaptive(
     if probe_bins is None:
         probe_bins = _default_probe_bins(k, bin_size, nb_local, expand)
     probe_bins = max(min(probe_bins, nb_local), -(-k // bin_size))
+    tile_b = _resolve_tile_b(tile_b, k, 512)
     fn = _build_sharded_adaptive_search(
         mesh, axis, k, probe_bins, bin_size, super_size, tile_n, tile_b,
         bool(interpret), rows_per_shard,
@@ -514,7 +529,7 @@ def sharded_topk_ip(
     bin_size: Optional[int] = None,
     method: str = "auto",
     tile_n: int = 1024,
-    tile_b: int = 256,
+    tile_b: Optional[int] = None,
     interpret: Optional[bool] = None,
     doc_scales: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -567,6 +582,7 @@ def sharded_topk_ip(
         doc_scales = jax.device_put(
             np.zeros(s, np.float32), NamedSharding(mesh, P(axis))
         )
+    tile_b = _resolve_tile_b(tile_b, k, 256)
     fn = _build_sharded_search(
         mesh, axis, k, method, bin_size, tile_n, tile_b,
         bool(interpret), int8_mode, rows_per_shard,
