@@ -49,6 +49,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+#: smallest shard (rows) where tile_b=1024 two-level programs compile on
+#: the remote TPU compiler — below this every tb1024 config (any bin
+#: size) dies with "exceeded scoped vmem limit" (probe_vmem_boundary,
+#: bench_logs/r4i: fails at 131072/262144/524288, passes at 1.1M)
+_TILE_B_1024_MIN_ROWS = 1_048_576
+
+
+def _tuned_tile_b(k: int, n_rows: int, default=None) -> int:
+    """Per-depth tuned tile_b, gated by shard size: tuned values > 512
+    only apply at >= _TILE_B_1024_MIN_ROWS rows (probe_vmem_boundary
+    r4i: every tb1024 program scoped-vmem-OOMs the remote compiler at
+    <= 524288 rows, any bin size, while 1.1M compiles fine)."""
+    from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
+
+    tile_b = int(get_tuned("topk.tile_b", k=k, default=default))
+    if tile_b > 512 and n_rows < _TILE_B_1024_MIN_ROWS:
+        return 512
+    return tile_b
+
+
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -627,9 +647,7 @@ def topk_ip_bins_int8(
     if super_size is None:
         super_size = _auto_super_size(k)
     if tile_b is None:
-        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
-
-        tile_b = int(get_tuned("topk.tile_b", k=k, default=256))
+        tile_b = _tuned_tile_b(k, docs.shape[0], default=256)
     q_vals, q_scales = quantize_rows(queries.astype(jnp.float32))
     (
         (d_vals, d_scales), (q_vals, q_scales),
@@ -833,9 +851,7 @@ def topk_ip_rescore_two_level(
     if super_size is None:
         super_size = _auto_super_size(k)
     if tile_b is None:
-        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
-
-        tile_b = int(get_tuned("topk.tile_b", k=k))
+        tile_b = _tuned_tile_b(k, docs.shape[0])
     (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
         k, n_valid, tile_b, tile_n, interpret, [docs], [queries],
         chunk=bin_size * super_size,
@@ -1080,9 +1096,7 @@ def topk_ip_bins_two_level_probed(
     if super_size is None:
         super_size = _auto_super_size(k)
     if tile_b is None:
-        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
-
-        tile_b = int(get_tuned("topk.tile_b", k=k))
+        tile_b = _tuned_tile_b(k, docs.shape[0])
     (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
         k, n_valid, tile_b, tile_n, interpret, [docs], [queries],
         chunk=bin_size * super_size,
@@ -1147,9 +1161,7 @@ def topk_ip_bins_two_level(
     if super_size is None:
         super_size = _auto_super_size(k)
     if tile_b is None:
-        from codemix_dense_retrieval_tpu.utils.autotune import get_tuned
-
-        tile_b = int(get_tuned("topk.tile_b", k=k))
+        tile_b = _tuned_tile_b(k, docs.shape[0])
     (docs,), (queries,), n_valid, eff_tile_b, b, b_pad, interpret = _prep_shard(
         k, n_valid, tile_b, tile_n, interpret, [docs], [queries],
         chunk=bin_size * super_size,

@@ -78,17 +78,23 @@ def shard_row_sidecar(
     return jax.device_put(padded, NamedSharding(mesh, P(axis)))
 
 
-def _resolve_tile_b(tile_b, k: int, default: int) -> int:
+def _resolve_tile_b(tile_b, k: int, default: int, rows_per_shard: int) -> int:
     """tile_b=None -> the per-depth tuned store (hardware-measured
     winners from `tune`/probe_g16_deepk), falling back to each path's
-    measured-on-dev-chip default so untuned hosts keep today's configs."""
+    measured-on-dev-chip default so untuned hosts keep today's configs.
+    Tuned tile_b > 512 only applies on shards large enough to compile
+    (ops.topk._TILE_B_1024_MIN_ROWS — probe_vmem_boundary r4i: every
+    tb1024 program scoped-vmem-OOMs the remote compiler at <= 524288
+    rows, any bin size)."""
     if tile_b is not None:
         return int(tile_b)
+    from codemix_dense_retrieval_tpu.ops.topk import _tuned_tile_b
     from codemix_dense_retrieval_tpu.utils.autotune import load_tuned
 
     store = load_tuned()
-    v = store.get(f"topk.tile_b.k{k}", store.get("topk.tile_b"))
-    return int(v) if v is not None else default
+    if f"topk.tile_b.k{k}" not in store and "topk.tile_b" not in store:
+        return default
+    return _tuned_tile_b(k, rows_per_shard, default=default)
 
 
 @functools.lru_cache(maxsize=128)
@@ -312,7 +318,7 @@ def sharded_topk_ip_sketch(
         doc_scales = jax.device_put(
             np.zeros(s, np.float32), NamedSharding(mesh, P(axis))
         )
-    tile_b = _resolve_tile_b(tile_b, k, 512)
+    tile_b = _resolve_tile_b(tile_b, k, 512, rows_per_shard)
     fn = _build_sharded_sketch_search(
         mesh, axis, k, probe_bins, bin_size, super_size, tile_n, tile_b,
         bool(interpret), rows_per_shard, int8_mode,
@@ -472,7 +478,7 @@ def sharded_topk_ip_adaptive(
     if probe_bins is None:
         probe_bins = _default_probe_bins(k, bin_size, nb_local, expand)
     probe_bins = max(min(probe_bins, nb_local), -(-k // bin_size))
-    tile_b = _resolve_tile_b(tile_b, k, 512)
+    tile_b = _resolve_tile_b(tile_b, k, 512, rows_per_shard)
     fn = _build_sharded_adaptive_search(
         mesh, axis, k, probe_bins, bin_size, super_size, tile_n, tile_b,
         bool(interpret), rows_per_shard,
@@ -582,7 +588,7 @@ def sharded_topk_ip(
         doc_scales = jax.device_put(
             np.zeros(s, np.float32), NamedSharding(mesh, P(axis))
         )
-    tile_b = _resolve_tile_b(tile_b, k, 256)
+    tile_b = _resolve_tile_b(tile_b, k, 256, rows_per_shard)
     fn = _build_sharded_search(
         mesh, axis, k, method, bin_size, tile_n, tile_b,
         bool(interpret), int8_mode, rows_per_shard,

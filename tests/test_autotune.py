@@ -118,3 +118,47 @@ class TestSweeps:
         for key, val in update.items():
             assert data[key] == val
         assert "_device" in data
+
+
+class TestTileBVmemGate:
+    """Tuned tile_b > 512 only applies on shards that can compile it:
+    the remote TPU compiler scoped-vmem-OOMs every tb1024 two-level
+    program at <= 524288 rows while compiling 1.1M fine
+    (probe_vmem_boundary, bench_logs/r4i)."""
+
+    def test_two_level_clamps_tuned_tile_b_on_small_shards(self, monkeypatch):
+        from codemix_dense_retrieval_tpu.ops import topk
+
+        autotune.save_tuned({"topk.tile_b.k300": 1024})
+        seen = {}
+        real = topk._prep_shard
+
+        def spy(k, n_valid, tile_b, *a, **kw):
+            seen["tile_b"] = tile_b
+            return real(k, n_valid, tile_b, *a, **kw)
+
+        monkeypatch.setattr(topk, "_prep_shard", spy)
+        rng = np.random.default_rng(3)
+        import jax.numpy as jnp
+
+        q = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((2048, 32)).astype(np.float32))
+        topk.topk_ip_bins_two_level(q, d, 300)
+        assert seen["tile_b"] == 512  # clamped: 2048 rows < the boundary
+
+        # explicit caller choice is never second-guessed
+        topk.topk_ip_bins_two_level(q, d, 300, tile_b=1024)
+        assert seen["tile_b"] == 1024
+
+    def test_resolve_tile_b_gates_by_rows(self):
+        from codemix_dense_retrieval_tpu.ops.topk import _TILE_B_1024_MIN_ROWS
+        from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+            _resolve_tile_b,
+        )
+
+        autotune.save_tuned({"topk.tile_b.k100": 1024})
+        assert _resolve_tile_b(None, 100, 256, _TILE_B_1024_MIN_ROWS) == 1024
+        assert _resolve_tile_b(None, 100, 256, _TILE_B_1024_MIN_ROWS - 1) == 512
+        # untuned depths keep the path default; explicit passes through
+        assert _resolve_tile_b(None, 77, 256, 10**9) == 256
+        assert _resolve_tile_b(768, 100, 256, 1) == 768
