@@ -220,8 +220,14 @@ def main() -> None:
         try:
             return _timed_run(run, queries, docs, iters)
         except Exception as exc:  # noqa: BLE001 — compile/runtime failure
+            import traceback
+
             _RESULT[f"tuned_fallback_{tag}"] = f"{type(exc).__name__}: {exc}"[:120]
-            _log(f"{tag}: tuned config failed ({exc!r:.80}); conservative retry")
+            # full traceback to the bench log so unrelated failures (OOM
+            # mid-run, relay errors) still surface loudly even though the
+            # conservative numbers become the official record (advisor r4)
+            _log(f"{tag}: tuned config failed; conservative retry. Traceback:\n"
+                 + traceback.format_exc())
             return _timed_run(_mk_conservative(depth), queries, docs, iters)
 
     run_100 = _mk_run100(not on_tpu)

@@ -52,8 +52,10 @@ NEG_INF = float(np.finfo(np.float32).min)
 #: smallest shard (rows) where tile_b=1024 two-level programs compile on
 #: the remote TPU compiler — below this every tb1024 config (any bin
 #: size) dies with "exceeded scoped vmem limit" (probe_vmem_boundary,
-#: bench_logs/r4i: fails at 131072/262144/524288, passes at 1.1M)
-_TILE_B_1024_MIN_ROWS = 1_048_576
+#: bench_logs/r4i: fails at 131072/262144/524288, passes at 1.1M).
+#: Set to the verified-PASSING row count, not the nearest power of two:
+#: the [2^20, 1.1M) gap was never probed (advisor r4 finding).
+_TILE_B_1024_MIN_ROWS = 1_100_000
 
 
 def _tuned_tile_b(k: int, n_rows: int, default=None) -> int:
@@ -647,7 +649,7 @@ def topk_ip_bins_int8(
     if super_size is None:
         super_size = _auto_super_size(k)
     if tile_b is None:
-        tile_b = _tuned_tile_b(k, docs.shape[0], default=256)
+        tile_b = _tuned_tile_b(k, d_vals.shape[0], default=256)
     q_vals, q_scales = quantize_rows(queries.astype(jnp.float32))
     (
         (d_vals, d_scales), (q_vals, q_scales),

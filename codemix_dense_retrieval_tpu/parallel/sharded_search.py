@@ -588,7 +588,13 @@ def sharded_topk_ip(
         doc_scales = jax.device_put(
             np.zeros(s, np.float32), NamedSharding(mesh, P(axis))
         )
-    tile_b = _resolve_tile_b(tile_b, k, 256, rows_per_shard)
+    if method == "bins_two_level":
+        tile_b = _resolve_tile_b(tile_b, k, 256, rows_per_shard)
+    elif tile_b is None:
+        # tuned-store tile_b entries are measured on the two-level kernel
+        # only; the single-level bins kernel keeps its benchmarked default
+        # (advisor r4 finding)
+        tile_b = 256
     fn = _build_sharded_search(
         mesh, axis, k, method, bin_size, tile_n, tile_b,
         bool(interpret), int8_mode, rows_per_shard,
