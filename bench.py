@@ -59,9 +59,42 @@ _T0 = time.time()
 _DEADLINE = float(os.environ.get("CDR_BENCH_DEADLINE", "3000"))
 
 
+# Pinned chip-state reference for normalized keys (VERDICT r4 item 6):
+# the probe's chained-matmul TF/s on a DATASHEET v5e (bf16 peak). The
+# relay chip's effective clock swings 2-4x between sessions (BENCH_NOTES
+# r4f: 5,747 vs 11,139 qps, same program, one hour apart), so raw qps is
+# not comparable round-over-round; qps x (pinned / measured probe) is.
+_PINNED_PROBE_TFLOPS = 197.0
+
+
+def _derive_normalized() -> None:
+    tf = _RESULT.get("mxu_tflops_bf16_4k")
+    if not tf:
+        return
+    ratio = _PINNED_PROBE_TFLOPS / tf
+    _RESULT["normalization"] = (
+        f"x{_PINNED_PROBE_TFLOPS:.0f}/{tf:.1f} (pinned datasheet v5e bf16 "
+        "probe / this session's probe)"
+    )
+    if _RESULT.get("value") and str(_RESULT.get("metric", "")).startswith("search_qps"):
+        _RESULT["qps_per_mxu_tf"] = round(_RESULT["value"] / tf, 1)
+        _RESULT["vs_baseline_normalized"] = round(
+            _RESULT["value"] * ratio / 10_000.0, 3)
+    for key in list(_RESULT):
+        if key.startswith("search_qps_k") and isinstance(_RESULT[key], (int, float)):
+            depth = key.removeprefix("search_qps_")
+            _RESULT[f"qps_per_mxu_tf_{depth}"] = round(_RESULT[key] / tf, 1)
+            _RESULT[f"vs_baseline_{depth}_normalized"] = round(
+                _RESULT[key] * ratio / 10_000.0, 3)
+
+
 def _emit() -> None:
     if not _EMITTED.is_set():
         _EMITTED.set()
+        try:
+            _derive_normalized()
+        except Exception:  # noqa: BLE001 — derivation must never sink emit
+            pass
         print(json.dumps(_RESULT), flush=True)
 
 
@@ -355,6 +388,29 @@ def main() -> None:
                 _RESULT["sketch_error"] = f"{type(exc).__name__}: {exc}"[:200]
         else:
             _RESULT["sketch_skipped"] = "budget"
+        # adaptive probed-exact on the clustered workload it exists for
+        # (VERDICT r4 item 7: promote the r4d cert=1.000 result from
+        # bench_logs to the driver-captured record)
+        if _left() > 420:
+            try:
+                _bench_adaptive_clustered(
+                    jax, jnp, docs, k, k_deep, block, max(3, iters // 2)
+                )
+            except Exception as exc:  # noqa: BLE001
+                _RESULT["adaptive_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        else:
+            _RESULT["adaptive_skipped"] = "budget"
+        # production-scale shard LAST (it derives a ~9 GiB corpus on-device
+        # and frees the 1.1M shard first; VERDICT r4 item 3: measure the
+        # qps-vs-N curve instead of asserting it)
+        if _left() > 500:
+            try:
+                docs_big_src, docs = docs, None
+                _bench_big_shard(jax, jnp, docs_big_src, queries, k, k_deep)
+            except Exception as exc:  # noqa: BLE001
+                _RESULT["big_shard_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        else:
+            _RESULT["big_shard_skipped"] = "budget"
 
     _emit()
 
@@ -498,6 +554,168 @@ def _bench_mutation_scatter(jax, jnp, docs, iters):
     _RESULT["mutation_scatter_256rows_ms"] = round(
         times[len(times) // 2] * 1e3, 2)
     _log(f"mutation scatter: {_RESULT['mutation_scatter_256rows_ms']} ms")
+
+
+def _bench_adaptive_clustered(jax, jnp, docs, k, k_deep, block, iters):
+    """Adaptive probed-exact tier on a CLUSTERED (topical) corpus — the
+    workload the tier exists for, derived ON-DEVICE from the uploaded
+    gaussian rows (no second tunnel transfer): row i becomes
+    normalize(center[assign_i] + 0.35/sqrt(d) * docs_i) with assign
+    cluster-SORTED (the probed cover's win is a row-order property).
+    Mirrors scripts/bench_adaptive.py's r4d result (cert=1.000,
+    bit-parity) into the official driver record."""
+    from codemix_dense_retrieval_tpu.ops.topk import (
+        topk_ip_bins_two_level,
+        topk_ip_bins_two_level_probed,
+    )
+
+    n, dim = docs.shape
+    centers = 256
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((centers, dim), dtype=np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    assign = np.sort(rng.integers(0, centers, n)).astype(np.int32)
+    qassign = rng.integers(0, centers, block).astype(np.int32)
+    scale = np.float32(0.35 / np.sqrt(dim))
+    c_dev = jnp.asarray(c)
+
+    def _mk(noise, a):
+        y = jnp.take(c_dev, a, axis=0) + scale * noise.astype(jnp.float32)
+        return (y / jnp.linalg.norm(y, axis=1, keepdims=True)).astype(jnp.bfloat16)
+
+    mk = jax.jit(_mk)
+    docs_c = mk(docs, jnp.asarray(assign))
+    # query noise from the corpus TAIL rows (occasional shared noise with
+    # a same-center row just plants a perfect hit — a realistic query)
+    queries_c = mk(docs[-block:], jnp.asarray(qassign))
+    docs_c.block_until_ready()
+    _log("adaptive: clustered corpus derived on-device")
+
+    for depth in (k, k_deep):
+        if _left() < 240:
+            _RESULT[f"adaptive_k{depth}_skipped"] = "budget"
+            continue
+        run_e = jax.jit(functools.partial(
+            topk_ip_bins_two_level, k=depth, tile_b=None, tile_n=1024,
+        ))
+        dt_e, (ev, ei) = _timed_pair(run_e, (queries_c, docs_c), iters)
+        ei_np = np.asarray(ei)
+        _log(f"adaptive k={depth}: exact {block / dt_e:.0f} qps")
+        best = None
+        for probe in (max(64, depth // 4), 268, 806):
+            run_p = jax.jit(functools.partial(
+                topk_ip_bins_two_level_probed, k=depth, probe_bins=probe,
+                tile_b=None, tile_n=1024,
+            ))
+            dt_p, (pv, pi, cert, _unsel) = _timed_pair(
+                run_p, (queries_c, docs_c), iters)
+            cert_np = np.asarray(cert)
+            _log(f"adaptive k={depth} probe={probe}: {block / dt_p:.0f} qps "
+                 f"cert={cert_np.mean():.3f}")
+            best = (probe, dt_p, cert_np, pi)
+            if cert_np.mean() >= 0.98 or _left() < 180:
+                break
+        probe, dt_p, cert_np, pi = best
+        # escalation: exact rerun over the uncertified queries (pow2
+        # bucket, the flat.py adaptive-tier policy) — total = probed +
+        # escalated cost, still provably exact
+        esc = np.flatnonzero(~cert_np)
+        dt_esc = 0.0
+        if len(esc):
+            from codemix_dense_retrieval_tpu.utils import next_pow2
+
+            sub = np.zeros((next_pow2(len(esc)), dim), np.float32)
+            sub[: len(esc)] = np.asarray(queries_c[esc], np.float32)
+            dt_esc, _ = _timed_pair(
+                run_e, (jnp.asarray(sub, queries_c.dtype), docs_c), iters)
+        pi_np = np.asarray(pi)
+        viol = sum(
+            not np.array_equal(pi_np[q], ei_np[q]) for q in np.flatnonzero(cert_np)
+        )
+        _RESULT.update({
+            f"adaptive_qps_k{depth}": round(block / (dt_p + dt_esc), 1),
+            f"adaptive_cert_frac_k{depth}": round(float(cert_np.mean()), 4),
+            f"adaptive_probe_k{depth}": probe,
+            f"adaptive_escalated_k{depth}": int(len(esc)),
+            f"adaptive_parity_violations_k{depth}": int(viol),
+            f"adaptive_speedup_vs_exact_k{depth}": round(
+                dt_e / (dt_p + dt_esc), 3),
+            f"adaptive_exact_qps_clustered_k{depth}": round(block / dt_e, 1),
+        })
+    del docs_c, queries_c
+
+
+def _bench_big_shard(jax, jnp, docs, queries, k, k_deep):
+    """Production-scale shard: 4x the 1.1M rows via on-device sign-flip
+    copies (bf16-exact, norm-preserving) -> a 4.4M x 1024 bf16 shard
+    (~9 GiB — the per-chip shape of the real 8.8M two-language corpus on
+    a 2-chip split, `encode_multilingual_corpus.py:367`). Measures the
+    qps-vs-N curve the r4 record only asserted. Block shrinks to 256 so
+    the (B, N) f32 score matrix fits beside the shard."""
+    from jax import lax
+
+    from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_two_level
+
+    n, dim = docs.shape
+    rng = np.random.default_rng(21)
+    q_small = queries[:256]
+    for copies in (4, 2):
+        try:
+            signs = jnp.asarray(
+                np.where(rng.random((copies, dim)) < 0.5, -1.0, 1.0)
+                .astype(np.float32))
+            mkbig = jax.jit(lambda d, s: jnp.concatenate(
+                [(d.astype(jnp.float32) * s[i]).astype(jnp.bfloat16)
+                 for i in range(copies)], axis=0))
+            docs_big = mkbig(docs, signs)
+            docs_big.block_until_ready()
+            break
+        except Exception as exc:  # noqa: BLE001 — HBM OOM: halve
+            _RESULT["big_shard_derive_retry"] = f"{copies}x: {exc}"[:120]
+            docs_big = None
+    if docs_big is None:
+        raise RuntimeError("big-shard derivation failed at 4x and 2x")
+    del docs
+    n_big = int(docs_big.shape[0])
+    _log(f"big shard derived on-device: {n_big} rows "
+         f"({n_big * dim * 2 / 2**30:.1f} GiB)")
+
+    # on-device oracle (4 queries, plain XLA matmul + top_k): the 1.1M
+    # host oracle cannot see the derived corpus without a 9 GiB readback
+    oracle = jax.jit(lambda q, d: lax.top_k(
+        lax.dot_general(q, d, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32), k_deep))
+    ov, oi = oracle(q_small[:4], docs_big)
+    oi_np = np.asarray(oi)
+
+    for depth in (k, k_deep):
+        if _left() < 200:
+            _RESULT[f"big_shard_k{depth}_skipped"] = "budget"
+            continue
+        run = jax.jit(functools.partial(
+            topk_ip_bins_two_level, k=depth, tile_b=None, tile_n=1024,
+        ))
+        try:
+            dt, (vals, idx) = _timed_pair(run, (q_small, docs_big), 4)
+        except Exception as exc:  # noqa: BLE001 — tuned config OOM class
+            _RESULT[f"big_shard_k{depth}_fallback"] = f"{exc}"[:120]
+            run = jax.jit(functools.partial(
+                topk_ip_bins_two_level, k=depth, bin_size=8, super_size=8,
+                tile_b=512, tile_n=1024,
+            ))
+            dt, (vals, idx) = _timed_pair(run, (q_small, docs_big), 4)
+        idx_np = np.asarray(idx)[:4, :depth]
+        ov_frac = float(np.mean([
+            len(set(idx_np[qi].tolist()) & set(oi_np[qi, :depth].tolist())) / depth
+            for qi in range(4)
+        ]))
+        qps = q_small.shape[0] / dt
+        _RESULT.update({
+            f"search_qps_{n_big}x{dim}_bf16_k{depth}": round(qps, 1),
+            f"exact_overlap_{n_big}_k{depth}": round(ov_frac, 4),
+        })
+        _log(f"big shard k={depth}: {qps:.0f} qps overlap={ov_frac:.3f}")
+    _RESULT["big_shard_block"] = int(q_small.shape[0])
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ import numpy as np  # noqa: E402
 
 def main() -> None:
     rank, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    ndev_expect = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     import jax
 
@@ -46,6 +47,8 @@ def main() -> None:
     n_local = len(jax.local_devices())
     n_global = len(jax.devices())
     assert n_global == n_local * nproc, (n_local, n_global)
+    if ndev_expect is not None:
+        assert n_local == ndev_expect, (n_local, ndev_expect)
 
     mesh = global_mesh(shard=n_global, tp=1)
 
@@ -80,6 +83,45 @@ def main() -> None:
         bin_size=8, tile_n=32,
     )
     jax.block_until_ready((vals, gids))
+
+    # merge-payload assertion (VERDICT r4 item 9): the only data that
+    # crosses device (and hence process/DCN) boundaries in the merge is
+    # the per-shard (k values, k global ids) candidate lists — a few KB —
+    # never anything corpus-sized. Checked on the COMPILED program: every
+    # all-gather in the HLO must produce at most B x (S*k) elements.
+    import re
+
+    from codemix_dense_retrieval_tpu.parallel.sharded_search import (
+        _build_sharded_search,
+    )
+
+    fn = _build_sharded_search(
+        mesh, "shard", k, "bins_xla", 8, 32, 256, True, False,
+        docs_dev.shape[0] // n_global,
+    )
+    dummy_scales = jax.device_put(
+        np.zeros(n_global, np.float32),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("shard")),
+    )
+    hlo = fn.lower(
+        jax.ShapeDtypeStruct(queries.shape, np.float32),
+        jax.ShapeDtypeStruct(docs_dev.shape, docs_dev.dtype),
+        jax.ShapeDtypeStruct(counts.shape, counts.dtype),
+        jax.ShapeDtypeStruct(dummy_scales.shape, np.float32),
+    ).compile().as_text()
+    ag_shapes = re.findall(
+        r"=\s+[a-z0-9]+\[([0-9,]*)\][^\n]*?\ball-gather(?:-start)?\(", hlo)
+    assert ag_shapes, "no all-gather in the compiled merge program"
+    b = queries.shape[0]
+    max_payload = b * n_global * k  # (B, S*k) candidate lists
+    for shp in ag_shapes:
+        elems = int(np.prod([int(x) for x in shp.split(",") if x] or [1]))
+        assert elems <= max_payload, (
+            f"all-gather moves {elems} elements (> merge payload "
+            f"{max_payload}); shape=[{shp}]"
+        )
+    # and the merge payload itself is tiny vs the sharded corpus
+    assert max_payload * 8 < docs_dev.shape[0] * docs_dev.shape[1] * 4 / 10
 
     # replicated outputs: every process holds the full (B, k) result
     vals_np, gids_np = np.asarray(vals), np.asarray(gids)

@@ -43,20 +43,25 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_search_parity():
-    """Spawn a real 2-process jax.distributed CPU cluster (2 virtual
-    devices per process -> 4-way global mesh); each rank uploads only its
+@pytest.mark.parametrize("dev_per_proc", [2, 4])
+def test_two_process_distributed_search_parity(dev_per_proc):
+    """Spawn a real 2-process jax.distributed CPU cluster (2 or 4 virtual
+    devices per process -> 4/8-way global mesh); each rank uploads only its
     process-local rows and runs one sharded search whose all-gather merge
-    crosses the process boundary (Gloo). Both ranks assert oracle parity.
+    crosses the process boundary (Gloo). Both ranks assert oracle parity
+    AND (in the worker, from the compiled HLO) that nothing bigger than
+    the (B, S*k) candidate payload crosses any device boundary — the
+    ICI-within / DCN-across merge hierarchy's contract (SURVEY §5).
 
-    VERDICT r3 item 4: `jax.distributed.initialize` had never executed
-    with >1 process before this test.
+    VERDICT r3 item 4 / r4 item 9: `jax.distributed.initialize` had never
+    executed with >1 process before this test; the 4-dev-per-process case
+    puts a real process boundary in the middle of an 8-way merge.
     """
     worker = pathlib.Path(__file__).parent / "multihost_worker.py"
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={dev_per_proc}"
     # the axon PJRT plugin must NOT register in the workers: distributed
     # backend init touches every registered platform, and the relay
     # client blocks when the relay is down (it also can't be shared by
@@ -66,7 +71,8 @@ def test_two_process_distributed_search_parity():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(rank), "2", str(port)],
+            [sys.executable, str(worker), str(rank), "2", str(port),
+             str(dev_per_proc)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
