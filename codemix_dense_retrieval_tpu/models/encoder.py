@@ -121,17 +121,30 @@ class TextEncoder:
         self._dp = 1
         if mesh is not None and mesh_axis in mesh.axis_names:
             self._dp = mesh.shape[mesh_axis]
+        def _packed_apply(p, ids, seg, pos, starts, lens, task, max_segments):
+            return self.model.apply(
+                _deq(p), ids, seg, pos, starts, lens, task,
+                max_segments=max_segments, method="packed_embeddings",
+            )
+
         if self._dp > 1:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
             data_sh = NamedSharding(mesh, P(mesh_axis, None))
+            data_sh3 = NamedSharding(mesh, P(mesh_axis, None, None))
             rep = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, rep)
             self._fwd = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(_deq(p), ids, mask, task),
                 in_shardings=(rep, data_sh, data_sh, rep),
                 out_shardings=data_sh,
+            )
+            self._fwd_packed = jax.jit(
+                _packed_apply,
+                in_shardings=(rep,) + (data_sh,) * 5 + (rep,),
+                out_shardings=data_sh3,
+                static_argnums=(7,),
             )
             tok_sh = NamedSharding(mesh, P(mesh_axis, None, None))
             self._fwd_tokens = jax.jit(
@@ -152,6 +165,7 @@ class TextEncoder:
             self._fwd = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(_deq(p), ids, mask, task)
             )
+            self._fwd_packed = jax.jit(_packed_apply, static_argnums=(7,))
             self._fwd_tokens = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(
                     _deq(p), ids, mask, task, method="token_embeddings"
@@ -420,6 +434,107 @@ class TextEncoder:
             return np.zeros((0, dim), np.float32)
         return np.concatenate(out, axis=0)[self._inverse(order)]
 
+    def _encode_packed(
+        self,
+        texts: Sequence[str],
+        batch_size: int,
+        prefix: str,
+        max_length: Optional[int],
+        task_id: int = 0,
+        readback_dtype=None,
+        rows_per_batch: Optional[int] = None,
+        max_segments: int = 16,
+    ) -> np.ndarray:
+        """Sequence-packed corpus encode (SURVEY §7 "prefetch + pack"):
+        short passages share device rows of the LARGEST bucket length
+        under a block-diagonal attention mask, so the forward computes
+        ~zero pad tokens (vs length-bucketing's intra-bucket waste).
+
+        Pipeline: texts length-sorted (packing quality), tokenized +
+        packed per CHUNK on the prefetch thread, dispatched as fixed
+        (rows_per_batch, S) batches, per-segment pooled outputs placed
+        back via the chunk's (row, slot) map.
+        """
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from codemix_dense_retrieval_tpu.models.packing import (
+            pack_sequences,
+            pad_rows_to,
+        )
+
+        seq_len = max_length or self.length_buckets[-1]
+        if rows_per_batch is None:
+            # ~batch_size texts per dispatch at typical 4-8 seqs/row
+            rows_per_batch = max(self._dp, batch_size // 8)
+        rows_per_batch = ((rows_per_batch + self._dp - 1) // self._dp) * self._dp
+        order = self._length_order(texts)
+        texts = [texts[i] for i in order]
+        task = jnp.asarray(task_id, jnp.int32)
+        pad_id = getattr(self.tokenizer, "pad_id", 1)
+        chunk_texts = rows_per_batch * 16  # >= ~2 batches of packed rows
+        stats = self.last_phase_stats = self._new_phase_stats()
+
+        def prep(start: int):
+            t0 = time.perf_counter()
+            chunk = [prefix + t for t in texts[start : start + chunk_texts]]
+            ids, mask = self.tokenizer.encode_batch(chunk, seq_len)
+            lens = mask.sum(axis=1).astype(np.int32)
+            rows = [ids[i, : lens[i]] for i in range(len(chunk))]
+            packed = pack_sequences(rows, seq_len, pad_id, max_segments)
+            packed = pad_rows_to(
+                packed,
+                -(-packed.n_rows // rows_per_batch) * rows_per_batch,
+            )
+            if stats is not None:
+                stats["tokenize_work"] += time.perf_counter() - t0
+            return start, len(chunk), packed
+
+        n_out = len(texts)
+        dim = self.cfg.hidden_size
+        out_sorted = np.zeros((n_out, dim), np.float32)
+
+        def read(dev, start, count, placement):
+            host = np.asarray(dev).astype(np.float32)  # (R_total, M, d)
+            out_sorted[start : start + count] = host[
+                placement[:, 0], placement[:, 1]
+            ]
+            return count
+
+        def jobs():
+            starts = iter(range(0, len(texts), chunk_texts))
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                futs = deque(
+                    ex.submit(prep, s)
+                    for s in itertools.islice(starts, self._PREFETCH_DEPTH)
+                )
+                while futs:
+                    t0 = time.perf_counter()
+                    start, count, packed = futs.popleft().result()
+                    if stats is not None:
+                        stats["tokenize_wait"] += time.perf_counter() - t0
+                        stats["batches"] += 1
+                    nxt = next(starts, None)
+                    if nxt is not None:
+                        futs.append(ex.submit(prep, nxt))
+                    outs = []
+                    for r0 in range(0, packed.n_rows, rows_per_batch):
+                        sl = slice(r0, r0 + rows_per_batch)
+                        outs.append(self._fwd_packed(
+                            self.params,
+                            packed.ids[sl], packed.segment_ids[sl],
+                            packed.position_ids[sl], packed.seg_starts[sl],
+                            packed.seg_lengths[sl], task, max_segments,
+                        ))
+                    cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+                    if readback_dtype is not None:
+                        cat = cat.astype(readback_dtype)
+                    yield read, (cat, start, count, packed.placement)
+
+        self._overlap_read(jobs(), stats=stats)
+        return out_sorted[self._inverse(order)]
+
     def _encode_tokens(
         self,
         texts: Sequence[str],
@@ -564,12 +679,22 @@ class TextEncoder:
         batch_size: int = 64,
         max_length: Optional[int] = None,
         readback_dtype=None,
+        pack: bool = False,
     ) -> np.ndarray:
         """``readback_dtype`` (e.g. ``jnp.bfloat16``): device-side cast
         before the device->host transfer — halves tunnel bytes for
         corpus encodes whose store is bf16 anyway. Returned array is
         always f32. Queries should keep the default (f32 transfer): the
-        mixing/search paths consume full-precision queries."""
+        mixing/search paths consume full-precision queries.
+
+        ``pack=True`` routes through sequence packing (short passages
+        share device rows under a block-diagonal attention mask —
+        eliminates intra-bucket pad waste; see :meth:`_encode_packed`)."""
+        if pack:
+            return self._encode_packed(
+                texts, batch_size, dialects.doc_prefix(self.name), max_length,
+                task_id=self._task_id("passage"), readback_dtype=readback_dtype,
+            )
         return self._encode(
             texts, batch_size, dialects.doc_prefix(self.name), max_length,
             task_id=self._task_id("passage"), readback_dtype=readback_dtype,

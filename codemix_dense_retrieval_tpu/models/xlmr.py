@@ -104,7 +104,9 @@ class XLMREmbeddings(nn.Module):
     cfg: XLMRConfig
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, input_ids: jnp.ndarray, position_ids: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         c = self.cfg
         word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings", dtype=c.dtype)
         pos = nn.Embed(
@@ -113,8 +115,11 @@ class XLMREmbeddings(nn.Module):
         tok_type = nn.Embed(
             c.type_vocab_size, c.hidden_size, name="token_type_embeddings", dtype=c.dtype
         )
-        pos_ids = position_ids_from_input_ids(input_ids, c.pad_token_id)
-        x = word(input_ids) + pos(pos_ids) + tok_type(jnp.zeros_like(input_ids))
+        if position_ids is None:
+            # packed rows pass explicit per-segment-restarting positions;
+            # the default derives them from the pad convention (HF)
+            position_ids = position_ids_from_input_ids(input_ids, c.pad_token_id)
+        x = word(input_ids) + pos(position_ids) + tok_type(jnp.zeros_like(input_ids))
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=c.dtype)(x)
         return x
 
@@ -166,7 +171,10 @@ class XLMRLayer(nn.Module):
     cfg: XLMRConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None,
+        segment_ids: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         c = self.cfg
         h = c.hidden_size
 
@@ -181,7 +189,8 @@ class XLMRLayer(nn.Module):
         k = dense(h, "k")(x)
         v = dense(h, "v")(x)
         attn = multi_head_attention(
-            q, k, v, attention_mask, num_heads=c.num_heads, use_flash=c.use_flash
+            q, k, v, attention_mask, num_heads=c.num_heads, use_flash=c.use_flash,
+            segment_ids=segment_ids,
         )
         attn = dense(h, "attn_out")(attn)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attn_ln", dtype=c.dtype)(x + attn)
@@ -227,6 +236,59 @@ class XLMREncoder(nn.Module):
         x = self.hidden_states(input_ids, attention_mask, task_id).astype(jnp.float32)
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
         return x * attention_mask.astype(jnp.float32)[..., None]
+
+    def packed_embeddings(
+        self,
+        input_ids: jnp.ndarray,       # (B, S) packed rows
+        segment_ids: jnp.ndarray,     # (B, S) int32; 0 = pad, 1..M = seqs
+        position_ids: jnp.ndarray,    # (B, S) per-segment RoBERTa positions
+        seg_starts: jnp.ndarray,      # (B, M) int32 first-token index per slot
+        seg_lengths: jnp.ndarray,     # (B, M) int32 token count (0 = empty)
+        task_id=None,
+        *,
+        max_segments: int,
+    ) -> jnp.ndarray:
+        """Sequence-packed forward (SURVEY §7 hard parts: "prefetch +
+        pack"): multiple short passages share one device row under a
+        block-diagonal attention mask, eliminating intra-bucket pad waste
+        in corpus encode. Returns per-SEGMENT pooled embeddings
+        (B, max_segments, d) f32 — empty slots are zero vectors; callers
+        unpack with their (row, slot) placement map.
+
+        Matches the unpacked forward exactly (modulo float reassociation):
+        per-segment positions restart the RoBERTa numbering, attention
+        never crosses segments, and pooling reduces each segment alone
+        (tests/test_packing.py asserts parity).
+        """
+        c = self.cfg
+        mask = (segment_ids > 0).astype(jnp.int32)
+        x = self.embeddings(input_ids, position_ids)
+        for layer in self.layers:
+            x = layer(x, mask, task_id, segment_ids=segment_ids)
+        x = x.astype(jnp.float32)
+        if c.pooling == "cls":
+            pooled = jnp.take_along_axis(x, seg_starts[:, :, None], axis=1)
+        elif c.pooling == "mean":
+            # one-hot segment matmul: (B, M, S) @ (B, S, d) on the MXU —
+            # no scatter, no per-segment loop
+            sel = (
+                segment_ids[:, None, :]
+                == (1 + jnp.arange(max_segments))[None, :, None]
+            ).astype(jnp.float32)
+            pooled = jnp.einsum("bms,bsd->bmd", sel, x) / jnp.maximum(
+                seg_lengths[:, :, None].astype(jnp.float32), 1e-9
+            )
+        elif c.pooling == "last_token":
+            idx = seg_starts + jnp.maximum(seg_lengths - 1, 0)
+            pooled = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+        else:
+            raise ValueError(f"unknown pooling {c.pooling!r}")
+        if c.normalize:
+            pooled = pooled / jnp.maximum(
+                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+            )
+        # empty slots -> exact zeros
+        return pooled * (seg_lengths > 0)[:, :, None].astype(jnp.float32)
 
     def embed_with_tokens(
         self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None

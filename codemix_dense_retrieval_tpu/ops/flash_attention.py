@@ -35,6 +35,7 @@ def attention_xla(
     v: jnp.ndarray,
     lengths: jnp.ndarray,  # (B,) int32 valid key counts
     causal: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S) int32, 0 = pad
 ) -> jnp.ndarray:
     dh = q.shape[-1]
     if k.shape[1] != q.shape[1]:  # GQA: broadcast kv heads to q heads
@@ -45,20 +46,48 @@ def attention_xla(
     s = s / math.sqrt(dh)
     col = lax.broadcasted_iota(jnp.int32, (1, 1, 1, k.shape[2]), 3)
     mask = col < lengths[:, None, None, None]
+    if segment_ids is not None:
+        # packed rows: attention stays within each segment (block-diagonal
+        # mask) — multiple independent passages share one device row
+        seg = segment_ids[:, None, :, None]  # (B, 1, S, 1) as q rows
+        mask = mask & (seg == segment_ids[:, None, None, :]) & (seg > 0)
     if causal:
         row = lax.broadcasted_iota(jnp.int32, (1, 1, q.shape[2], 1), 2)
         mask = mask & (col <= row)
     s = jnp.where(mask, s, _NEG)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
-    # fully-masked rows (length 0) would softmax uniformly over padding
-    # and emit mean-of-V garbage — zero them (flash-kernel parity)
-    return jnp.where((lengths > 0)[:, None, None, None], out, 0)
+    # fully-masked rows (length 0 / pad slots in packed rows) would
+    # softmax uniformly over padding and emit mean-of-V garbage — zero
+    # them (flash-kernel parity)
+    live = (lengths > 0)[:, None, None, None]
+    if segment_ids is not None:
+        live = live & (segment_ids > 0)[:, None, :, None]
+    return jnp.where(live, out, 0)
+
+
+def _flash_kernel_seg(
+    len_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+    o_ref, m_ref, l_ref, acc_ref,
+    *, num_heads, block_q, block_k, window, num_w, sm_scale, causal,
+):
+    """Packed-row (segment-masked) variant: same online-softmax walk, but
+    score validity additionally requires matching per-token segment ids
+    (block-diagonal attention for sequence packing; seg 0 = pad). Segment
+    ids arrive pre-broadcast as (B, S, 1) q-side / (B, 1, S) k-side so no
+    in-kernel transpose/relayout is needed."""
+    _flash_kernel(
+        len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+        num_heads=num_heads, block_q=block_q, block_k=block_k,
+        window=window, num_w=num_w, sm_scale=sm_scale, causal=causal,
+        qseg_ref=qseg_ref, kseg_ref=kseg_ref,
+    )
 
 
 def _flash_kernel(
     len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, num_heads, block_q, block_k, window, num_w, sm_scale, causal
+    *, num_heads, block_q, block_k, window, num_w, sm_scale, causal,
+    qseg_ref=None, kseg_ref=None,
 ):
     # grid = (B*H, num_q_blocks, num_k_WINDOWS), windows innermost: the
     # (m, l, acc) online-softmax state lives in VMEM scratch and carries
@@ -93,6 +122,8 @@ def _flash_kernel(
         (limit - w * window + block_k - 1) // block_k, 0, window // block_k
     )
 
+    qs = qseg_ref[0] if qseg_ref is not None else None  # (block_q, 1)
+
     def body(j, carry):
         m, l, acc = carry
         kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
@@ -102,6 +133,9 @@ def _flash_kernel(
         )  # (block_q, block_k)
         col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + w * window + j * block_k
         valid = col < length
+        if qs is not None:
+            ks = kseg_ref[0, :, pl.ds(j * block_k, block_k)]  # (1, block_k)
+            valid = valid & (qs == ks) & (ks > 0)
         if causal:
             row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + jq * block_q_
             valid = valid & (col <= row)
@@ -142,6 +176,7 @@ def attention_flash(
     window: Optional[int] = None,
     interpret: Optional[bool] = None,
     causal: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S) int32, 0 = pad
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -180,19 +215,41 @@ def attention_flash(
 
     num_w = s_pad // win
     grid = (b * h, s_pad // bq, num_w)
-    kernel = functools.partial(
-        _flash_kernel, num_heads=h, block_q=bq, block_k=bk, window=win,
-        num_w=num_w, sm_scale=1.0 / math.sqrt(dh), causal=causal,
-    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, bq, dh), lambda i, jq, w: (i, jq, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, win, dh), lambda i, jq, w: (kv_row(i), w, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, win, dh), lambda i, jq, w: (kv_row(i), w, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(lengths, jnp.int32), qf, kf, vf]
+    if segment_ids is not None:
+        segs = jnp.asarray(segment_ids, jnp.int32)
+        if s_pad != s:
+            segs = jnp.pad(segs, ((0, 0), (0, s_pad - s)))  # pad seg = 0
+        # pre-broadcast layouts so the kernel needs no transpose: q side
+        # (B, S, 1) -> (block_q, 1) blocks; k side (B, 1, S) -> (1, win)
+        args.append(segs.reshape(b, s_pad, 1))
+        args.append(segs.reshape(b, 1, s_pad))
+        in_specs.append(pl.BlockSpec(
+            (1, bq, 1), lambda i, jq, w: (i // h, jq, 0),
+            memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, win), lambda i, jq, w: (i // h, 0, w),
+            memory_space=pltpu.VMEM))
+        kernel = functools.partial(
+            _flash_kernel_seg, num_heads=h, block_q=bq, block_k=bk,
+            window=win, num_w=num_w, sm_scale=1.0 / math.sqrt(dh),
+            causal=causal,
+        )
+    else:
+        kernel = functools.partial(
+            _flash_kernel, num_heads=h, block_q=bq, block_k=bk, window=win,
+            num_w=num_w, sm_scale=1.0 / math.sqrt(dh), causal=causal,
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bq, dh), lambda i, jq, w: (i, jq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win, dh), lambda i, jq, w: (kv_row(i), w, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win, dh), lambda i, jq, w: (kv_row(i), w, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, bq, dh), lambda i, jq, w: (i, jq, 0), memory_space=pltpu.VMEM
         ),
@@ -206,7 +263,7 @@ def attention_flash(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(lengths, jnp.int32), qf, kf, vf)
+    )(*args)
     out = out.reshape(b, h, s_pad, dh)
     return out[:, :, :s, :]
 
@@ -221,12 +278,16 @@ def multi_head_attention(
     use_flash: bool = True,
     causal: bool = False,
     flash_min_seq: Optional[int] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Self-attention over packed (B, S, D) projections.
 
     ``attention_mask`` must be contiguous-prefix (standard right-padding);
     it is reduced to per-sequence lengths for the flash path. ``causal``
-    adds the decoder mask (Qwen3-style embedders).
+    adds the decoder mask (Qwen3-style embedders). ``segment_ids``
+    (0 = pad, 1..m = packed sub-sequences) switches on block-diagonal
+    masking for sequence-packed rows (SURVEY §7 "prefetch + pack"); the
+    mask must still cover exactly the seg>0 prefix.
 
     Dispatch is length-aware even when ``use_flash``: measured on v5e,
     XLA softmax attention is ~25% faster at S=128 (the flash kernel's
@@ -248,7 +309,11 @@ def multi_head_attention(
     lengths = attention_mask.astype(jnp.int32).sum(axis=1)
     qh, kh, vh = split(q), split(k), split(v)
     if use_flash and s > flash_min_seq:
-        out = attention_flash(qh, kh, vh, lengths, causal=causal)
+        out = attention_flash(
+            qh, kh, vh, lengths, causal=causal, segment_ids=segment_ids
+        )
     else:
-        out = attention_xla(qh, kh, vh, lengths, causal=causal)
+        out = attention_xla(
+            qh, kh, vh, lengths, causal=causal, segment_ids=segment_ids
+        )
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
