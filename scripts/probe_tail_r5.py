@@ -37,13 +37,21 @@ from jax import lax
 from codemix_dense_retrieval_tpu.utils.compile_cache import enable_compile_cache
 
 
+def _sync(out):
+    # the axon relay's block_until_ready returns before the program has
+    # run (bench.py's documented quirk) — force a scalar host transfer;
+    # device execution is FIFO so this also fences earlier dispatches
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def timed(fn, *args, reps=8):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(fn(*args))
+    _sync(fn(*args))  # compile fully settled
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -62,34 +70,39 @@ def main():
     print(f"backend={jax.default_backend()} B={B} N={N} nb={nb} ns={ns}",
           flush=True)
 
+    # ALL large arrays are generated ON-DEVICE (jax.random): the relay
+    # tunnel is ~40 MB/s, so host-side generation of the 4.5 GB score
+    # matrix alone would eat the probe's whole budget in upload.
+    key = jax.random.key(0)
+    kq, kd, ks, kc = jax.random.split(key, 4)
+
     # ---- A. chip state
-    a4 = jnp.asarray(rng.standard_normal((4096, 4096), dtype=np.float32)
-                     ).astype(jnp.bfloat16)
+    a4 = jax.random.normal(kq, (4096, 4096), jnp.bfloat16)
     mm = jax.jit(lambda x: _reduce(
         lax.dot_general(x, x, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)))
     dt = timed(mm, a4, reps=16)
     tf = 2 * 4096**3 / dt / 1e12
-    big = jnp.asarray(rng.standard_normal((64, 1 << 20), dtype=np.float32))
+    big = jax.random.normal(kd, (64, 1 << 20), jnp.float32)
     cp = jax.jit(lambda x: x + 1.0)
     dtc = timed(cp, big, reps=8)
     gbs = big.size * 4 * 2 / dtc / 1e9
     print(f"A chip: matmul {tf:.1f} TF/s  hbm-copy {gbs:.1f} GB/s", flush=True)
+    del a4, big
 
     # ---- B. phase-1 analog matmul (no binning): Q @ D^T
-    q = jnp.asarray(rng.standard_normal((B, DIM), dtype=np.float32)
-                    ).astype(jnp.bfloat16)
-    d = jnp.asarray(rng.standard_normal((N, DIM), dtype=np.float32)
-                    ).astype(jnp.bfloat16)
+    q = jax.random.normal(kq, (B, DIM), jnp.bfloat16)
+    d = jax.random.normal(kd, (N, DIM), jnp.bfloat16)
     p1 = jax.jit(lambda q, d: _reduce(
         lax.dot_general(q, d, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)))
     dt_p1 = timed(p1, q, d, reps=6)
     print(f"B phase1-matmul(no write): {dt_p1*1e3:.1f} ms "
           f"({2*B*N*DIM/dt_p1/1e12:.1f} TF/s)", flush=True)
+    del d
 
     # synthetic tail inputs (f32 scores bin-major + binmax)
-    scores = jnp.asarray(rng.standard_normal((B, N), dtype=np.float32))
+    scores = jax.random.normal(ks, (B, N), jnp.float32)
     binmax = jax.jit(lambda s: s.reshape(B, nb, G).max(axis=2))(scores)
     jax.block_until_ready(binmax)
 
