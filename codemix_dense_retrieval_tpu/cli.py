@@ -177,6 +177,7 @@ def cmd_encode_corpus(args) -> None:
         force=args.force,
         tokens_per_doc=args.tokens_per_doc,
         token_dtype=args.token_dtype,
+        pack=args.pack,
     )
     print(json.dumps({lang: str(d) for lang, d in dirs.items()}, indent=2))
 
@@ -954,6 +955,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokens_per_doc", type=int, default=0,
                    help="also write a <lang>/tokens store for two-stage MaxSim serving")
     p.add_argument("--token_dtype", default="int8")
+    p.add_argument("--pack", action="store_true",
+                   help="sequence-packed encode: short passages share device "
+                        "rows under a block-diagonal attention mask (removes "
+                        "intra-bucket pad waste)")
     p.add_argument("--force", action="store_true")
     p.set_defaults(fn=cmd_encode_corpus)
 

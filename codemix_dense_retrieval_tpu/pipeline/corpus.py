@@ -216,6 +216,7 @@ def encode_corpus(
     progress: Optional[Callable[[str, int], None]] = None,
     tokens_per_doc: int = 0,
     token_dtype: str = "int8",
+    pack: bool = False,
 ) -> Dict[str, pathlib.Path]:
     """Encode per-language corpora into ShardStore directories.
 
@@ -355,6 +356,7 @@ def encode_corpus(
                 vecs = encoder.encode_documents(
                     keep_texts, batch_size=enc_batch,
                     readback_dtype="bfloat16" if storage_dtype == "bfloat16" else None,
+                    pack=pack,
                 )
                 toks = lens = None
             else:
