@@ -117,6 +117,11 @@ def main() -> None:
     ap.add_argument("--weight_quant", choices=("int8", "nf4"),
                     help="encoder Linear weights quantized in HBM "
                          "(bitsandbytes load_in_8bit/4bit analog)")
+    ap.add_argument("--pack", action="store_true",
+                    help="ALSO time the sequence-packed e2e encode "
+                         "(block-diagonal attention, zero intra-bucket "
+                         "pad waste) and report the packed-vs-bucketed "
+                         "speedup")
     args = ap.parse_args()
 
     import jax
@@ -246,6 +251,31 @@ def main() -> None:
     assert vecs.shape[0] == len(texts)
     e2e_pps = len(texts) / e2e_s
 
+    pack_report = {}
+    if args.pack:
+        # warm the packed program (one chunk), then time the full pass
+        enc.encode_documents(
+            texts[: args.batch], batch_size=args.batch, readback_dtype=rb,
+            pack=True,
+        )
+        t0 = time.perf_counter()
+        vecs_p = enc.encode_documents(
+            texts, batch_size=args.batch, readback_dtype=rb, pack=True
+        )
+        pack_s = time.perf_counter() - t0
+        # correctness: packed outputs must match the bucketed pass (both
+        # bf16 readbacks -> compare loosely)
+        cos = float(np.mean(np.sum(
+            vecs_p[:256] * vecs[:256], axis=1
+        ) / np.maximum(
+            np.linalg.norm(vecs_p[:256], axis=1)
+            * np.linalg.norm(vecs[:256], axis=1), 1e-9)))
+        pack_report = {
+            "pack_e2e_pps": round(len(texts) / pack_s, 1),
+            "pack_speedup_vs_bucketed": round(e2e_s / pack_s, 3),
+            "pack_vs_bucketed_cos": round(cos, 5),
+        }
+
     # phase attribution of the e2e-vs-forward gap (VERDICT r3 item 7):
     # dispatch ~= job_iter - tokenize_wait; residue = wall not accounted
     # to any seam (python glue, concat, inverse permutation upstream)
@@ -279,6 +309,7 @@ def main() -> None:
         "readback": args.readback,
         "backend": jax.default_backend(),
         **ph_report,
+        **pack_report,
     }))
 
 
