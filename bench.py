@@ -405,8 +405,12 @@ def main() -> None:
         # qps-vs-N curve instead of asserting it)
         if _left() > 500:
             try:
-                docs_big_src, docs = docs, None
-                _bench_big_shard(jax, jnp, docs_big_src, queries, k, k_deep)
+                # hand the ONLY reference over in a container so the
+                # helper can actually free the 2.2 GiB source shard
+                # before searching the 9 GiB derived one
+                box = [docs]
+                docs = None
+                _bench_big_shard(jax, jnp, box, queries, k, k_deep)
             except Exception as exc:  # noqa: BLE001
                 _RESULT["big_shard_error"] = f"{type(exc).__name__}: {exc}"[:200]
         else:
@@ -645,17 +649,20 @@ def _bench_adaptive_clustered(jax, jnp, docs, k, k_deep, block, iters):
     del docs_c, queries_c
 
 
-def _bench_big_shard(jax, jnp, docs, queries, k, k_deep):
+def _bench_big_shard(jax, jnp, docs_box, queries, k, k_deep):
     """Production-scale shard: 4x the 1.1M rows via on-device sign-flip
     copies (bf16-exact, norm-preserving) -> a 4.4M x 1024 bf16 shard
     (~9 GiB — the per-chip shape of the real 8.8M two-language corpus on
     a 2-chip split, `encode_multilingual_corpus.py:367`). Measures the
     qps-vs-N curve the r4 record only asserted. Block shrinks to 256 so
-    the (B, N) f32 score matrix fits beside the shard."""
+    the (B, N) f32 score matrix fits beside the shard. ``docs_box`` is a
+    single-element list holding the LAST reference to the 1.1M shard —
+    popped and freed right after derivation."""
     from jax import lax
 
     from codemix_dense_retrieval_tpu.ops.topk import topk_ip_bins_two_level
 
+    docs = docs_box.pop()
     n, dim = docs.shape
     rng = np.random.default_rng(21)
     q_small = queries[:256]

@@ -19,8 +19,16 @@ run() {
 }
 
 # official record first (first-light banks a number within minutes even
-# in the slow-compile regime; budget-gated phases; MXU-probe key)
+# in the slow-compile regime; budget-gated phases; MXU-probe key,
+# normalized keys, adaptive-clustered + 4.4M big-shard phases)
 run bench_official 3300 "python bench.py"
+# r5 deep-k tail stage probes (floor attribution at the tuned config)
+run probe_tail 2400 "python scripts/probe_tail_r5.py"
+# device-time small-batch verdict for the sketch/adaptive tiers
+# (chained fori_loop subtracts the relay RTT floor — VERDICT r4 item 4)
+run device_time_smallbatch 3000 "python scripts/bench_device_time_smallbatch.py"
+# sequence-packed encode A/B vs the bucketed path (VERDICT r4 item 5)
+run encode_pack 2400 "python scripts/bench_encode_e2e.py --pack"
 # the flagship one-jit workload (lax.map sequential alphas — r4c 12.0k
 # eff qps exact at k=100 over 1.1M)
 run fused_sweep 2400 "python scripts/bench_fused_sweep.py"

@@ -51,3 +51,54 @@ def test_bench_mutation_scatter_phase():
     docs = jnp.asarray(rng.standard_normal((4096, 128), dtype=np.float32))
     bench._bench_mutation_scatter(jax, jnp, docs, iters=1)
     assert bench._RESULT["mutation_scatter_256rows_ms"] > 0
+
+
+def test_bench_adaptive_clustered_phase():
+    import jax
+
+    _fresh_result()
+    rng = np.random.default_rng(2)
+    docs = jnp.asarray(rng.standard_normal((2048, 128), dtype=np.float32))
+    bench._bench_adaptive_clustered(jax, jnp, docs, 8, 16, 64, iters=1)
+    r = bench._RESULT
+    for depth in (8, 16):
+        assert r[f"adaptive_qps_k{depth}"] > 0
+        assert 0.0 <= r[f"adaptive_cert_frac_k{depth}"] <= 1.0
+        # adaptive is exact by construction: certified rows bit-match
+        assert r[f"adaptive_parity_violations_k{depth}"] == 0
+        assert r[f"adaptive_escalated_k{depth}"] == round(
+            (1 - r[f"adaptive_cert_frac_k{depth}"]) * 64
+        )
+
+
+def test_bench_big_shard_phase():
+    import jax
+
+    _fresh_result()
+    rng = np.random.default_rng(3)
+    docs = jnp.asarray(rng.standard_normal((2048, 128), dtype=np.float32))
+    queries = jnp.asarray(rng.standard_normal((64, 128), dtype=np.float32))
+    bench._bench_big_shard(jax, jnp, [docs], queries, 8, 16)
+    r = bench._RESULT
+    n_big = 4 * 2048
+    for depth in (8, 16):
+        assert r[f"search_qps_{n_big}x128_bf16_k{depth}"] > 0
+        # sign-flip copies are bf16-exact: the binned kernel must agree
+        # with the on-device XLA oracle
+        assert r[f"exact_overlap_{n_big}_k{depth}"] == 1.0
+    assert r["big_shard_block"] == 64
+
+
+def test_derive_normalized_keys():
+    _fresh_result()
+    bench._RESULT.update({
+        "metric": "search_qps_1100000x1024_bf16_k100", "value": 8000.0,
+        "search_qps_k1000": 7000.0, "mxu_tflops_bf16_4k": 41.0,
+    })
+    bench._derive_normalized()
+    r = bench._RESULT
+    # pinned 197 / measured 41 -> ratio ~4.805
+    assert abs(r["vs_baseline_normalized"] - 8000 * (197 / 41.0) / 10000) < 2e-3
+    assert abs(r["vs_baseline_k1000_normalized"] - 7000 * (197 / 41.0) / 10000) < 2e-3
+    assert r["qps_per_mxu_tf"] == round(8000 / 41.0, 1)
+    assert r["qps_per_mxu_tf_k1000"] == round(7000 / 41.0, 1)
