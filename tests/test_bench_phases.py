@@ -102,3 +102,18 @@ def test_derive_normalized_keys():
     assert abs(r["vs_baseline_k1000_normalized"] - 7000 * (197 / 41.0) / 10000) < 2e-3
     assert r["qps_per_mxu_tf"] == round(8000 / 41.0, 1)
     assert r["qps_per_mxu_tf_k1000"] == round(7000 / 41.0, 1)
+
+
+def test_bench_tail_split_phase():
+    import jax
+
+    _fresh_result()
+    rng = np.random.default_rng(4)
+    docs = jnp.asarray(rng.standard_normal((2048, 128), dtype=np.float32))
+    queries = jnp.asarray(rng.standard_normal((64, 128), dtype=np.float32))
+    bench._bench_tail_split(jax, jnp, docs, queries, 16, 0.5, iters=1)
+    r = bench._RESULT
+    assert r["k1000_phase1_matmul_ms"] > 0
+    assert r["k1000_tail_ms"] > 0
+    assert r["k1000_block_ms"] == 500.0
+    assert 0.0 <= r["k1000_tail_frac"] <= 1.0
