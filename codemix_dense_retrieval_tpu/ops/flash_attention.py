@@ -308,7 +308,14 @@ def multi_head_attention(
 
     lengths = attention_mask.astype(jnp.int32).sum(axis=1)
     qh, kh, vh = split(q), split(k), split(v)
-    if use_flash and s > flash_min_seq:
+    # packed rows are always FULL (segments tile the row), so XLA's
+    # short-realized-length advantage doesn't apply and its O(S^2) score
+    # materialization (B*H*S*S f32 per layer) does — include the
+    # crossover length itself in the flash regime for segment mode
+    want_flash = s > flash_min_seq or (
+        segment_ids is not None and s >= flash_min_seq
+    )
+    if use_flash and want_flash:
         out = attention_flash(
             qh, kh, vh, lengths, causal=causal, segment_ids=segment_ids
         )
