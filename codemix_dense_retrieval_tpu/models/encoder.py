@@ -476,13 +476,20 @@ class TextEncoder:
         chunk_texts = rows_per_batch * 16  # >= ~2 batches of packed rows
         stats = self.last_phase_stats = self._new_phase_stats()
 
+        # decoder embedders (Qwen3) restart RoPE positions at 0 per
+        # segment; XLM-R uses the RoBERTa pad_id+1 convention (default)
+        pos_kw = (
+            dict(pos_offset=0, pos_pad=0)
+            if getattr(self.model, "PACKED_POS", "roberta") == "zero" else {}
+        )
+
         def prep(start: int):
             t0 = time.perf_counter()
             chunk = [prefix + t for t in texts[start : start + chunk_texts]]
             ids, mask = self.tokenizer.encode_batch(chunk, seq_len)
             lens = mask.sum(axis=1).astype(np.int32)
             rows = [ids[i, : lens[i]] for i in range(len(chunk))]
-            packed = pack_sequences(rows, seq_len, pad_id, max_segments)
+            packed = pack_sequences(rows, seq_len, pad_id, max_segments, **pos_kw)
             packed = pad_rows_to(
                 packed,
                 -(-packed.n_rows // rows_per_batch) * rows_per_batch,

@@ -52,13 +52,25 @@ def pack_sequences(
     seq_len: int,
     pad_id: int,
     max_segments: int = 16,
+    pos_offset: int = None,
+    pos_pad: int = None,
 ) -> PackedRows:
     """Pack unpadded token-id arrays into rows of length ``seq_len``.
 
     Sequences longer than ``seq_len`` are truncated (the tokenizer's
     max-length cap normally prevents this). Placement order is input
     order; feed longest-first for best-fit-decreasing packing quality.
+
+    Position-id convention: each segment's positions are
+    ``pos_offset + arange(len)``; pad slots carry ``pos_pad``. Defaults
+    follow RoBERTa/XLM-R (first token at ``pad_id + 1``, pads at
+    ``pad_id``); decoder embedders (Qwen3) pass ``pos_offset=0,
+    pos_pad=0`` so RoPE positions restart at 0 per passage.
     """
+    if pos_offset is None:
+        pos_offset = pad_id + 1
+    if pos_pad is None:
+        pos_pad = pad_id
     n = len(token_rows)
     lengths = [min(len(t), seq_len) for t in token_rows]
 
@@ -87,7 +99,7 @@ def pack_sequences(
     nr = max(1, len(rows))
     ids = np.full((nr, seq_len), pad_id, np.int32)
     seg = np.zeros((nr, seq_len), np.int32)
-    pos = np.full((nr, seq_len), pad_id, np.int32)
+    pos = np.full((nr, seq_len), pos_pad, np.int32)
     starts = np.zeros((nr, max_segments), np.int32)
     seg_lens = np.zeros((nr, max_segments), np.int32)
     for r, members in enumerate(rows):
@@ -96,7 +108,7 @@ def pack_sequences(
             ln = lengths[i]
             ids[r, cursor : cursor + ln] = np.asarray(token_rows[i][:ln], np.int32)
             seg[r, cursor : cursor + ln] = slot + 1
-            pos[r, cursor : cursor + ln] = pad_id + 1 + np.arange(ln)
+            pos[r, cursor : cursor + ln] = pos_offset + np.arange(ln)
             starts[r, slot] = cursor
             seg_lens[r, slot] = ln
             cursor += ln
@@ -115,10 +127,11 @@ def pad_rows_to(batch: PackedRows, n_rows: int) -> PackedRows:
         return out
 
     pad_id = int(batch.ids[0, -1]) if batch.ids.size else 1
+    pos_pad = int(batch.position_ids.min()) if batch.position_ids.size else 0
     return PackedRows(
         _pad(batch.ids, pad_id),
         _pad(batch.segment_ids, 0),
-        _pad(batch.position_ids, pad_id),
+        _pad(batch.position_ids, pos_pad),
         _pad(batch.seg_starts, 0),
         _pad(batch.seg_lengths, 0),
         batch.placement,

@@ -105,7 +105,7 @@ class Qwen3Attention(nn.Module):
     cfg: Qwen3Config
 
     @nn.compact
-    def __call__(self, x, positions, lengths):
+    def __call__(self, x, positions, lengths, segment_ids=None):
         c = self.cfg
         b, s, _ = x.shape
         h, kvh, dh = c.num_heads, c.num_kv_heads, c.head_dim
@@ -126,8 +126,13 @@ class Qwen3Attention(nn.Module):
             from codemix_dense_retrieval_tpu.ops.flash_attention import attention_flash
 
             # GQA-native: the kernel maps q heads onto kv heads in its
-            # index_map — repeated K/V never hit HBM
-            out = attention_flash(q, k, v, lengths, causal=True)
+            # index_map — repeated K/V never hit HBM. Packed rows add the
+            # block-diagonal segment mask (causal-within-segment: global
+            # col<=row intersected with same-segment is correct because
+            # segments are contiguous in the row).
+            out = attention_flash(
+                q, k, v, lengths, causal=True, segment_ids=segment_ids
+            )
         else:
             # GQA: repeat kv heads for the einsum path
             k = jnp.repeat(k, h // kvh, axis=1)
@@ -140,6 +145,9 @@ class Qwen3Attention(nn.Module):
             col = lax.broadcasted_iota(jnp.int32, (1, 1, s, s), 3)
             causal = col <= row
             valid = col < lengths[:, None, None, None]
+            if segment_ids is not None:
+                seg_q = segment_ids[:, None, :, None]
+                valid = valid & (seg_q == segment_ids[:, None, None, :]) & (seg_q > 0)
             scores = jnp.where(causal & valid, scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
@@ -164,10 +172,10 @@ class Qwen3Layer(nn.Module):
     cfg: Qwen3Config
 
     @nn.compact
-    def __call__(self, x, positions, lengths):
+    def __call__(self, x, positions, lengths, segment_ids=None):
         c = self.cfg
         h = RMSNorm(c.rms_norm_eps, name="input_layernorm")(x)
-        x = x + Qwen3Attention(c, name="self_attn")(h, positions, lengths)
+        x = x + Qwen3Attention(c, name="self_attn")(h, positions, lengths, segment_ids)
         h = RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
         x = x + Qwen3Mlp(c, name="mlp")(h)
         return x
@@ -177,6 +185,9 @@ class Qwen3Encoder(nn.Module):
     """Decoder-only embedding model: last-token pool + L2 norm."""
 
     cfg: Qwen3Config
+    # packed-encode position convention: RoPE positions restart at 0 per
+    # segment (vs XLM-R's pad_id+1 learned-table convention)
+    PACKED_POS = "zero"
 
     def setup(self) -> None:
         self.embed_tokens = nn.Embed(
@@ -204,6 +215,36 @@ class Qwen3Encoder(nn.Module):
         # Qwen3-Embedding differentiates query/passage by prompt, not adapters)
         x = self.hidden_states(input_ids, attention_mask)
         return pool_and_normalize(x, attention_mask, "last_token", self.cfg.normalize)
+
+    def packed_embeddings(
+        self,
+        input_ids: jnp.ndarray,
+        segment_ids: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        seg_starts: jnp.ndarray,
+        seg_lengths: jnp.ndarray,
+        task_id=None,
+        *,
+        max_segments: int,
+    ) -> jnp.ndarray:
+        """Sequence-packed forward (same contract as
+        ``XLMREncoder.packed_embeddings``): causal-within-segment
+        attention, per-segment RoPE position restart, per-segment
+        LAST-token pooling + L2 norm. Returns (B, max_segments, d) f32;
+        empty slots are zeros."""
+        del task_id
+        lengths = (segment_ids > 0).astype(jnp.int32).sum(axis=1)
+        x = self.embed_tokens(input_ids)
+        for layer in self.layers:
+            x = layer(x, position_ids, lengths, segment_ids)
+        x = self.norm(x).astype(jnp.float32)
+        idx = seg_starts + jnp.maximum(seg_lengths - 1, 0)
+        pooled = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+        if self.cfg.normalize:
+            pooled = pooled / jnp.maximum(
+                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+            )
+        return pooled * (seg_lengths > 0)[:, :, None].astype(jnp.float32)
 
     def token_embeddings(
         self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None

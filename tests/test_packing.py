@@ -166,3 +166,58 @@ def test_encoder_packed_encode_matches_unpacked():
     packed = enc.encode_documents(texts, batch_size=8, pack=True)
     assert packed.shape == ref.shape
     np.testing.assert_allclose(packed, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_qwen3_packed_forward_matches_unpacked():
+    """Decoder embedder: causal-within-segment attention + per-segment
+    RoPE restart + per-segment last-token pooling must reproduce the
+    unpacked forward."""
+    from codemix_dense_retrieval_tpu.models.qwen3 import Qwen3Config, Qwen3Encoder
+
+    cfg = Qwen3Config.tiny(use_flash=False)
+    model = Qwen3Encoder(cfg)
+    rng = np.random.default_rng(9)
+    seq_len, m = 32, 4
+    rows = sorted(
+        (rng.integers(2, cfg.vocab_size, size=rng.integers(1, 14))
+         .astype(np.int32) for _ in range(9)),
+        key=len, reverse=True,
+    )
+    p = pack_sequences(rows, seq_len, 0, m, pos_offset=0, pos_pad=0)
+    n = len(rows)
+    ids_u = np.zeros((n, seq_len), np.int32)
+    mask_u = np.zeros((n, seq_len), np.int32)
+    for i, toks in enumerate(rows):
+        ids_u[i, : len(toks)] = toks
+        mask_u[i, : len(toks)] = 1
+    params = model.init(jax.random.key(1), jnp.asarray(ids_u), jnp.asarray(mask_u))
+    ref = np.asarray(model.apply(params, jnp.asarray(ids_u), jnp.asarray(mask_u)))
+    packed = np.asarray(model.apply(
+        params, jnp.asarray(p.ids), jnp.asarray(p.segment_ids),
+        jnp.asarray(p.position_ids), jnp.asarray(p.seg_starts),
+        jnp.asarray(p.seg_lengths), None,
+        max_segments=m, method="packed_embeddings",
+    ))
+    got = packed[p.placement[:, 0], p.placement[:, 1]]
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_flash_segment_causal_matches_xla(monkeypatch):
+    """Causal + segments compose in the flash kernel (Qwen3 packed)."""
+    b, h, s, dh = 1, 2, 48, 8
+    rng = np.random.default_rng(6)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, dh), dtype=np.float32))
+        for _ in range(3)
+    )
+    seg = np.zeros((b, s), np.int32)
+    seg[0, :15] = 1
+    seg[0, 15:40] = 2
+    seg = jnp.asarray(seg)
+    lengths = (seg > 0).sum(axis=1).astype(jnp.int32)
+    ref = attention_xla(q, k, v, lengths, causal=True, segment_ids=seg)
+    out = attention_flash(
+        q, k, v, lengths, causal=True, segment_ids=seg, block_q=16,
+        block_k=16, window=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
