@@ -63,7 +63,7 @@ def chain(run_vals, queries_shape, R):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1_100_800)
+    ap.add_argument("--n", type=int, default=524_288)
     ap.add_argument("--dim", type=int, default=1024)
     ap.add_argument("--bs", type=int, nargs="+", default=[32, 64, 128])
     ap.add_argument("--ks", type=int, nargs="+", default=[100, 1000])
@@ -73,7 +73,11 @@ def main():
     n, dim = args.n, args.dim
     print(f"backend={jax.default_backend()} n={n}", flush=True)
 
-    # clustered corpus on-device (see bench.py _bench_adaptive_clustered)
+    # clustered corpus derived on-device from UPLOADED gaussian noise —
+    # the bench.py pattern (device-side threefry at corpus scale wedged
+    # the relay worker; host noise + upload is the proven path)
+    import ml_dtypes
+
     centers = 256
     rng = np.random.default_rng(11)
     c = rng.standard_normal((centers, dim), dtype=np.float32)
@@ -81,19 +85,23 @@ def main():
     assign = np.sort(rng.integers(0, centers, n)).astype(np.int32)
     scale = np.float32(0.35 / np.sqrt(dim))
     c_dev = jnp.asarray(c)
+    noise_np = rng.standard_normal((n, dim), dtype=np.float32).astype(
+        ml_dtypes.bfloat16)
+    print("host noise ready; uploading", flush=True)
+    noise = jnp.asarray(noise_np)
+    del noise_np
 
     @jax.jit
-    def mk(noise, a):
-        y = jnp.take(c_dev, a, axis=0) + scale * noise
+    def mk(z, a):
+        y = jnp.take(c_dev, a, axis=0) + scale * z.astype(jnp.float32)
         return (y / jnp.linalg.norm(y, axis=1, keepdims=True)).astype(jnp.bfloat16)
 
-    key = jax.random.key(3)
-    docs = mk(jax.random.normal(key, (n, dim), jnp.float32), jnp.asarray(assign))
-    docs.block_until_ready()
+    docs = mk(noise, jnp.asarray(assign))
+    _ = float(jnp.asarray(docs[0, 0]).astype(jnp.float32))
     qmax = max(args.bs)
     qassign = rng.integers(0, centers, qmax).astype(np.int32)
-    q_all = mk(jax.random.normal(jax.random.key(4), (qmax, dim), jnp.float32),
-               jnp.asarray(qassign))
+    q_all = mk(noise[-qmax:], jnp.asarray(qassign))
+    del noise
     print("corpus ready", flush=True)
 
     # sketch sidecar: fit on a small readback sample (34 MB)
