@@ -221,3 +221,24 @@ def test_flash_segment_causal_matches_xla(monkeypatch):
         block_k=16, window=16, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_packed_encode_qwen3_matches_unpacked():
+    """TextEncoder pack=True with a decoder embedder (Qwen3): the
+    PACKED_POS convention flows through to the packer."""
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.models.qwen3 import Qwen3Config, Qwen3Encoder
+
+    cfg = Qwen3Config.tiny(use_flash=False)
+    enc = TextEncoder(
+        "Qwen/Qwen3-Embedding-0.6B", cfg, model=Qwen3Encoder(cfg),
+        length_buckets=(16, 32),
+    )
+    rng = np.random.default_rng(8)
+    texts = [
+        "".join(chr(97 + c) for c in rng.integers(0, 26, rng.integers(3, 30)))
+        for _ in range(21)
+    ]
+    ref = enc.encode_documents(texts, batch_size=8)
+    packed = enc.encode_documents(texts, batch_size=8, pack=True)
+    np.testing.assert_allclose(packed, ref, rtol=5e-4, atol=5e-5)
