@@ -127,6 +127,12 @@ class TextEncoder:
                 max_segments=max_segments, method="packed_embeddings",
             )
 
+        def _packed_both_apply(p, ids, seg, pos, starts, lens, task, max_segments):
+            return self.model.apply(
+                _deq(p), ids, seg, pos, starts, lens, task,
+                max_segments=max_segments, method="packed_embed_with_tokens",
+            )
+
         if self._dp > 1:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
@@ -144,6 +150,12 @@ class TextEncoder:
                 _packed_apply,
                 in_shardings=(rep,) + (data_sh,) * 5 + (rep,),
                 out_shardings=data_sh3,
+                static_argnums=(7,),
+            )
+            self._fwd_packed_both = jax.jit(
+                _packed_both_apply,
+                in_shardings=(rep,) + (data_sh,) * 5 + (rep,),
+                out_shardings=(data_sh3, data_sh3),
                 static_argnums=(7,),
             )
             tok_sh = NamedSharding(mesh, P(mesh_axis, None, None))
@@ -166,6 +178,7 @@ class TextEncoder:
                 lambda p, ids, mask, task: self.model.apply(_deq(p), ids, mask, task)
             )
             self._fwd_packed = jax.jit(_packed_apply, static_argnums=(7,))
+            self._fwd_packed_both = jax.jit(_packed_both_apply, static_argnums=(7,))
             self._fwd_tokens = jax.jit(
                 lambda p, ids, mask, task: self.model.apply(
                     _deq(p), ids, mask, task, method="token_embeddings"
@@ -542,6 +555,127 @@ class TextEncoder:
         self._overlap_read(jobs(), stats=stats)
         return out_sorted[self._inverse(order)]
 
+    def _encode_packed_with_tokens(
+        self,
+        texts: Sequence[str],
+        batch_size: int,
+        prefix: str,
+        max_length: Optional[int],
+        task_id: int = 0,
+        rows_per_batch: Optional[int] = None,
+        max_segments: int = 16,
+    ):
+        """Packed analog of the embed_with_tokens path: one packed
+        backbone pass -> (dense (n, d), tokens (n, T, d), lengths (n,)),
+        token blocks sliced out of the packed rows on host."""
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from codemix_dense_retrieval_tpu.models.packing import (
+            pack_sequences,
+            pad_rows_to,
+        )
+
+        seq_len = max_length or self.length_buckets[-1]
+        if rows_per_batch is None:
+            rows_per_batch = max(self._dp, batch_size // 8)
+        rows_per_batch = ((rows_per_batch + self._dp - 1) // self._dp) * self._dp
+        order = self._length_order(texts)
+        texts = [texts[i] for i in order]
+        task = jnp.asarray(task_id, jnp.int32)
+        pad_id = getattr(self.tokenizer, "pad_id", 1)
+        chunk_texts = rows_per_batch * 16
+        stats = self.last_phase_stats = self._new_phase_stats()
+        pos_kw = (
+            dict(pos_offset=0, pos_pad=0)
+            if getattr(self.model, "PACKED_POS", "roberta") == "zero" else {}
+        )
+
+        def prep(start: int):
+            t0 = time.perf_counter()
+            chunk = [prefix + t for t in texts[start : start + chunk_texts]]
+            ids, mask = self.tokenizer.encode_batch(chunk, seq_len)
+            lens = mask.sum(axis=1).astype(np.int32)
+            rows = [ids[i, : lens[i]] for i in range(len(chunk))]
+            packed = pack_sequences(rows, seq_len, pad_id, max_segments, **pos_kw)
+            packed = pad_rows_to(
+                packed, -(-packed.n_rows // rows_per_batch) * rows_per_batch
+            )
+            if stats is not None:
+                stats["tokenize_work"] += time.perf_counter() - t0
+            return start, len(chunk), packed
+
+        chunks = []  # (start, count, packed, pooled_host, tok_host)
+
+        def read(pooled_dev, tok_dev, start, count, packed):
+            chunks.append((
+                start, count, packed,
+                np.asarray(pooled_dev).astype(np.float32),
+                np.asarray(tok_dev).astype(np.float32),
+            ))
+            return count
+
+        def jobs():
+            starts = iter(range(0, len(texts), chunk_texts))
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                futs = deque(
+                    ex.submit(prep, s)
+                    for s in itertools.islice(starts, self._PREFETCH_DEPTH)
+                )
+                while futs:
+                    t0 = time.perf_counter()
+                    start, count, packed = futs.popleft().result()
+                    if stats is not None:
+                        stats["tokenize_wait"] += time.perf_counter() - t0
+                        stats["batches"] += 1
+                    nxt = next(starts, None)
+                    if nxt is not None:
+                        futs.append(ex.submit(prep, nxt))
+                    pool_outs, tok_outs = [], []
+                    for r0 in range(0, packed.n_rows, rows_per_batch):
+                        sl = slice(r0, r0 + rows_per_batch)
+                        p_o, t_o = self._fwd_packed_both(
+                            self.params,
+                            packed.ids[sl], packed.segment_ids[sl],
+                            packed.position_ids[sl], packed.seg_starts[sl],
+                            packed.seg_lengths[sl], task, max_segments,
+                        )
+                        pool_outs.append(p_o)
+                        tok_outs.append(t_o)
+                    pooled = (jnp.concatenate(pool_outs, axis=0)
+                              if len(pool_outs) > 1 else pool_outs[0])
+                    toks = (jnp.concatenate(tok_outs, axis=0)
+                            if len(tok_outs) > 1 else tok_outs[0])
+                    yield read, (pooled, toks, start, count, packed)
+
+        self._overlap_read(jobs(), stats=stats)
+        n_out, dim = len(texts), self.cfg.hidden_size
+        if not chunks:
+            return (
+                np.zeros((0, dim), np.float32),
+                np.zeros((0, 0, dim), np.float32),
+                np.zeros(0, np.int32),
+            )
+        t_max = max(
+            int(p.seg_lengths.max()) if p.seg_lengths.size else 0
+            for _, _, p, _, _ in chunks
+        )
+        dense = np.zeros((n_out, dim), np.float32)
+        toks = np.zeros((n_out, t_max, dim), np.float32)
+        lengths = np.zeros(n_out, np.int32)
+        for start, count, packed, pooled_h, tok_h in chunks:
+            pl = packed.placement
+            dense[start : start + count] = pooled_h[pl[:, 0], pl[:, 1]]
+            for j in range(count):
+                r, slot = pl[j]
+                s0 = int(packed.seg_starts[r, slot])
+                ln = int(packed.seg_lengths[r, slot])
+                toks[start + j, :ln] = tok_h[r, s0 : s0 + ln]
+                lengths[start + j] = ln
+        inv = self._inverse(order)
+        return dense[inv], toks[inv], lengths[inv]
+
     def _encode_tokens(
         self,
         texts: Sequence[str],
@@ -594,11 +728,18 @@ class TextEncoder:
         texts: Sequence[str],
         batch_size: int = 64,
         max_length: Optional[int] = None,
+        pack: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One forward pass -> (dense (n, d) f32, tokens (n, T, d) f32,
         lengths (n,)) — the encode+index path for two-stage serving builds
-        the flat index and the token store together."""
+        the flat index and the token store together. ``pack=True`` routes
+        through sequence packing (token blocks sliced out of packed rows)."""
         prefix = dialects.doc_prefix(self.name)
+        if pack:
+            return self._encode_packed_with_tokens(
+                texts, batch_size, prefix, max_length,
+                task_id=self._task_id("passage"),
+            )
         task = jnp.asarray(self._task_id("passage"), jnp.int32)
         order = self._length_order(texts)
         texts = [texts[i] for i in order]

@@ -265,30 +265,39 @@ class XLMREncoder(nn.Module):
         x = self.embeddings(input_ids, position_ids)
         for layer in self.layers:
             x = layer(x, mask, task_id, segment_ids=segment_ids)
-        x = x.astype(jnp.float32)
-        if c.pooling == "cls":
-            pooled = jnp.take_along_axis(x, seg_starts[:, :, None], axis=1)
-        elif c.pooling == "mean":
-            # one-hot segment matmul: (B, M, S) @ (B, S, d) on the MXU —
-            # no scatter, no per-segment loop
-            sel = (
-                segment_ids[:, None, :]
-                == (1 + jnp.arange(max_segments))[None, :, None]
-            ).astype(jnp.float32)
-            pooled = jnp.einsum("bms,bsd->bmd", sel, x) / jnp.maximum(
-                seg_lengths[:, :, None].astype(jnp.float32), 1e-9
-            )
-        elif c.pooling == "last_token":
-            idx = seg_starts + jnp.maximum(seg_lengths - 1, 0)
-            pooled = jnp.take_along_axis(x, idx[:, :, None], axis=1)
-        else:
-            raise ValueError(f"unknown pooling {c.pooling!r}")
-        if c.normalize:
-            pooled = pooled / jnp.maximum(
-                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
-            )
-        # empty slots -> exact zeros
-        return pooled * (seg_lengths > 0)[:, :, None].astype(jnp.float32)
+        return pool_segments(
+            x.astype(jnp.float32), segment_ids, seg_starts, seg_lengths,
+            c.pooling, c.normalize, max_segments,
+        )
+
+    def packed_embed_with_tokens(
+        self,
+        input_ids: jnp.ndarray,
+        segment_ids: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        seg_starts: jnp.ndarray,
+        seg_lengths: jnp.ndarray,
+        task_id=None,
+        *,
+        max_segments: int,
+    ):
+        """Packed analog of :meth:`embed_with_tokens`: one backbone pass
+        over packed rows -> (per-segment pooled (B, M, d) f32, per-token
+        normalized embeddings (B, S, d) f32 with pad slots zeroed).
+        Callers slice each segment's token block out of the row with the
+        packer's (start, length) table."""
+        c = self.cfg
+        mask = (segment_ids > 0).astype(jnp.int32)
+        x = self.embeddings(input_ids, position_ids)
+        for layer in self.layers:
+            x = layer(x, mask, task_id, segment_ids=segment_ids)
+        xf = x.astype(jnp.float32)
+        pooled = pool_segments(
+            xf, segment_ids, seg_starts, seg_lengths,
+            c.pooling, c.normalize, max_segments,
+        )
+        t = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-12)
+        return pooled, t * mask.astype(jnp.float32)[..., None]
 
     def embed_with_tokens(
         self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
@@ -303,6 +312,41 @@ class XLMREncoder(nn.Module):
         t = x.astype(jnp.float32)
         t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
         return pooled, t * attention_mask.astype(jnp.float32)[..., None]
+
+
+def pool_segments(
+    hidden_f32: jnp.ndarray,    # (B, S, d) f32
+    segment_ids: jnp.ndarray,   # (B, S) int32, 0 = pad
+    seg_starts: jnp.ndarray,    # (B, M)
+    seg_lengths: jnp.ndarray,   # (B, M)
+    pooling: str,
+    normalize: bool,
+    max_segments: int,
+) -> jnp.ndarray:
+    """Per-SEGMENT pooling for packed rows -> (B, M, d) f32; empty slots
+    exact zeros. Mean pooling reduces via a one-hot segment matmul on the
+    MXU (no scatter, no per-segment loop)."""
+    x = hidden_f32
+    if pooling == "cls":
+        pooled = jnp.take_along_axis(x, seg_starts[:, :, None], axis=1)
+    elif pooling == "mean":
+        sel = (
+            segment_ids[:, None, :]
+            == (1 + jnp.arange(max_segments))[None, :, None]
+        ).astype(jnp.float32)
+        pooled = jnp.einsum("bms,bsd->bmd", sel, x) / jnp.maximum(
+            seg_lengths[:, :, None].astype(jnp.float32), 1e-9
+        )
+    elif pooling == "last_token":
+        idx = seg_starts + jnp.maximum(seg_lengths - 1, 0)
+        pooled = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+    else:
+        raise ValueError(f"unknown pooling {pooling!r}")
+    if normalize:
+        pooled = pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+        )
+    return pooled * (seg_lengths > 0)[:, :, None].astype(jnp.float32)
 
 
 def pool_and_normalize(

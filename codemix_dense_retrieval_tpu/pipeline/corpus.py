@@ -361,7 +361,7 @@ def encode_corpus(
                 toks = lens = None
             else:
                 vecs, toks, lens = encoder.encode_documents_with_tokens(
-                    keep_texts, batch_size=enc_batch
+                    keep_texts, batch_size=enc_batch, pack=pack
                 )
             # each store skips only its OWN already-written rows, so a
             # crash between the dense and token appends self-heals here

@@ -242,3 +242,33 @@ def test_encoder_packed_encode_qwen3_matches_unpacked():
     ref = enc.encode_documents(texts, batch_size=8)
     packed = enc.encode_documents(texts, batch_size=8, pack=True)
     np.testing.assert_allclose(packed, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_encoder_packed_with_tokens_matches_unpacked():
+    """Packed two-stage encode: dense + per-token blocks sliced out of
+    packed rows equal the bucketed path's outputs."""
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+
+    cfg = XLMRConfig.tiny(
+        vocab_size=211, hidden_size=32, num_heads=4, intermediate_size=64,
+        pooling="cls", use_flash=False, max_position_embeddings=80,
+    )
+    enc = TextEncoder("test-enc", cfg, length_buckets=(16, 32, 64))
+    rng = np.random.default_rng(10)
+    texts = [
+        "".join(chr(97 + c) for c in rng.integers(0, 26, rng.integers(3, 50)))
+        for _ in range(19)
+    ]
+    d_ref, t_ref, l_ref = enc.encode_documents_with_tokens(texts, batch_size=8)
+    d_p, t_p, l_p = enc.encode_documents_with_tokens(
+        texts, batch_size=8, pack=True
+    )
+    np.testing.assert_array_equal(l_p, l_ref)
+    np.testing.assert_allclose(d_p, d_ref, rtol=5e-4, atol=5e-5)
+    t_cut = min(t_ref.shape[1], t_p.shape[1])
+    np.testing.assert_allclose(
+        t_p[:, :t_cut], t_ref[:, :t_cut], rtol=5e-4, atol=5e-5
+    )
+    # beyond each row's length both are zero-padded
+    for i, ln in enumerate(l_ref):
+        assert (t_p[i, ln:] == 0).all()
