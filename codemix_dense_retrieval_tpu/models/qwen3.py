@@ -246,6 +246,35 @@ class Qwen3Encoder(nn.Module):
             )
         return pooled * (seg_lengths > 0)[:, :, None].astype(jnp.float32)
 
+    def packed_embed_with_tokens(
+        self,
+        input_ids: jnp.ndarray,
+        segment_ids: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        seg_starts: jnp.ndarray,
+        seg_lengths: jnp.ndarray,
+        task_id=None,
+        *,
+        max_segments: int,
+    ):
+        """Packed analog of :meth:`embed_with_tokens` (same contract as
+        ``XLMREncoder.packed_embed_with_tokens``)."""
+        del task_id
+        from codemix_dense_retrieval_tpu.models.xlmr import pool_segments
+
+        mask = (segment_ids > 0).astype(jnp.int32)
+        lengths = mask.sum(axis=1)
+        x = self.embed_tokens(input_ids)
+        for layer in self.layers:
+            x = layer(x, position_ids, lengths, segment_ids)
+        xf = self.norm(x).astype(jnp.float32)
+        pooled = pool_segments(
+            xf, segment_ids, seg_starts, seg_lengths,
+            "last_token", self.cfg.normalize, max_segments,
+        )
+        t = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-12)
+        return pooled, t * mask.astype(jnp.float32)[..., None]
+
     def token_embeddings(
         self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, task_id=None
     ) -> jnp.ndarray:

@@ -272,3 +272,43 @@ def test_encoder_packed_with_tokens_matches_unpacked():
     # beyond each row's length both are zero-padded
     for i, ln in enumerate(l_ref):
         assert (t_p[i, ln:] == 0).all()
+
+
+def test_qwen3_packed_embed_with_tokens():
+    from codemix_dense_retrieval_tpu.models.qwen3 import Qwen3Config, Qwen3Encoder
+
+    cfg = Qwen3Config.tiny(use_flash=False)
+    model = Qwen3Encoder(cfg)
+    rng = np.random.default_rng(12)
+    rows = sorted(
+        (rng.integers(2, cfg.vocab_size, size=rng.integers(2, 10))
+         .astype(np.int32) for _ in range(6)),
+        key=len, reverse=True,
+    )
+    p = pack_sequences(rows, 24, 0, 3, pos_offset=0, pos_pad=0)
+    n = len(rows)
+    ids_u = np.zeros((n, 24), np.int32)
+    mask_u = np.zeros((n, 24), np.int32)
+    for i, toks in enumerate(rows):
+        ids_u[i, : len(toks)] = toks
+        mask_u[i, : len(toks)] = 1
+    params = model.init(jax.random.key(2), jnp.asarray(ids_u), jnp.asarray(mask_u))
+    d_ref, t_ref = model.apply(
+        params, jnp.asarray(ids_u), jnp.asarray(mask_u),
+        method="embed_with_tokens",
+    )
+    pooled, toks = model.apply(
+        params, jnp.asarray(p.ids), jnp.asarray(p.segment_ids),
+        jnp.asarray(p.position_ids), jnp.asarray(p.seg_starts),
+        jnp.asarray(p.seg_lengths), None,
+        max_segments=3, method="packed_embed_with_tokens",
+    )
+    pooled, toks = np.asarray(pooled), np.asarray(toks)
+    for i, tr in enumerate(rows):
+        r, slot = p.placement[i]
+        s0, ln = p.seg_starts[r, slot], p.seg_lengths[r, slot]
+        np.testing.assert_allclose(
+            pooled[r, slot], np.asarray(d_ref)[i], rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(
+            toks[r, s0 : s0 + ln], np.asarray(t_ref)[i, :ln],
+            rtol=3e-4, atol=3e-5)
