@@ -447,6 +447,81 @@ class TextEncoder:
             return np.zeros((0, dim), np.float32)
         return np.concatenate(out, axis=0)[self._inverse(order)]
 
+    def _require_packing(self, method: str = "packed_embeddings") -> None:
+        """Fail fast (not mid-pipeline) when the model family lacks the
+        packed forward (e.g. GTE — no segment support yet)."""
+        if not callable(getattr(type(self.model), method, None)):
+            raise ValueError(
+                f"sequence packing (pack=True) is not supported by "
+                f"{type(self.model).__name__}: it defines no {method}()"
+            )
+
+    def _packed_setup(self, batch_size: int, max_length: Optional[int]):
+        """Shared sizing/convention resolution for the packed pipelines."""
+        seq_len = max_length or self.length_buckets[-1]
+        # ~batch_size texts per dispatch at typical 4-8 seqs/row
+        rows_per_batch = max(self._dp, batch_size // 8)
+        rows_per_batch = ((rows_per_batch + self._dp - 1) // self._dp) * self._dp
+        pad_id = getattr(self.tokenizer, "pad_id", 1)
+        # decoder embedders (Qwen3) restart RoPE positions at 0 per
+        # segment; XLM-R uses the RoBERTa pad_id+1 convention (default)
+        pos_kw = (
+            dict(pos_offset=0, pos_pad=0)
+            if getattr(self.model, "PACKED_POS", "roberta") == "zero" else {}
+        )
+        return seq_len, rows_per_batch, pad_id, pos_kw
+
+    def _packed_chunks(
+        self, texts, prefix, seq_len, rows_per_batch, max_segments,
+        pad_id, pos_kw, stats,
+    ):
+        """Yield (start, count, PackedRows) per chunk, with tokenize+pack
+        running on a prefetch thread (row count padded to a
+        rows_per_batch multiple for stable jit shapes)."""
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from codemix_dense_retrieval_tpu.models.packing import (
+            pack_sequences,
+            pad_rows_to,
+        )
+
+        chunk_texts = rows_per_batch * 16  # >= ~2 batches of packed rows
+
+        def prep(start: int):
+            t0 = time.perf_counter()
+            chunk = [prefix + t for t in texts[start : start + chunk_texts]]
+            ids, mask = self.tokenizer.encode_batch(chunk, seq_len)
+            lens = mask.sum(axis=1).astype(np.int32)
+            rows = [ids[i, : lens[i]] for i in range(len(chunk))]
+            packed = pack_sequences(rows, seq_len, pad_id, max_segments, **pos_kw)
+            packed = pad_rows_to(
+                packed,
+                -(-packed.n_rows // rows_per_batch) * rows_per_batch,
+                pad_id=pad_id,
+            )
+            if stats is not None:
+                stats["tokenize_work"] += time.perf_counter() - t0
+            return start, len(chunk), packed
+
+        starts = iter(range(0, len(texts), chunk_texts))
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = deque(
+                ex.submit(prep, s)
+                for s in itertools.islice(starts, self._PREFETCH_DEPTH)
+            )
+            while futs:
+                t0 = time.perf_counter()
+                out = futs.popleft().result()
+                if stats is not None:
+                    stats["tokenize_wait"] += time.perf_counter() - t0
+                    stats["batches"] += 1
+                nxt = next(starts, None)
+                if nxt is not None:
+                    futs.append(ex.submit(prep, nxt))
+                yield out
+
     def _encode_packed(
         self,
         texts: Sequence[str],
@@ -464,52 +539,18 @@ class TextEncoder:
         ~zero pad tokens (vs length-bucketing's intra-bucket waste).
 
         Pipeline: texts length-sorted (packing quality), tokenized +
-        packed per CHUNK on the prefetch thread, dispatched as fixed
-        (rows_per_batch, S) batches, per-segment pooled outputs placed
-        back via the chunk's (row, slot) map.
+        packed per CHUNK on the prefetch thread (`_packed_chunks`),
+        dispatched as fixed (rows_per_batch, S) batches, per-segment
+        pooled outputs placed back via the chunk's (row, slot) map.
         """
-        import itertools
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
-        from codemix_dense_retrieval_tpu.models.packing import (
-            pack_sequences,
-            pad_rows_to,
-        )
-
-        seq_len = max_length or self.length_buckets[-1]
-        if rows_per_batch is None:
-            # ~batch_size texts per dispatch at typical 4-8 seqs/row
-            rows_per_batch = max(self._dp, batch_size // 8)
-        rows_per_batch = ((rows_per_batch + self._dp - 1) // self._dp) * self._dp
+        self._require_packing()
+        seq_len, rpb, pad_id, pos_kw = self._packed_setup(batch_size, max_length)
+        if rows_per_batch is not None:
+            rpb = ((rows_per_batch + self._dp - 1) // self._dp) * self._dp
         order = self._length_order(texts)
         texts = [texts[i] for i in order]
         task = jnp.asarray(task_id, jnp.int32)
-        pad_id = getattr(self.tokenizer, "pad_id", 1)
-        chunk_texts = rows_per_batch * 16  # >= ~2 batches of packed rows
         stats = self.last_phase_stats = self._new_phase_stats()
-
-        # decoder embedders (Qwen3) restart RoPE positions at 0 per
-        # segment; XLM-R uses the RoBERTa pad_id+1 convention (default)
-        pos_kw = (
-            dict(pos_offset=0, pos_pad=0)
-            if getattr(self.model, "PACKED_POS", "roberta") == "zero" else {}
-        )
-
-        def prep(start: int):
-            t0 = time.perf_counter()
-            chunk = [prefix + t for t in texts[start : start + chunk_texts]]
-            ids, mask = self.tokenizer.encode_batch(chunk, seq_len)
-            lens = mask.sum(axis=1).astype(np.int32)
-            rows = [ids[i, : lens[i]] for i in range(len(chunk))]
-            packed = pack_sequences(rows, seq_len, pad_id, max_segments, **pos_kw)
-            packed = pad_rows_to(
-                packed,
-                -(-packed.n_rows // rows_per_batch) * rows_per_batch,
-            )
-            if stats is not None:
-                stats["tokenize_work"] += time.perf_counter() - t0
-            return start, len(chunk), packed
 
         n_out = len(texts)
         dim = self.cfg.hidden_size
@@ -523,34 +564,22 @@ class TextEncoder:
             return count
 
         def jobs():
-            starts = iter(range(0, len(texts), chunk_texts))
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                futs = deque(
-                    ex.submit(prep, s)
-                    for s in itertools.islice(starts, self._PREFETCH_DEPTH)
-                )
-                while futs:
-                    t0 = time.perf_counter()
-                    start, count, packed = futs.popleft().result()
-                    if stats is not None:
-                        stats["tokenize_wait"] += time.perf_counter() - t0
-                        stats["batches"] += 1
-                    nxt = next(starts, None)
-                    if nxt is not None:
-                        futs.append(ex.submit(prep, nxt))
-                    outs = []
-                    for r0 in range(0, packed.n_rows, rows_per_batch):
-                        sl = slice(r0, r0 + rows_per_batch)
-                        outs.append(self._fwd_packed(
-                            self.params,
-                            packed.ids[sl], packed.segment_ids[sl],
-                            packed.position_ids[sl], packed.seg_starts[sl],
-                            packed.seg_lengths[sl], task, max_segments,
-                        ))
-                    cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-                    if readback_dtype is not None:
-                        cat = cat.astype(readback_dtype)
-                    yield read, (cat, start, count, packed.placement)
+            for start, count, packed in self._packed_chunks(
+                texts, prefix, seq_len, rpb, max_segments, pad_id, pos_kw, stats
+            ):
+                outs = []
+                for r0 in range(0, packed.n_rows, rpb):
+                    sl = slice(r0, r0 + rpb)
+                    outs.append(self._fwd_packed(
+                        self.params,
+                        packed.ids[sl], packed.segment_ids[sl],
+                        packed.position_ids[sl], packed.seg_starts[sl],
+                        packed.seg_lengths[sl], task, max_segments,
+                    ))
+                cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+                if readback_dtype is not None:
+                    cat = cat.astype(readback_dtype)
+                yield read, (cat, start, count, packed.placement)
 
         self._overlap_read(jobs(), stats=stats)
         return out_sorted[self._inverse(order)]
@@ -567,44 +596,17 @@ class TextEncoder:
     ):
         """Packed analog of the embed_with_tokens path: one packed
         backbone pass -> (dense (n, d), tokens (n, T, d), lengths (n,)),
-        token blocks sliced out of the packed rows on host."""
-        import itertools
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
-        from codemix_dense_retrieval_tpu.models.packing import (
-            pack_sequences,
-            pad_rows_to,
-        )
-
-        seq_len = max_length or self.length_buckets[-1]
-        if rows_per_batch is None:
-            rows_per_batch = max(self._dp, batch_size // 8)
-        rows_per_batch = ((rows_per_batch + self._dp - 1) // self._dp) * self._dp
+        token blocks sliced out of the packed rows on host. Shares the
+        tokenize/pack/prefetch scaffolding with `_encode_packed` via
+        `_packed_chunks`."""
+        self._require_packing("packed_embed_with_tokens")
+        seq_len, rpb, pad_id, pos_kw = self._packed_setup(batch_size, max_length)
+        if rows_per_batch is not None:
+            rpb = ((rows_per_batch + self._dp - 1) // self._dp) * self._dp
         order = self._length_order(texts)
         texts = [texts[i] for i in order]
         task = jnp.asarray(task_id, jnp.int32)
-        pad_id = getattr(self.tokenizer, "pad_id", 1)
-        chunk_texts = rows_per_batch * 16
         stats = self.last_phase_stats = self._new_phase_stats()
-        pos_kw = (
-            dict(pos_offset=0, pos_pad=0)
-            if getattr(self.model, "PACKED_POS", "roberta") == "zero" else {}
-        )
-
-        def prep(start: int):
-            t0 = time.perf_counter()
-            chunk = [prefix + t for t in texts[start : start + chunk_texts]]
-            ids, mask = self.tokenizer.encode_batch(chunk, seq_len)
-            lens = mask.sum(axis=1).astype(np.int32)
-            rows = [ids[i, : lens[i]] for i in range(len(chunk))]
-            packed = pack_sequences(rows, seq_len, pad_id, max_segments, **pos_kw)
-            packed = pad_rows_to(
-                packed, -(-packed.n_rows // rows_per_batch) * rows_per_batch
-            )
-            if stats is not None:
-                stats["tokenize_work"] += time.perf_counter() - t0
-            return start, len(chunk), packed
 
         chunks = []  # (start, count, packed, pooled_host, tok_host)
 
@@ -617,37 +619,25 @@ class TextEncoder:
             return count
 
         def jobs():
-            starts = iter(range(0, len(texts), chunk_texts))
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                futs = deque(
-                    ex.submit(prep, s)
-                    for s in itertools.islice(starts, self._PREFETCH_DEPTH)
-                )
-                while futs:
-                    t0 = time.perf_counter()
-                    start, count, packed = futs.popleft().result()
-                    if stats is not None:
-                        stats["tokenize_wait"] += time.perf_counter() - t0
-                        stats["batches"] += 1
-                    nxt = next(starts, None)
-                    if nxt is not None:
-                        futs.append(ex.submit(prep, nxt))
-                    pool_outs, tok_outs = [], []
-                    for r0 in range(0, packed.n_rows, rows_per_batch):
-                        sl = slice(r0, r0 + rows_per_batch)
-                        p_o, t_o = self._fwd_packed_both(
-                            self.params,
-                            packed.ids[sl], packed.segment_ids[sl],
-                            packed.position_ids[sl], packed.seg_starts[sl],
-                            packed.seg_lengths[sl], task, max_segments,
-                        )
-                        pool_outs.append(p_o)
-                        tok_outs.append(t_o)
-                    pooled = (jnp.concatenate(pool_outs, axis=0)
-                              if len(pool_outs) > 1 else pool_outs[0])
-                    toks = (jnp.concatenate(tok_outs, axis=0)
-                            if len(tok_outs) > 1 else tok_outs[0])
-                    yield read, (pooled, toks, start, count, packed)
+            for start, count, packed in self._packed_chunks(
+                texts, prefix, seq_len, rpb, max_segments, pad_id, pos_kw, stats
+            ):
+                pool_outs, tok_outs = [], []
+                for r0 in range(0, packed.n_rows, rpb):
+                    sl = slice(r0, r0 + rpb)
+                    p_o, t_o = self._fwd_packed_both(
+                        self.params,
+                        packed.ids[sl], packed.segment_ids[sl],
+                        packed.position_ids[sl], packed.seg_starts[sl],
+                        packed.seg_lengths[sl], task, max_segments,
+                    )
+                    pool_outs.append(p_o)
+                    tok_outs.append(t_o)
+                pooled = (jnp.concatenate(pool_outs, axis=0)
+                          if len(pool_outs) > 1 else pool_outs[0])
+                toks = (jnp.concatenate(tok_outs, axis=0)
+                        if len(tok_outs) > 1 else tok_outs[0])
+                yield read, (pooled, toks, start, count, packed)
 
         self._overlap_read(jobs(), stats=stats)
         n_out, dim = len(texts), self.cfg.hidden_size

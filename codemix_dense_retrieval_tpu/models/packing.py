@@ -115,8 +115,11 @@ def pack_sequences(
     return PackedRows(ids, seg, pos, starts, seg_lens, placement)
 
 
-def pad_rows_to(batch: PackedRows, n_rows: int) -> PackedRows:
-    """Pad with empty rows up to ``n_rows`` (stable jit batch shape)."""
+def pad_rows_to(batch: PackedRows, n_rows: int, pad_id: int = None) -> PackedRows:
+    """Pad with empty rows up to ``n_rows`` (stable jit batch shape).
+
+    Pass ``pad_id`` explicitly — inferring it from ``ids[0, -1]`` is
+    wrong whenever row 0 is exactly full (a real token sits there)."""
     r = batch.n_rows
     if r >= n_rows:
         return batch
@@ -126,7 +129,8 @@ def pad_rows_to(batch: PackedRows, n_rows: int) -> PackedRows:
         out[:r] = a
         return out
 
-    pad_id = int(batch.ids[0, -1]) if batch.ids.size else 1
+    if pad_id is None:
+        pad_id = int(batch.ids[0, -1]) if batch.ids.size else 1
     pos_pad = int(batch.position_ids.min()) if batch.position_ids.size else 0
     return PackedRows(
         _pad(batch.ids, pad_id),

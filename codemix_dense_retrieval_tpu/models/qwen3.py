@@ -233,18 +233,16 @@ class Qwen3Encoder(nn.Module):
         LAST-token pooling + L2 norm. Returns (B, max_segments, d) f32;
         empty slots are zeros."""
         del task_id
+        from codemix_dense_retrieval_tpu.models.xlmr import pool_segments
+
         lengths = (segment_ids > 0).astype(jnp.int32).sum(axis=1)
         x = self.embed_tokens(input_ids)
         for layer in self.layers:
             x = layer(x, position_ids, lengths, segment_ids)
-        x = self.norm(x).astype(jnp.float32)
-        idx = seg_starts + jnp.maximum(seg_lengths - 1, 0)
-        pooled = jnp.take_along_axis(x, idx[:, :, None], axis=1)
-        if self.cfg.normalize:
-            pooled = pooled / jnp.maximum(
-                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
-            )
-        return pooled * (seg_lengths > 0)[:, :, None].astype(jnp.float32)
+        return pool_segments(
+            self.norm(x).astype(jnp.float32), segment_ids, seg_starts,
+            seg_lengths, "last_token", self.cfg.normalize, max_segments,
+        )
 
     def packed_embed_with_tokens(
         self,

@@ -150,7 +150,16 @@ def main():
                     t1 = wall(chain(run_vals, q.shape, 1), q, reps=args.reps)
                     t8 = wall(chain(run_vals, q.shape, 8), q, reps=args.reps)
                     dev_ms = (t8 - t1) / 7 * 1e3
-                    qps = b / max(dev_ms, 1e-6) * 1e3
+                    if dev_ms <= 0:
+                        # relay jitter swamped the subtraction — flag it
+                        # instead of printing a nonsense rate
+                        print(
+                            f"k={k:5d} B={b:4d} {name:14s} NOISE-DOMINATED "
+                            f"(t1 {t1*1e3:.1f} ms >= t8/8 {t8/8*1e3:.1f} ms)",
+                            flush=True,
+                        )
+                        continue
+                    qps = b / dev_ms * 1e3
                     rows.append((k, b, name, dev_ms, t1 * 1e3, qps))
                     print(
                         f"k={k:5d} B={b:4d} {name:14s} device "
