@@ -2,11 +2,14 @@
 
 VERDICT r4 item 4: the serving-regime comparison (B in {32,64,128}) was
 unmeasurable through the relay's ~40 ms RTT floor (BENCH_NOTES r4f).
-This probe subtracts the floor exactly: every (method, B, k) combo is
-compiled twice — as a 1-iteration and an 8-iteration `lax.fori_loop`
-chain (queries perturbed per iteration so XLA cannot CSE the calls) —
-and the per-call device time is (t8 - t1) / 7. The fixed per-dispatch
-cost (relay RTT, host sync) cancels in the subtraction.
+Per-call device time = median wall of the production program minus the
+median wall of a NO-OP dispatch (a tiny scalar program measured in the
+same session) — the no-op wall IS the relay RTT + dispatch floor, so
+the subtraction isolates device time without special chain programs.
+(A first attempt compiled every combo as an 8-iteration fori_loop chain
+to cancel the RTT exactly; that program class timed out the relay's
+remote-compile service — bench_logs/r5 — so plain production programs
+it is.)
 
 Corpus: clustered + cluster-sorted, derived ON-DEVICE (the adaptive
 tier's home workload; also the sketch tier's friendliest realistic
@@ -48,17 +51,9 @@ def wall(fn, *args, reps=5):
     return ts[len(ts) // 2]
 
 
-def chain(run_vals, queries_shape, R):
-    """jit( q -> fori_loop of R perturbed calls, summed scalar )."""
-
-    def prog(q, *rest):
-        def body(i, acc):
-            qi = q + (i.astype(q.dtype) * jnp.asarray(1e-6, q.dtype))
-            return acc + run_vals(qi, *rest)
-
-        return lax.fori_loop(0, R, body, jnp.float32(0.0))
-
-    return jax.jit(prog)
+def jit_scalar(run_vals):
+    """jit( q -> summed scalar ) of the production program."""
+    return jax.jit(lambda q: run_vals(q))
 
 
 def main():
@@ -136,6 +131,12 @@ def main():
             tile_b=None, tile_n=1024)
         return lambda q: jnp.sum(run(q, docs)[0][:, -1])
 
+    # dispatch/RTT floor: a tiny scalar program, same call discipline
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    noop = jax.jit(lambda x: jnp.sum(x * 1.0001))
+    rtt_ms = wall(noop, tiny, reps=max(args.reps * 2, 10)) * 1e3
+    print(f"dispatch/RTT floor: {rtt_ms:.1f} ms (subtracted)", flush=True)
+
     rows = []
     for k in args.ks:
         methods = [
@@ -147,15 +148,12 @@ def main():
             q = q_all[:b]
             for name, run_vals in methods:
                 try:
-                    t1 = wall(chain(run_vals, q.shape, 1), q, reps=args.reps)
-                    t8 = wall(chain(run_vals, q.shape, 8), q, reps=args.reps)
-                    dev_ms = (t8 - t1) / 7 * 1e3
+                    t1 = wall(jit_scalar(run_vals), q, reps=args.reps)
+                    dev_ms = t1 * 1e3 - rtt_ms
                     if dev_ms <= 0:
-                        # relay jitter swamped the subtraction — flag it
-                        # instead of printing a nonsense rate
                         print(
                             f"k={k:5d} B={b:4d} {name:14s} NOISE-DOMINATED "
-                            f"(t1 {t1*1e3:.1f} ms >= t8/8 {t8/8*1e3:.1f} ms)",
+                            f"(wall {t1*1e3:.1f} ms <= RTT {rtt_ms:.1f} ms)",
                             flush=True,
                         )
                         continue
@@ -163,7 +161,7 @@ def main():
                     rows.append((k, b, name, dev_ms, t1 * 1e3, qps))
                     print(
                         f"k={k:5d} B={b:4d} {name:14s} device "
-                        f"{dev_ms:8.2f} ms/call  wall1 {t1*1e3:8.1f} ms  "
+                        f"{dev_ms:8.2f} ms/call  wall {t1*1e3:8.1f} ms  "
                         f"eff {qps:8.0f} q/s(device)",
                         flush=True,
                     )
