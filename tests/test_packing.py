@@ -312,3 +312,16 @@ def test_qwen3_packed_embed_with_tokens():
         np.testing.assert_allclose(
             toks[r, s0 : s0 + ln], np.asarray(t_ref)[i, :ln],
             rtol=3e-4, atol=3e-5)
+
+
+def test_pack_unsupported_model_fails_fast():
+    """GTE (no packed forward yet) must raise a clear error at the API
+    boundary, not a flax attribute error mid-pipeline."""
+    from codemix_dense_retrieval_tpu.models.encoder import TextEncoder
+    from codemix_dense_retrieval_tpu.models.gte import GTEConfig, GTEEncoder
+
+    cfg = GTEConfig.tiny()
+    enc = TextEncoder("Alibaba-NLP/gte-multilingual-base", cfg,
+                      model=GTEEncoder(cfg), length_buckets=(16, 32))
+    with pytest.raises(ValueError, match="packing.*not supported"):
+        enc.encode_documents(["hello world"], pack=True)
