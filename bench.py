@@ -741,16 +741,32 @@ def _bench_big_shard(jax, jnp, docs_box, queries, k, k_deep):
     n, dim = docs.shape
     rng = np.random.default_rng(21)
     q_small = queries[:256]
+    # incremental donated builds: a one-shot concat holds input + every
+    # part + the output simultaneously (~20 GiB at 4x -> the r5
+    # validation run's RESOURCE_EXHAUSTED); dynamic_update_slice with a
+    # donated accumulator writes each sign-flipped copy in place, so the
+    # peak is output + source + one fused part
+    import functools as _ft
+
+    from jax import lax as _lax
+
+    def _upd(buf, d, s, i):
+        part = (d.astype(jnp.float32) * s).astype(jnp.bfloat16)
+        return _lax.dynamic_update_slice(buf, part, (i * n, 0))
+
+    docs_big = None
     for copies in (4, 2):
         try:
             signs = jnp.asarray(
                 np.where(rng.random((copies, dim)) < 0.5, -1.0, 1.0)
                 .astype(np.float32))
-            mkbig = jax.jit(lambda d, s: jnp.concatenate(
-                [(d.astype(jnp.float32) * s[i]).astype(jnp.bfloat16)
-                 for i in range(copies)], axis=0))
-            docs_big = mkbig(docs, signs)
-            docs_big.block_until_ready()
+            buf = jnp.zeros((copies * n, dim), jnp.bfloat16)
+            upd = jax.jit(_ft.partial(_upd), donate_argnums=0,
+                          static_argnums=3)
+            for i in range(copies):
+                buf = upd(buf, docs, signs[i], i)
+            buf.block_until_ready()
+            docs_big = buf
             break
         except Exception as exc:  # noqa: BLE001 — HBM OOM: halve
             _RESULT["big_shard_derive_retry"] = f"{copies}x: {exc}"[:120]
@@ -759,6 +775,10 @@ def _bench_big_shard(jax, jnp, docs_box, queries, k, k_deep):
         raise RuntimeError("big-shard derivation failed at 4x and 2x")
     del docs
     n_big = int(docs_big.shape[0])
+    if copies == 4:
+        # (B, 4.4M) f32 scores at B=256 is 4.5 GiB next to the 8.8 GiB
+        # shard — B=128 keeps ~5 GiB of headroom
+        q_small = q_small[:128]
     _log(f"big shard derived on-device: {n_big} rows "
          f"({n_big * dim * 2 / 2**30:.1f} GiB)")
 
