@@ -760,7 +760,12 @@ def _bench_big_shard(jax, jnp, docs_box, queries, k, k_deep):
             signs = jnp.asarray(
                 np.where(rng.random((copies, dim)) < 0.5, -1.0, 1.0)
                 .astype(np.float32))
-            buf = jnp.zeros((copies * n, dim), jnp.bfloat16)
+            # allocate PRE-PADDED to the kernel tile: a non-multiple row
+            # count makes _prep_shard jnp.pad the corpus — a full
+            # 8.39 GiB HLO-temp copy, the r5 validation OOM. Pad rows
+            # stay zero and are masked via n_valid.
+            n_pad_big = -(-copies * n // 1024) * 1024
+            buf = jnp.zeros((n_pad_big, dim), jnp.bfloat16)
             upd = jax.jit(_ft.partial(_upd), donate_argnums=0,
                           static_argnums=3)
             for i in range(copies):
@@ -774,7 +779,7 @@ def _bench_big_shard(jax, jnp, docs_box, queries, k, k_deep):
     if docs_big is None:
         raise RuntimeError("big-shard derivation failed at 4x and 2x")
     del docs
-    n_big = int(docs_big.shape[0])
+    n_big = copies * n  # VALID rows (docs_big carries tile-pad zeros)
     if copies == 4:
         # (B, 4.4M) f32 scores at B=256 is 4.5 GiB next to the 8.8 GiB
         # shard — B=128 keeps ~5 GiB of headroom
@@ -783,11 +788,16 @@ def _bench_big_shard(jax, jnp, docs_box, queries, k, k_deep):
          f"({n_big * dim * 2 / 2**30:.1f} GiB)")
 
     # on-device oracle (4 queries, plain XLA matmul + top_k): the 1.1M
-    # host oracle cannot see the derived corpus without a 9 GiB readback
-    oracle = jax.jit(lambda q, d: lax.top_k(
-        lax.dot_general(q, d, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32), k_deep))
-    ov, oi = oracle(q_small[:4], docs_big)
+    # host oracle cannot see the derived corpus without a 9 GiB readback.
+    # Tile-pad zero rows are masked out (their IP of exactly 0 would
+    # otherwise outrank negative true scores).
+    def _oracle(q, d):
+        s = lax.dot_general(q, d, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        col = lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        return lax.top_k(jnp.where(col < n_big, s, -3.4e38), k_deep)
+
+    ov, oi = jax.jit(_oracle)(q_small[:4], docs_big)
     oi_np = np.asarray(oi)
 
     for depth in (k, k_deep):
@@ -796,6 +806,7 @@ def _bench_big_shard(jax, jnp, docs_box, queries, k, k_deep):
             continue
         run = jax.jit(functools.partial(
             topk_ip_bins_two_level, k=depth, tile_b=None, tile_n=1024,
+            n_valid=n_big,
         ))
         try:
             dt, (vals, idx) = _timed_pair(run, (q_small, docs_big), 4)
@@ -803,7 +814,7 @@ def _bench_big_shard(jax, jnp, docs_box, queries, k, k_deep):
             _RESULT[f"big_shard_k{depth}_fallback"] = f"{exc}"[:120]
             run = jax.jit(functools.partial(
                 topk_ip_bins_two_level, k=depth, bin_size=8, super_size=8,
-                tile_b=512, tile_n=1024,
+                tile_b=512, tile_n=1024, n_valid=n_big,
             ))
             dt, (vals, idx) = _timed_pair(run, (q_small, docs_big), 4)
         idx_np = np.asarray(idx)[:4, :depth]
