@@ -556,11 +556,10 @@ class TextEncoder:
         dim = self.cfg.hidden_size
         out_sorted = np.zeros((n_out, dim), np.float32)
 
-        def read(dev, start, count, placement):
-            host = np.asarray(dev).astype(np.float32)  # (R_total, M, d)
-            out_sorted[start : start + count] = host[
-                placement[:, 0], placement[:, 1]
-            ]
+        def read(dev, start, count):
+            out_sorted[start : start + count] = (
+                np.asarray(dev).astype(np.float32)
+            )
             return count
 
         def jobs():
@@ -577,9 +576,18 @@ class TextEncoder:
                         packed.seg_lengths[sl], task, max_segments,
                     ))
                 cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+                # compact to USED slots on device: shipping the (R, M, d)
+                # slot tensor moved ~M/avg_segments x the needed bytes
+                # through the tunnel and made readback the packed path's
+                # wall (bench_logs/r5/encode_pack.log: 36 s of a 38 s
+                # pass). One device gather -> (count, d) in input order.
+                flat = jnp.asarray(
+                    (packed.placement[:, 0] * max_segments
+                     + packed.placement[:, 1]).astype(np.int32))
+                sel = cat.reshape(-1, cat.shape[-1])[flat]
                 if readback_dtype is not None:
-                    cat = cat.astype(readback_dtype)
-                yield read, (cat, start, count, packed.placement)
+                    sel = sel.astype(readback_dtype)
+                yield read, (sel, start, count)
 
         self._overlap_read(jobs(), stats=stats)
         return out_sorted[self._inverse(order)]
