@@ -456,8 +456,22 @@ class TextEncoder:
                 f"{type(self.model).__name__}: it defines no {method}()"
             )
 
+    #: default packed row length. The packed forward's cost per token
+    #: scales with S (attention is O(S)/token and the row count drops as
+    #: 1/S only until rows fill), so the winner balances pad-free rows
+    #: against attention cost: measured on-chip (bench_logs/r5/
+    #: pack_seqlen.log, 24L d=1024, mMARCO-like lengths): S=512 0.76x
+    #: the bucketed path, S=384 1.37x, S=256 **1.48x**, S=192 1.28x.
+    _PACK_SEQ_DEFAULT = 256
+
     def _packed_setup(self, batch_size: int, max_length: Optional[int]):
-        """Shared sizing/convention resolution for the packed pipelines."""
+        """Shared sizing/convention resolution for the packed pipelines.
+
+        ``seq_len`` here is the TOKENIZER cap (same as the bucketed
+        path); the packed ROW length is chosen per chunk in
+        `_packed_chunks` — at least `_PACK_SEQ_DEFAULT`, growing to the
+        chunk's longest bucketed sequence so nothing is truncated beyond
+        the cap."""
         seq_len = max_length or self.length_buckets[-1]
         # ~batch_size texts per dispatch at typical 4-8 seqs/row
         rows_per_batch = max(self._dp, batch_size // 8)
@@ -489,13 +503,25 @@ class TextEncoder:
 
         chunk_texts = rows_per_batch * 16  # >= ~2 batches of packed rows
 
+        from codemix_dense_retrieval_tpu.models.tokenizer import bucket_length
+
         def prep(start: int):
             t0 = time.perf_counter()
             chunk = [prefix + t for t in texts[start : start + chunk_texts]]
             ids, mask = self.tokenizer.encode_batch(chunk, seq_len)
             lens = mask.sum(axis=1).astype(np.int32)
             rows = [ids[i, : lens[i]] for i in range(len(chunk))]
-            packed = pack_sequences(rows, seq_len, pad_id, max_segments, **pos_kw)
+            # packed ROW length: the measured sweet spot (bench_logs/r5/
+            # pack_seqlen.log: S=256 is 1.48x, S=512 is 0.76x), grown to
+            # the chunk's longest bucketed sequence so long passages are
+            # never truncated below the cap. Chunks are length-sorted,
+            # so only the leading chunks pay longer rows.
+            row_s = max(
+                min(self._PACK_SEQ_DEFAULT, seq_len),
+                bucket_length(int(lens.max()) if len(lens) else 1,
+                              self.length_buckets),
+            )
+            packed = pack_sequences(rows, row_s, pad_id, max_segments, **pos_kw)
             packed = pad_rows_to(
                 packed,
                 -(-packed.n_rows // rows_per_batch) * rows_per_batch,
