@@ -253,10 +253,12 @@ def main() -> None:
 
     pack_report = {}
     if args.pack:
-        # warm the packed program (one chunk), then time the full pass
+        # warm with a FULL pass: packed row length varies per chunk
+        # (long-text chunks get longer rows), so a one-chunk warm leaves
+        # later row-length programs to compile inside the timed window —
+        # the same trap the bucketed warm-all-buckets loop avoids
         enc.encode_documents(
-            texts[: args.batch], batch_size=args.batch, readback_dtype=rb,
-            pack=True,
+            texts, batch_size=args.batch, readback_dtype=rb, pack=True,
         )
         t0 = time.perf_counter()
         vecs_p = enc.encode_documents(
