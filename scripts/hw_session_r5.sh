@@ -29,6 +29,10 @@ run probe_tail 2400 "python scripts/probe_tail_r5.py"
 run device_time_smallbatch 3000 "python scripts/bench_device_time_smallbatch.py"
 # sequence-packed encode A/B vs the bucketed path (VERDICT r4 item 5)
 run encode_pack 2400 "python scripts/bench_encode_e2e.py --pack"
+# packed row-length sweep (S=256 was the r5 winner; chip-state check)
+run pack_seqlen 2400 "python scripts/probe_pack_seqlen.py"
+# 4.4M-row shard phase standalone (also inside bench.py; this isolates it)
+run big_shard 2700 "python scripts/validate_big_shard.py"
 # the flagship one-jit workload (lax.map sequential alphas — r4c 12.0k
 # eff qps exact at k=100 over 1.1M)
 run fused_sweep 2400 "python scripts/bench_fused_sweep.py"
