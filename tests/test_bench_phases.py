@@ -117,3 +117,20 @@ def test_bench_tail_split_phase():
     assert r["k1000_tail_ms"] > 0
     assert r["k1000_block_ms"] == 500.0
     assert 0.0 <= r["k1000_tail_frac"] <= 1.0
+
+
+def test_bench_big_shard_phase_nonmultiple_rows():
+    """Row counts that are NOT a kernel-tile multiple exercise the
+    pre-pad + n_valid masking path (the r5 OOM fix): zero pad rows must
+    never reach the top-k (their IP of 0 would outrank negatives)."""
+    import jax
+
+    _fresh_result()
+    rng = np.random.default_rng(5)
+    docs = jnp.asarray(rng.standard_normal((2000, 128), dtype=np.float32))
+    queries = jnp.asarray(rng.standard_normal((64, 128), dtype=np.float32))
+    bench._bench_big_shard(jax, jnp, [docs], queries, 8, 16)
+    r = bench._RESULT
+    n_big = 4 * 2000  # valid rows; the device shard is padded to 8192
+    for depth in (8, 16):
+        assert r[f"exact_overlap_{n_big}_k{depth}"] == 1.0
