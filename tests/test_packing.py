@@ -325,3 +325,31 @@ def test_pack_unsupported_model_fails_fast():
                       model=GTEEncoder(cfg), length_buckets=(16, 32))
     with pytest.raises(ValueError, match="packing.*not supported"):
         enc.encode_documents(["hello world"], pack=True)
+
+
+def test_segment_mode_prefers_flash_at_crossover(monkeypatch):
+    """Packed rows are always full, so the dispatch includes the
+    crossover length itself in the flash regime (s >= flash_min_seq vs
+    the unpacked strict >)."""
+    import codemix_dense_retrieval_tpu.ops.flash_attention as fa
+
+    calls = []
+
+    def spy_flash(q, k, v, lengths, **kw):
+        calls.append("flash")
+        return fa.attention_xla(q, k, v, lengths,
+                                segment_ids=kw.get("segment_ids"))
+
+    monkeypatch.setattr(fa, "attention_flash", spy_flash)
+    b, s, heads, dh = 2, 32, 2, 8
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((b, s, heads * dh), dtype=np.float32))
+    mask = jnp.ones((b, s), jnp.int32)
+    seg = jnp.ones((b, s), jnp.int32)
+    # unpacked at s == flash_min_seq: stays XLA
+    fa.multi_head_attention(x, x, x, mask, num_heads=heads, flash_min_seq=s)
+    assert calls == []
+    # packed at the same length: flash
+    fa.multi_head_attention(
+        x, x, x, mask, num_heads=heads, flash_min_seq=s, segment_ids=seg)
+    assert calls == ["flash"]
